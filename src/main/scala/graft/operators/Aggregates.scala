@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.WeightedAvgAgg
+import org.apache.spark.sql.functions._
+
+/** §2.4 aggregations (`KGroupedStream.count/reduce/aggregate` analog).
+  * All run as two-phase HashAggregate (partial map-side combine, then a
+  * single shuffle on the grouping key) — the scalable shape.
+  */
+object Aggregates {
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape.
+    "agg_hash_groupby" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_distinct_count" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_suppkey")),
+
+    // HLL sketch values differ across engines — no oracle; property-tested
+    // (within 5% of exact) in the unit suite instead.
+    "agg_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    "agg_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covp_qp"))
+        .orderBy("l_returnflag")),
+
+    "agg_percentile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50_price"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_price"))
+        .orderBy("o_orderstatus")),
+
+    // max_by/min_by with an explicit (value, key) struct tiebreak so ties on
+    // o_totalprice cannot make the result nondeterministic.
+    "agg_min_max_by" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("best_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("worst_order"))
+        .orderBy("o_custkey")),
+
+    "agg_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Spark's ambiguous-self-join check mis-fires on join→rollup→orderBy of
+    // the grouping column; routing the rollup through SQL sidesteps it.
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name", "c_acctbal")
+        .createOrReplaceTempView("graft_rollup_in")
+      s.sql(
+        s"""SELECT n_name, count(*) AS cust_cnt,
+           | ${dsumSql("c_acctbal")} AS sum_bal
+           |FROM graft_rollup_in GROUP BY ROLLUP (n_name)
+           |ORDER BY n_name ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "agg_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 12)
+        .orderBy("o_custkey")),
+
+    "udaf_weighted_avg" -> ((s, dir) => {
+      val wavg = udaf(WeightedAvgAgg)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(wavg(col("l_extendedprice"), col("l_discount")), 4).as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_hash_groupby" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${dsumSql("l_quantity")} AS sum_qty,
+         | ${dsumSql("l_extendedprice")} AS sum_base_price,
+         | ${dsumSql("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+         | round(avg(l_quantity), 6) AS avg_qty,
+         | round(avg(l_discount), 6) AS avg_disc,
+         | count(*) AS cnt
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct_count" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS distinct_parts, count(*) AS cnt
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty,
+        | round(var_samp(l_quantity), 6) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        | round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50_price,
+        | round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_min_max_by" ->
+      """SELECT o_custkey,
+        | max(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_order,
+        | max(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_order
+        |FROM (SELECT o_custkey, o_orderkey,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT n_name, count(*) AS cust_cnt, ${dsumSql("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP (n_name) ORDER BY n_name NULLS FIRST""".stripMargin,
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS cnt FROM orders
+        |GROUP BY o_custkey HAVING count(*) > 12 ORDER BY o_custkey""".stripMargin,
+    "udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3 join matrix. Strategy notes for 100TB scale:
+  *  - dims (nation/region/customer-at-small-sf) are broadcast explicitly —
+  *    no shuffle of the fact side;
+  *  - the two large-table joins pin their physical strategy via hints
+  *    (merge / shuffle_hash) so the plan is stable across AQE decisions;
+  *  - the as-of join avoids the pairwise-blowup formulation entirely: it is
+  *    a union + per-key ordered window (`last(ignoreNulls)`) — one shuffle
+  *    by key, no candidate explosion, the classic scalable as-of pattern.
+  */
+object Joins {
+  val queries: Map[String, Q] = Map(
+    "join_broadcast" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("n_name")),
+
+    "join_sortmerge" -> ((s, dir) =>
+      t(s, dir, "lineitem").hint("merge")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("li_cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")),
+
+    "join_shuffle_hash" -> ((s, dir) =>
+      t(s, dir, "lineitem").hint("shuffle_hash")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("li_cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus")),
+
+    "join_left_outer" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")),
+
+    "join_full_outer" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("s_cnt"))
+      val cus = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("c_cnt"))
+      sup.join(cus, col("nk_s") === col("nk_c"), "full")
+        .select(coalesce(col("nk_s"), col("nk_c")).as("nationkey"),
+          col("s_cnt"), col("c_cnt"))
+        .orderBy("nationkey")
+    }),
+
+    "join_semi" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_cross_theta" -> ((s, dir) =>
+      t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("n_regionkey") =!= col("r_regionkey"))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")),
+
+    // For each purchase event: clicks by the same user in the preceding hour.
+    "join_range_interval" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      p.join(c, col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") < col("p_ts"), "left")
+        .groupBy("event_id").agg(count(col("c_ts")).as("clicks_1h"))
+        .orderBy("event_id")
+    }),
+
+    // Latest order at-or-before each event's timestamp per user. Implemented
+    // shuffle-free of pair blowup: union orders+events on (key, ts), then a
+    // running `last(order, ignoreNulls)` window per key. Ties on
+    // (o_orderdate): max o_orderkey wins (order by o_key asc, last picked).
+    "join_asof" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").as("k"), col("o_orderdate").as("ats"),
+        col("o_orderkey").as("o_key"), lit(null).cast("long").as("event_id"),
+        lit(0).as("typ"))
+      val e = events(s, dir).select(
+        col("user_id").as("k"), col("ts").as("ats"),
+        lit(null).cast("long").as("o_key"), col("event_id"), lit(1).as("typ"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("ats"), col("typ"), col("o_key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .withColumn("asof_orderkey", last(col("o_key"), ignoreNulls = true).over(w))
+        .filter(col("typ") === 1 && col("asof_orderkey").isNotNull)
+        .select("event_id", "asof_orderkey")
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_broadcast" ->
+      s"""SELECT n_name, count(*) AS order_cnt, ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_sortmerge" ->
+      s"""SELECT o_orderstatus, count(*) AS li_cnt, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_shuffle_hash" ->
+      s"""SELECT o_orderstatus, count(*) AS li_cnt, ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(s.nk, c.nk) AS nationkey, s.s_cnt, c.c_cnt
+        |FROM (SELECT s_nationkey AS nk, count(*) AS s_cnt FROM supplier GROUP BY 1) s
+        |FULL JOIN (SELECT c_nationkey AS nk, count(*) AS c_cnt FROM customer GROUP BY 1) c
+        |ON s.nk = c.nk ORDER BY nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross_theta" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region JOIN nation ON n_regionkey <> r_regionkey
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "join_range_interval" ->
+      """SELECT p.event_id, count(c.cts) AS clicks_1h
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events
+        |      WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts < p.pts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, o_orderkey AS asof_orderkey FROM (
+        |  SELECT e.event_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+  )
+}
