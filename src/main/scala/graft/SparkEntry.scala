@@ -32,6 +32,9 @@ object SparkEntry {
     (Joins.queries, Joins.oracle),
     (Aggregates.queries, Aggregates.oracle),
     (SortSetOps.queries, SortSetOps.oracle),
+    (WindowFuncs.queries, WindowFuncs.oracle),
+    (Sessionization.queries, Sessionization.oracle),
+    (ScalarFuncs.queries, ScalarFuncs.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

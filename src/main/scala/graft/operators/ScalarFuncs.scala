@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** §2.7 scalar function surface: string / regexp / date / math / array /
+  * higher-order / json / hash / UDF. All built-ins (codegen'd) except the
+  * one deliberate Scala UDF (`udf_scalar`, the KStream.mapValues analog).
+  *
+  * Cross-engine notes baked into the oracles:
+  *  - DuckDB `dayofweek` is 0=Sunday, Spark is 1=Sunday → `+1` in SQL;
+  *  - DuckDB len()/count() return BIGINT where Spark returns INT → CAST;
+  *  - float math is done on exact double-widened elements so both engines
+  *    accumulate identically (see FloatVecDot for the same trick).
+  */
+object ScalarFuncs {
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lname"),
+        upper(col("c_mktsegment")).as("useg"),
+        trim(col("c_name")).as("tname"),
+        substring(col("c_name"), 1, 8).as("name_pref"),
+        concat(col("c_name"), lit("_"), col("c_mktsegment")).as("name_seg"),
+        length(col("c_name")).as("name_len"),
+      ).orderBy("c_custkey")),
+
+    "fn_regexp" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowels"),
+      ).orderBy("p_partkey")),
+
+    "fn_split_explode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .orderBy("doc_id", "word")),
+
+    "fn_date" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("mon"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .as("days_since"),
+        date_add(to_date(col("o_orderdate")), 7).as("week_later"),
+      ).orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        round(pow(col("l_discount"), 2), 8).as("disc_sq"),
+        abs(col("l_quantity") - lit(25.0)).as("qty_dev"),
+      ).orderBy("l_orderkey", "l_linenumber")),
+
+    "fn_array" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("e1"),
+        slice(col("embedding"), 1, 3).as("head3"),
+        array_contains(col("embedding"), lit(0.0f)).as("has_zero"),
+      ).orderBy("vec_id")),
+
+    // Higher-order functions over the embedding vector. Elements are
+    // double-widened before multiplying (exact) so the sequential double
+    // accumulation is bit-identical in DuckDB.
+    "fn_array_higher_order" -> ((s, dir) => {
+      val xs = transform(col("embedding"), x => x.cast("double"))
+      val sq = zip_with(xs, xs, (x, y) => x * y)
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        sqrt(aggregate(sq, lit(0.0), (acc, x) => acc + x)).as("l2_norm"),
+        aggregate(xs, lit(0.0), (acc, x) => acc + x).as("sum_elems"),
+        size(filter(xs, x => x > lit(0.0))).as("n_positive"),
+      ).orderBy("vec_id")
+    }),
+
+    "fn_json" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_int"),
+      ).orderBy("event_id")),
+
+    "fn_hash" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        sha2(col("text"), 256).as("sha256_hex"),
+      ).orderBy("doc_id")),
+
+    "udf_scalar" -> ((s, dir) => {
+      val label = udf((eventType: String, value: Double) =>
+        if (eventType == "purchase" && value > 50.0) "big_buy"
+        else if (eventType == "error") "err"
+        else "other")
+      events(s, dir)
+        .select(col("event_id"), label(col("event_type"), col("value")).as("label"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey, lower(c_name) AS lname, upper(c_mktsegment) AS useg,
+        | trim(c_name) AS tname, substring(c_name, 1, 8) AS name_pref,
+        | c_name || '_' || c_mktsegment AS name_seg,
+        | CAST(length(c_name) AS INT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_regexp" ->
+      """SELECT p_partkey, regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_split_explode" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |FROM documents ORDER BY doc_id, word""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        | date_trunc('month', o_orderdate) AS mon,
+        | CAST(year(o_orderdate) AS INT) AS yr,
+        | CAST(month(o_orderdate) AS INT) AS mo,
+        | CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        | CAST(o_orderdate AS DATE) + 7 AS week_later
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(ln(l_extendedprice), 6) AS ln_price,
+        | round(sqrt(l_quantity), 6) AS sqrt_qty,
+        | round(pow(l_discount, 2), 8) AS disc_sq,
+        | abs(l_quantity - 25.0) AS qty_dev
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        | embedding[1] AS e1, embedding[1:3] AS head3,
+        | list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_array_higher_order" ->
+      """SELECT vec_id,
+        | sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+        | list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sum_elems,
+        | CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS INT) AS n_positive
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "udf_scalar" ->
+      """SELECT event_id,
+        | CASE WHEN event_type = 'purchase' AND value > 50.0 THEN 'big_buy'
+        |      WHEN event_type = 'error' THEN 'err'
+        |      ELSE 'other' END AS label
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.8 sessionization & time windows — the reference's core semantics
+  * (Kafka Streams `SessionWindows.ofInactivityGapAndGrace`,
+  * `TimeWindows`). Batch forms here (oracle-verified); streaming twins
+  * live in `graft.streaming` and are parity-tested against these.
+  *
+  * Gap rule (must agree between both implementations and the oracle):
+  * an event starts a NEW session iff `ts - prev_ts >= gap`. This matches
+  * Spark's `session_window`, whose window is `[first_ts, last_ts + gap)` —
+  * an event landing exactly at `last_ts + gap` falls outside.
+  */
+object Sessionization {
+  private val GapUs = 30L * 60 * 1000000 // 30 minutes in µs
+
+  /** Shared lag+cumsum session assignment: adds `session_seq` (1-based
+    * ordinal of the session within each user). */
+  private def withSessionSeq(df: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= GapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum("new_s").over(wCum))
+  }
+
+  private val oracleSessionCte =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      | g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |   FROM g)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // The classic batch sessionization: lag + cumulative sum.
+    "sessionize_batch" -> ((s, dir) =>
+      withSessionSeq(events(s, dir))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"),
+          dsum6(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_seq")),
+
+    // Same semantics via the native session_window operator (works in both
+    // batch and streaming). session end = last event + gap.
+    "sessionize_native" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+
+    "window_tumbling" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("w_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "w_start")),
+
+    "window_sliding" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"))
+        .select(col("user_id"), col("w.start").as("w_start"),
+          col("n_events"), col("avg_value"))
+        .orderBy("user_id", "w_start")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sessionize_batch" ->
+      s"""$oracleSessionCte
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         | min(ts) AS session_start, max(ts) AS session_end,
+         | ${dsum6Sql("value")} AS sum_value
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sessionize_native" ->
+      s"""$oracleSessionCte
+         |SELECT user_id, min(ts) AS session_start,
+         | max(ts) + INTERVAL 30 MINUTE AS session_end,
+         | count(*) AS n_events, ${dsum6Sql("value")} AS sum_value
+         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_start""".stripMargin,
+    "window_tumbling" ->
+      s"""SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+         | count(*) AS n_events, ${dsum6Sql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Each event belongs to exactly ceil(1h/15min)=4 sliding windows whose
+    // starts are time_bucket(15min) - i*15min, i in 0..3.
+    "window_sliding" ->
+      """SELECT user_id, w_start, count(*) AS n_events, round(avg(value), 6) AS avg_value
+        |FROM (SELECT user_id,
+        |   time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) - to_minutes(i*15) AS w_start,
+        |   value
+        | FROM events, (SELECT unnest(generate_series(0, 3)) AS i))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** §2.5 analytic window functions. Every window spec carries a unique
+  * tiebreak key in its ORDER BY so rank/lag results are deterministic in
+  * both engines. Running float sums accumulate in DECIMAL (exact) and
+  * surface as DOUBLE.
+  */
+object WindowFuncs {
+  val queries: Map[String, Q] = Map(
+    "win_rank_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    "win_rownum_dense" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .withColumn("next_gap_us", unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts")))
+        .select("event_id", "gap_us", "next_gap_us")
+        .orderBy("event_id")
+    }),
+
+    "win_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("cum_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Trailing-1h sum per user: Spark range frames are numeric, so the
+    // ordering key is epoch µs and the frame is [-3600e6, 0].
+    "win_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      events(s, dir)
+        .select(col("event_id"),
+          sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast("double").as("sum_1h"))
+        .orderBy("event_id")
+    }),
+
+    "win_first_last" -> ((s, dir) => {
+      val day = date_trunc("DAY", col("ts"))
+      val w = Window.partitionBy(col("user_id"), day)
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, dir)
+        .select(col("user_id"), day.as("day"),
+          first("event_type").over(w).as("first_ev"),
+          last("event_type").over(w).as("last_ev"))
+        .distinct()
+        .orderBy("user_id", "day")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "win_rownum_dense" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(row_number() OVER w AS INT) AS rn,
+        | CAST(dense_rank() OVER w AS INT) AS drnk,
+        | CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT event_id,
+        | epoch_us(ts2) - epoch_us(lag(ts2, 1) OVER w) AS gap_us,
+        | epoch_us(lead(ts2, 1) OVER w) - epoch_us(ts2) AS next_gap_us
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT event_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+        |FROM events ORDER BY event_id""".stripMargin,
+    "win_first_last" ->
+      """SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        | first_value(event_type) OVER w AS first_ev,
+        | last_value(event_type) OVER w AS last_ev
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |  ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, day""".stripMargin,
+  )
+}
