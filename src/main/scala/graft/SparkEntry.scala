@@ -35,6 +35,10 @@ object SparkEntry {
     (WindowFuncs.queries, WindowFuncs.oracle),
     (Sessionization.queries, Sessionization.oracle),
     (ScalarFuncs.queries, ScalarFuncs.oracle),
+    (TextOps.queries, TextOps.oracle),
+    (DedupOps.queries, DedupOps.oracle),
+    (SimilarityOps.queries, SimilarityOps.oracle),
+    (MultimodalOps.queries, MultimodalOps.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

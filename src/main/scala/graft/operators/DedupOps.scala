@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (north-star set): exact, n-gram-Jaccard,
+  * SimHash, and MinHash+LSH near-dup detection.
+  *
+  * Scale design: exact dedup is a single hash agg on the content key;
+  * Jaccard candidates come from a shared-shingle equi-join (shingle space
+  * is large, so candidate pairs ∝ real overlaps, not |docs|²); MinHash+LSH
+  * is the sub-quadratic path — 64-permutation signatures, 16 bands × 4
+  * rows, candidates only from band-bucket collisions.
+  */
+object DedupOps {
+
+  private val HexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def docShingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("shingle"))
+      .distinct()
+
+  /** 64 xorshift-mixed hash lanes of one base hash — multiplication-free
+    * (no ANSI overflow), deterministic, order-independent min per lane
+    * gives the MinHash signature. */
+  private def laneHashes(h: org.apache.spark.sql.Column, lane: Int) = {
+    val seeded = h.bitwiseXOR(lit(0x9e3779b97f4a7c15L + lane * 0x632be59bd9b4e019L))
+    val x1 = seeded.bitwiseXOR(shiftleft(seeded, 13))
+    val x2 = x1.bitwiseXOR(shiftright(x1, 7))
+    x2.bitwiseXOR(shiftleft(x2, 17))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: group identical content, keep the smallest doc_id.
+    "dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .select("keep_id", "dup_cnt", "text")
+        .orderBy("keep_id")),
+
+    // Exact 3-gram-shingle Jaccard pairs ≥ 0.6 via shared-shingle join.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = docShingles(t(s, dir, "documents"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("d1", "d2")
+    }),
+
+    // 32-bit SimHash from the per-nibble high bit of each token's MD5:
+    // bit_j = sign of Σ_tokens (±1). Engine-portable (no platform hash).
+    "dedup_simhash" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", md5(col("w")))
+      val sums = (0 until 32).map(j =>
+        sum(when(substring(col("h"), j + 1, 1).isin(HexHigh: _*), 1).otherwise(-1))
+          .as(s"b$j"))
+      val simhash = (0 until 32)
+        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), simhash.as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash(64) + LSH(16 bands × 4 rows). No SQL oracle (sketch path);
+    // property-tested against exact Jaccard in the unit suite. Output:
+    // top-50 candidate pairs by estimated Jaccard (deterministic order).
+    "dedup_near_minhash" -> ((s, dir) => {
+      val sigs = minhashSignatures(docShingles(t(s, dir, "documents")))
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id")
+            && col("x.band_hash") === col("y.band_hash")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.sig").as("sig1"), col("y.sig").as("sig2"))
+        .distinct()
+      cand
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+            x => x)) / lit(64.0))
+        .filter(col("est_jaccard") >= 0.2)
+        .select("d1", "d2", "est_jaccard")
+        .orderBy(col("est_jaccard").desc, col("d1"), col("d2"))
+        .limit(50)
+    }),
+  )
+
+  /** MinHash signatures (array of 64 lane-minima) + LSH band hashes
+    * (array of 16). Exposed for the similarity/property tests. */
+  def minhashSignatures(docShingles: DataFrame): DataFrame = {
+    val base = docShingles.withColumn("h0", xxhash64(col("shingle")))
+    val mins = (0 until 64).map(i => min(laneHashes(col("h0"), i)).as(s"m$i"))
+    val withSig = base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .withColumn("sig", array((0 until 64).map(i => col(s"m$i")): _*))
+    val bandCols = (0 until 16).map { b =>
+      xxhash64((col(s"m${b * 4}") +: (1 until 4).map(r => col(s"m${b * 4 + r}"))): _*)
+    }
+    withSig.select(col("doc_id"), col("sig"), array(bandCols: _*).as("bands"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt, text
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        |   FROM (SELECT doc_id, toks,
+        |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        | n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |   FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, inter, x.n AS n1, y.n AS n2,
+        | round(inter / (x.n + y.n - inter), 6) AS jaccard
+        |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
+        |WHERE inter / (x.n + y.n - inter) >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_simhash" -> {
+      val sums = (0 until 32).map(j =>
+        s"CAST(sum(CASE WHEN substring(h, ${j + 1}, 1) IN " +
+          s"(${HexHigh.map(c => s"'$c'").mkString(",")}) THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
+        .mkString(",\n   ")
+      val bits = (0 until 32)
+        .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+         | h AS (SELECT doc_id, md5(w) AS h FROM tok),
+         | s AS (SELECT doc_id,
+         |   $sums
+         |  FROM h GROUP BY 1)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
+    },
+  )
+}

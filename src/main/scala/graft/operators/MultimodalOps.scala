@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (north-star set): media as opaque `binary`
+  * content + typed metadata, processed batch-wise in executors.
+  *
+  * No image/audio codecs ship in this environment, so the *decode* step is
+  * a clearly-marked deterministic stub ([[MediaPipeline.decodeStub]] — a
+  * byte histogram standing in for pixel/sample decoding). Everything
+  * around it — binary schema, partition-parallel `mapPartitions`
+  * processing, feature extraction shape, frame sampling — is the real
+  * Spark plumbing a production pipeline would use.
+  */
+object MultimodalOps {
+
+  /** Opaque media record: what an image/audio table looks like at rest. */
+  case class MediaRecord(doc_id: Long, modality: String, content: Array[Byte])
+
+  /** Extracted features (decode-stub output + metadata). */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, n_spaces: Int,
+      cnt_a: Int, cnt_e: Int, cnt_i: Int, cnt_o: Int, cnt_u: Int)
+
+  object MediaPipeline {
+    /** DECODE STUB — in production this would be the image/audio decoder
+      * (JPEG→pixels, PCM→samples). Here: full 256-bin byte histogram, a
+      * deterministic fake with the same batch shape. */
+    def decodeStub(content: Array[Byte]): Array[Int] = {
+      val hist = new Array[Int](256)
+      var i = 0
+      while (i < content.length) { hist(content(i) & 0xff) += 1; i += 1 }
+      hist
+    }
+
+    /** Frame-sample stub: n evenly-spaced fixed-size chunks of the payload
+      * (video keyframe extraction stand-in). */
+    def frameSample(content: Array[Byte], n: Int, frameLen: Int = 16): Seq[Array[Byte]] = {
+      if (content.isEmpty || n <= 0) Seq.empty
+      else (0 until n).map { i =>
+        val start = (content.length.toLong * i / n).toInt
+        content.slice(start, math.min(start + frameLen, content.length))
+      }
+    }
+
+    /** Partition-parallel feature extraction over binary media records. */
+    def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+      import spark.implicits._
+      media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val h = decodeStub(bytes)
+            MediaFeatures(id, bytes.length, h(' '.toInt),
+              h('a'.toInt), h('e'.toInt), h('i'.toInt), h('o'.toInt), h('u'.toInt))
+          }
+        }.toDF()
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // documents ⋈ embeddings + per-(lang, position) element statistics —
+    // the "join text metadata to media-derived vectors" shape.
+    "multimodal_join" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("lang"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy("lang", "pos")
+        .agg(round(avg(col("val")), 6).as("avg_val"), count(lit(1)).as("n"))
+        .orderBy("lang", "pos")),
+
+    // Binary decode pipeline end-to-end: text → UTF-8 payload (media
+    // stand-in) → executor-side decode stub → feature columns. The oracle
+    // recomputes the same counts with pure SQL — exact integers.
+    "multimodal_features" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), lit("text/plain").as("modality"),
+          encode(col("text"), "UTF-8").as("content"))
+      MediaPipeline.extractFeatures(s, media).orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_join" ->
+      """SELECT d.lang, CAST(i AS INT) AS pos,
+        | round(avg(e.embedding[i + 1]), 6) AS avg_val, count(*) AS n
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id,
+        | (SELECT unnest(generate_series(0, 63)) AS i) g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "multimodal_features" -> {
+      def cnt(ch: String, as: String) =
+        s"CAST(length(text) - length(replace(text, '$ch', '')) AS INT) AS $as"
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+         | ${cnt(" ", "n_spaces")}, ${cnt("a", "cnt_a")}, ${cnt("e", "cnt_e")},
+         | ${cnt("i", "cnt_i")}, ${cnt("o", "cnt_o")}, ${cnt("u", "cnt_u")}
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+  )
+}

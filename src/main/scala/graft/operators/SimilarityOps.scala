@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.VecFunctions.vecDot
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (north-star set).
+  *
+  * The inner product runs through the custom codegen expression
+  * [[graft.functions.FloatVecDot]] (double-widened float products,
+  * sequential double accumulation — bit-identical to the DuckDB oracle's
+  * `list_dot_product` over double-cast lists, and ~10× the higher-order-fn
+  * formulation that SURVEY §4.3 measured at 12.8s).
+  *
+  * Scale paths: brute-force pair joins broadcast the smaller side (vectors
+  * are 256B each — 2k vectors ≈ 0.5MB); the LSH variant buckets by
+  * random-hyperplane signature so candidate pairs shrink by ~2^bits for
+  * genuinely-near neighbors.
+  */
+object SimilarityOps {
+
+  /** Deterministic random-hyperplane set: 16 planes × 64 dims, seed 42. */
+  private lazy val planes: Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(16)(Seq.fill(64)(rng.nextGaussian().toFloat))
+  }
+
+  private val oracleDot =
+    "list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE))," +
+      " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+
+  val queries: Map[String, Q] = Map(
+    // Global top-10 most similar pairs (vectors are ~unit-norm: cosine ≡ dot).
+    "sim_cosine_topk" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val a = v.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+      val b = v.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+      a.join(broadcast(b), col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), vecDot(col("e1"), col("e2")).as("sim"))
+        .orderBy(col("sim").desc, col("d1"), col("d2"))
+        .limit(10)
+        .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // k=5 nearest neighbors for each of the 10 query vectors (vec_id < 10).
+    "sim_knn_per_query" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), vecDot(col("q_emb"), col("c_emb")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("rk"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // Embedding-cosine near-dup pairs above a fixed threshold.
+    "dedup_embed_cosine" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val a = v.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+      val b = v.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+      a.join(broadcast(b), col("d1") < col("d2"))
+        .withColumn("sim", vecDot(col("e1"), col("e2")))
+        .filter(col("sim") >= 0.35)
+        .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
+        .orderBy("d1", "d2")
+    }),
+
+    // LSH-bucketed approximate near-neighbor pairs: 4 hash tables × 4-bit
+    // random-hyperplane signatures; a pair is a candidate if ANY band
+    // bucket collides (standard banding — per-band match prob p^4, overall
+    // 1-(1-p^4)^4). No SQL oracle (approximate path); recall vs brute
+    // force is property-tested in the unit suite.
+    "sim_ann_lsh" -> ((s, dir) => {
+      def bandSig(band: Int) = (0 until 4).map { p =>
+        when(vecDot(col("embedding"), typedlit(planes(band * 4 + p))) > 0,
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val v = t(s, dir, "embeddings")
+        .withColumn("bands", array((0 until 4).map(bandSig): _*))
+      val e = v.select(col("vec_id"), col("embedding"),
+        posexplode(col("bands")).as(Seq("band_id", "bucket")))
+      val a = e.select(col("vec_id").as("d1"), col("embedding").as("e1"),
+        col("band_id").as("band1"), col("bucket").as("bk1"))
+      val b = e.select(col("vec_id").as("d2"), col("embedding").as("e2"),
+        col("band_id").as("band2"), col("bucket").as("bk2"))
+      a.join(b, col("band1") === col("band2") && col("bk1") === col("bk2")
+          && col("d1") < col("d2"))
+        .select("d1", "d2", "e1", "e2").distinct()
+        .withColumn("sim", vecDot(col("e1"), col("e2")))
+        .filter(col("sim") >= 0.3)
+        .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
+        .orderBy("d1", "d2")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""SELECT a.vec_id AS d1, b.vec_id AS d2, round($oracleDot, 6) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY $oracleDot DESC, d1, d2 LIMIT 10""".stripMargin,
+    "sim_knn_per_query" ->
+      s"""SELECT q_id, c_id, round(sim, 6) AS sim, rk FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, $oracleDot AS sim,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $oracleDot DESC, b.vec_id) AS INT) AS rk
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 10)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "dedup_embed_cosine" ->
+      s"""SELECT a.vec_id AS d1, b.vec_id AS d2, round($oracleDot, 6) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE $oracleDot >= 0.35
+         |ORDER BY d1, d2""".stripMargin,
+  )
+}

@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (north-star set):
+  * word count, TF-IDF, per-language stats, fuzzy matching, quality
+  * scoring, language-ID heuristic, shingle fingerprinting, token counting.
+  *
+  * All are expressed as exploding/aggregating DataFrame plans — at scale
+  * the explode is map-side (no shuffle) and every aggregation is a
+  * two-phase hash agg on the (doc/term) key.
+  */
+object TextOps {
+
+  /** 3-word shingles of a space-tokenized text column (empty when < 3
+    * tokens — explode then drops the doc, matching the oracle). */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val stopwords = Seq("the", "a")
+
+  val queries: Map[String, Q] = Map(
+    "text_wordcount" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)),
+
+    "text_tfidf" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfc), "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("score"), 6).as("score"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    "text_lang_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50_chars"),
+          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90_chars"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy("lang", "source")),
+
+    // Fuzzy pair-matching with blocking: same brand + same head noun, then
+    // levenshtein <= 3. Blocking keeps the candidate set linear-ish at scale.
+    "text_edit_distance" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_name"), split(col("p_name"), " ").getItem(1).as("noun"))
+      val a = p.select(col("p_partkey").as("k1"), col("p_brand").as("brand1"),
+        col("noun").as("noun1"), col("p_name").as("n1"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_brand").as("brand2"),
+        col("noun").as("noun2"), col("p_name").as("n2"))
+      a.join(b, col("brand1") === col("brand2") && col("noun1") === col("noun2")
+          && col("k1") < col("k2"))
+        .withColumn("dist", levenshtein(col("n1"), col("n2")))
+        .filter(col("dist") <= 3)
+        .select("k1", "k2", "n1", "n2", "dist")
+        .orderBy("k1", "k2")
+    }),
+
+    // Quality scoring: token/char ratios + dedup-ish uniqueness, combined
+    // into a bounded score. Pure arithmetic on exact ratios — bit-stable.
+    "text_quality_score" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val stopRatio = size(filter(toks, w => w.isin(stopwords: _*))) / nTok
+      val uniqRatio = size(array_distinct(toks)) / nTok
+      val longRatio = size(filter(toks, w => length(w) > 4)) / nTok
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (length(col("text")) - (nTok - lit(1))).as("n_word_chars"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(uniqRatio, 6).as("uniq_ratio"),
+        round(longRatio, 6).as("long_word_ratio"),
+        round(lit(0.3) * uniqRatio + lit(0.4) * (lit(1.0) - stopRatio)
+          + lit(0.3) * least(lit(1.0), nTok / lit(100.0)), 6).as("quality"),
+      ).orderBy("doc_id")
+    }),
+
+    // Deterministic marker-token language-ID heuristic (vote per language
+    // marker set, argmax with fixed tiebreak order). A stand-in for a real
+    // n-gram profile model — the plan shape (explode → conditional agg) is
+    // what matters at scale.
+    "text_lang_id" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val sc = tok.groupBy("doc_id").agg(
+        sum(when(col("w").isin("the", "a"), 1).otherwise(0)).as("s_en"),
+        sum(when(col("w").isin("table", "scan"), 1).otherwise(0)).as("s_de"),
+        sum(when(col("w").isin("query", "row"), 1).otherwise(0)).as("s_fr"),
+        sum(when(col("w").isin("value", "key"), 1).otherwise(0)).as("s_es"),
+        sum(when(col("w").isin("data", "hash"), 1).otherwise(0)).as("s_zh"))
+      sc.withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+          && col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es")
+            && col("s_de") >= col("s_zh"), "de")
+          .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_zh"), "fr")
+          .when(col("s_es") >= col("s_zh"), "es")
+          .otherwise("zh"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: min-MD5 over 3-word shingles (winnowing-style
+    // representative hash) + distinct-shingle cardinality.
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+        .groupBy("doc_id")
+        .agg(min(md5(col("shingle"))).as("fingerprint"),
+          countDistinct(col("shingle")).as("n_shingles"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace tokens + BPE-ish subword piece estimate
+    // (ceil(len/4) pieces per word).
+    "text_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(ceil(length(col("w")) / lit(4.0)).cast("long")).as("n_bpe_pieces"))
+        .orderBy("doc_id")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |     tf.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0) AS score
+        |   FROM tf, dfc, n WHERE tf.term = dfc.term),
+        | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY score DESC, term) AS INT) AS rk FROM sc)
+        |SELECT doc_id, term, tf, round(score, 6) AS score, rk
+        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "text_lang_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4) AS p50_chars,
+        | round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4) AS p90_chars,
+        | round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_edit_distance" ->
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2, a.p_name AS n1, b.p_name AS n2,
+        | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        | ON a.p_brand = b.p_brand
+        | AND string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY k1, k2""".stripMargin,
+    "text_quality_score" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        | CAST(length(text) - (len(string_split(text,' ')) - 1) AS INT) AS n_word_chars,
+        | round(len(list_filter(string_split(text,' '), w -> w IN ('the','a')))
+        |   / len(string_split(text,' ')), 6) AS stop_ratio,
+        | round(len(list_distinct(string_split(text,' ')))
+        |   / len(string_split(text,' ')), 6) AS uniq_ratio,
+        | round(len(list_filter(string_split(text,' '), w -> length(w) > 4))
+        |   / len(string_split(text,' ')), 6) AS long_word_ratio,
+        | round(0.3 * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')))
+        |   + 0.4 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a')))
+        |       / len(string_split(text,' ')))
+        |   + 0.3 * least(1.0, len(string_split(text,' ')) / 100.0), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        | sc AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+        |   CAST(sum(CASE WHEN w IN ('table','scan') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+        |   CAST(sum(CASE WHEN w IN ('query','row') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+        |   CAST(sum(CASE WHEN w IN ('value','key') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+        |   CAST(sum(CASE WHEN w IN ('data','hash') THEN 1 ELSE 0 END) AS BIGINT) AS s_zh
+        |  FROM tok GROUP BY 1)
+        |SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+        | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |      WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |      WHEN s_es >= s_zh THEN 'es'
+        |      ELSE 'zh' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | s AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        |   FROM (SELECT doc_id, toks,
+        |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t))
+        |SELECT doc_id, min(md5(shingle)) AS fingerprint,
+        | count(DISTINCT shingle) AS n_shingles
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id, count(*) AS n_words,
+        | CAST(sum(CAST(ceil(length(w) / 4.0) AS BIGINT)) AS BIGINT) AS n_bpe_pieces
+        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
