@@ -9,23 +9,25 @@ import org.apache.spark.sql.functions._
   * `TimeWindows`). Batch forms here (oracle-verified); streaming twins
   * live in `graft.streaming` and are parity-tested against these.
   *
-  * Gap rule (must agree between both implementations and the oracle):
-  * an event starts a NEW session iff `ts - prev_ts >= gap`. This matches
-  * Spark's `session_window`, whose window is `[first_ts, last_ts + gap)` —
-  * an event landing exactly at `last_ts + gap` falls outside.
+  * Gap rule (must agree between all implementations and the oracle):
+  * an event starts a NEW session iff `ts - prev_ts > gap` — an event
+  * landing exactly at `last_ts + gap` still MERGES. Pinned empirically
+  * against Spark's `session_window` by the boundary case in
+  * StreamingSpec (minute-aligned events at 0/29/59 min merge into one
+  * session with gap=30min).
   */
 object Sessionization {
-  private val GapUs = 30L * 60 * 1000000 // 30 minutes in µs
+  val GapUs = 30L * 60 * 1000000 // 30 minutes in µs
 
   /** Shared lag+cumsum session assignment: adds `session_seq` (1-based
     * ordinal of the session within each user). */
-  private def withSessionSeq(df: org.apache.spark.sql.DataFrame) = {
+  def withSessionSeq(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("prev_ts", lag("ts", 1).over(w))
       .withColumn("new_s",
         when(col("prev_ts").isNull
-          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= GapUs, 1)
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > GapUs, 1)
           .otherwise(0))
       .withColumn("session_seq", sum("new_s").over(wCum))
   }
@@ -33,11 +35,30 @@ object Sessionization {
   private val oracleSessionCte =
     """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
       | g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-      |     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
       |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       | s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |   FROM g)""".stripMargin
+
+  /** Test-facing: (user_id, session_start, session_end=last+gap, n_events,
+    * sum_value) via lag+cumsum — comparable 1:1 with the native and
+    * stateful implementations. */
+  def batchSessions(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withSessionSeq(df)
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        (timestamp_micros(unix_micros(max(col("ts"))) + GapUs)).as("session_end"),
+        sum("value").as("sum_value"))
+      .drop("session_seq")
+
+  /** Test-facing: same sessions via the native session_window operator. */
+  def nativeSessions(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
   val queries: Map[String, Q] = Map(
     // The classic batch sessionization: lag + cumulative sum.

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The one custom stateful operator (§2.8 `stateful_custom`): a
+  * Processor-API analog of gap sessionization built directly on
+  * `flatMapGroupsWithState` with explicit event-time timeouts — per-user
+  * session state, sessions emitted either when a new event arrives beyond
+  * the gap or when the watermark passes `last_event + gap` (timeout).
+  *
+  * Semantics are pinned to `session_window` / lag+cumsum by a three-way
+  * property test: new session iff `ts - prev_ts > gap` (an event exactly
+  * `gap` after the last still merges); session end is `last_ts + gap`.
+  */
+object StatefulSessionizer {
+
+  case class Event(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  private def us(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
+
+  private def toTs(usVal: Long): Timestamp = {
+    val t = new Timestamp(usVal / 1000)
+    t.setNanos(((usVal % 1000000) * 1000).toInt)
+    t
+  }
+
+  private def emit(userId: Long, s: OpenSession, gapUs: Long): SessionOut =
+    SessionOut(userId, toTs(s.startUs), toTs(s.lastUs + gapUs), s.n, s.sum)
+
+  /** The per-group state transition. Public for direct unit testing. */
+  def updateGroup(gapUs: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(emit(userId, _, gapUs)).iterator
+      state.remove()
+      out
+    } else {
+      val sorted = events.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id))
+      val closed = Vector.newBuilder[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val tUs = us(e.ts)
+        cur match {
+          case Some(s) if tUs - s.lastUs <= gapUs =>
+            cur = Some(OpenSession(s.startUs, math.max(s.lastUs, tUs), s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            closed += emit(userId, s, gapUs)
+            cur = Some(OpenSession(tUs, tUs, 1, e.value))
+          case None =>
+            cur = Some(OpenSession(tUs, tUs, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // Emit via timeout once the watermark passes session end.
+        state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** Streaming entry point (Append mode, event-time timeout). Also works
+    * on a batch Dataset (state is per-invocation then). */
+  def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[SessionOut]
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateGroup(gapUs))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Sketch-path properties: MinHash+LSH recall vs exact Jaccard on
+  * synthetic near-duplicates; SimHash locality; multimodal stubs.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    def doc(): String = Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val bases = Seq.fill(20)(doc())
+    // 20 random docs + 5 near-dup pairs (1-word mutation) + 2 exact dups
+    val nearDups = bases.take(5).map { d =>
+      val w = d.split(" "); w(7) = "MUTATED"; w.mkString(" ")
+    }
+    val all = bases ++ nearDups ++ bases.slice(5, 7)
+    all.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  /** Exact shingle-Jaccard pairs at threshold. */
+  private def exactPairs(docs: org.apache.spark.sql.DataFrame, tau: Double) = {
+    val sh = docs.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("shingle")).distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(col("inter") / (col("n1") + col("n2") - col("inter")) >= tau)
+      .select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("MinHash+LSH candidates recall all high-Jaccard pairs") {
+    val docs = mkDocs()
+    val truth = exactPairs(docs, 0.8)
+    assert(truth.nonEmpty, "test corpus must contain near-dups")
+    val sh = docs.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("shingle")).distinct()
+    val sigs = DedupOps.minhashSignatures(sh)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id")
+          && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- cand
+    assert(missed.isEmpty, s"LSH missed high-sim pairs: $missed")
+  }
+
+  test("MinHash estimate tracks exact Jaccard on exact duplicates") {
+    val docs = mkDocs()
+    val sh = docs.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("shingle")).distinct()
+    val sigs = DedupOps.minhashSignatures(sh).select("doc_id", "sig")
+    // doc 5/6 duplicated as ids 25/26 → signatures must be identical
+    val sigMap = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigMap(5L) == sigMap(25L))
+    assert(sigMap(6L) == sigMap(26L))
+  }
+
+  test("SimHash: identical docs agree, near-dups within small hamming distance") {
+    mkDocs().createOrReplaceTempView("documents_tmp")
+    val tok = mkDocs().select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+    val sums = (0 until 32).map(j =>
+      sum(when(substring(col("h"), j + 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"b$j"))
+    val simhash = (0 until 32)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val m = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), simhash.as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(5L) == m(25L)) // exact dup → equal simhash
+    val hamming = java.lang.Long.bitCount(m(0L) ^ m(20L)) // near-dup pair
+    assert(hamming <= 10, s"near-dup hamming $hamming too large")
+  }
+
+  test("multimodal decode stub + frame sampling") {
+    import graft.operators.MultimodalOps.MediaPipeline
+    val payload = "hello spark world".getBytes("UTF-8")
+    val hist = MediaPipeline.decodeStub(payload)
+    assert(hist('l'.toInt) == 3 && hist(' '.toInt) == 2)
+    val frames = MediaPipeline.frameSample(payload, 3, 4)
+    assert(frames.size == 3 && frames.forall(_.length <= 4))
+    assert(MediaPipeline.frameSample(Array.emptyByteArray, 3).isEmpty)
+  }
+}

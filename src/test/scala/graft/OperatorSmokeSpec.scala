@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every declared query runs on sf0.001 and returns a well-formed result;
+  * pinned invariants for a representative subset (values measured from
+  * the deterministic seed=42 testdata).
+  */
+class OperatorSmokeSpec extends SparkSpec {
+
+  // Queries whose sf0.001 result is legitimately empty (no planted
+  // near-dups / no customers without orders at this sf).
+  private val mayBeEmpty = Set("join_anti", "set_except", "dedup_ngram_jaccard",
+    "dedup_near_minhash", "sim_ann_lsh", "dedup_embed_cosine", "text_edit_distance")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name runs on sf0.001") {
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(df.schema.nonEmpty)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("flagship entry returns sessions") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("pinned: TPC-H Q1 shape on sf0.001") {
+    val r = SparkEntry.queries("agg_hash_groupby")(spark, sfDir)
+      .agg(sum("cnt")).head.getLong(0)
+    assert(r == 6000L) // all lineitems accounted for
+  }
+
+  test("pinned: sessionization session count and event conservation") {
+    val sessions = SparkEntry.queries("sessionize_batch")(spark, sfDir)
+    val native = SparkEntry.queries("sessionize_native")(spark, sfDir)
+    assert(sessions.count() == native.count())
+    assert(sessions.agg(sum("n_events")).head.getLong(0) == 1000L)
+  }
+
+  test("pinned: approx distinct within 5% of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
+      .head.getLong(0).toDouble
+    val exact = Tables.t(spark, sfDir, "lineitem")
+      .select(countDistinct(col("l_partkey"))).head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("pinned: dedup_exact keeps all docs when no duplicates") {
+    val n = SparkEntry.queries("dedup_exact")(spark, sfDir).count()
+    assert(n == 500L) // sf0.001 documents are all distinct
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Sessionization
+import graft.streaming.{StatefulSessionizer, StreamingSessions}
+import graft.streaming.StatefulSessionizer.Event
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** §2.8 streaming semantics: stream ≡ batch parity, watermark late-data
+  * handling, streaming dedup, stream-static and stream-stream joins —
+  * all through `MemoryStream` controlled micro-batches (the
+  * TopologyTestDriver analog).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val T0 = 1704067200000L // 2024-01-01 00:00:00 UTC, ms
+
+  private def ev(id: Long, user: Long, offMin: Long, value: Double = 1.0): Event =
+    Event(id, user, new Timestamp(T0 + offMin * 60000), value)
+
+  /** Run a streaming query over a memory sink until drained; returns the
+    * sink table. An extra empty round lets event-time timeouts fire after
+    * the final watermark update (classic off-by-one-batch semantics). */
+  private def runToMemory(df: DataFrame, name: String,
+      ms: MemoryStream[Event], flushRounds: Seq[Seq[Event]]): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      flushRounds.foreach { batch =>
+        if (batch.nonEmpty) ms.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming session_window ≡ batch sessionization (append after watermark)") {
+    val data = Seq(
+      ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20),   // session A: 3 events
+      ev(4, 1, 60), ev(5, 1, 75),                 // session B: 2 events
+      ev(6, 2, 5), ev(7, 2, 50))                  // user 2: two singletons
+    val flush = Seq(ev(99, 9, 10000), ev(100, 9, 20000)) // advance watermark far
+    val ms = MemoryStream[Event]
+    val out = runToMemory(
+      StreamingSessions.sessionize(ms.toDF(), "30 minutes", "10 minutes"),
+      "stream_sessions", ms, Seq(data, flush, Seq.empty))
+      .filter(col("user_id") < 9)
+
+    val batch = Sessionization.nativeSessions(data.toDF())
+    val canon = (df: DataFrame) => df
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(canon(out) == canon(batch))
+    assert(out.count() == 4)
+  }
+
+  test("late event beyond watermark is dropped; in-grace event merges") {
+    val ms = MemoryStream[Event]
+    val df = StreamingSessions.sessionize(ms.toDF(), "30 minutes", "10 minutes")
+    val q = df.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, 1, 0), ev(2, 1, 600)))  // watermark → 590min
+      q.processAllAvailable()
+      // 300min is way before the 590min watermark → dropped entirely;
+      // 595min is within grace → merges into the open 600min session.
+      ms.addData(Seq(ev(3, 1, 300), ev(4, 1, 595)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(9, 9, 10000)))             // flush
+      q.processAllAvailable()
+      ms.addData(Seq(ev(10, 9, 20000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_sessions").filter(col("user_id") === 1)
+      .select(col("n_events")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L)) // session{t0}=1 event; session{595,600}=2; late 300 dropped
+  }
+
+  test("flatMapGroupsWithState stateful sessionizer ≡ session_window") {
+    val data = Seq(
+      ev(1, 1, 0, 2.0), ev(2, 1, 10, 3.0), ev(3, 1, 90, 1.0),
+      ev(4, 2, 0, 5.0), ev(5, 2, 29, 1.0), ev(6, 2, 59, 1.0), // chained session
+      ev(7, 3, 0, 1.0))
+    val flush = Seq(ev(99, 9, 10000), ev(100, 9, 20000))
+    val ms = MemoryStream[Event]
+    val out = runToMemory(
+      StatefulSessionizer.sessionize(ms.toDS()).toDF(),
+      "stateful_sessions", ms, Seq(data, flush, Seq.empty))
+      .filter(col("user_id") < 9)
+    val batch = Sessionization.nativeSessions(data.toDF())
+    val canon = (df: DataFrame) => df
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("sum_value"), 6))
+      .collect().map(_.toSeq).toSet
+    assert(canon(out) == canon(batch))
+  }
+
+  test("streaming dedup drops duplicate event_ids within watermark") {
+    val ms = MemoryStream[Event]
+    val out = runToMemory(
+      StreamingSessions.dedup(ms.toDF(), "1 hour"),
+      "stream_dedup", ms,
+      Seq(Seq(ev(1, 1, 0), ev(1, 1, 0), ev(2, 1, 5), ev(1, 1, 3)),
+        Seq(ev(3, 1, 10), ev(2, 1, 6)), Seq.empty))
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-static join enriches events with the customer dimension") {
+    val customers = Seq((1L, "Customer#1"), (2L, "Customer#2"))
+      .toDF("c_custkey", "c_name")
+    val ms = MemoryStream[Event]
+    val out = runToMemory(
+      StreamingSessions.enrichWithCustomer(ms.toDF(), customers),
+      "stream_static", ms,
+      Seq(Seq(ev(1, 1, 0), ev(2, 2, 1), ev(3, 7, 2)), Seq.empty))
+    val got = out.select("event_id", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "Customer#1"), (2L, "Customer#2"))) // user 7 unmatched
+  }
+
+  test("windowed stream-stream self-join: clicks before purchase within 1h") {
+    val events = Seq(
+      ev(1, 1, 0).copy(value = 0), // click at t0
+      ev(2, 1, 30),                // click at t30
+      ev(3, 1, 45),                // purchase at t45 → joins clicks t0,t30
+      ev(4, 1, 200))               // purchase at t200 → no clicks in window
+    val typed = events.map(e => (e.event_id, e.user_id, e.ts,
+      if (e.event_id <= 2) "click" else "purchase"))
+    val ms = MemoryStream[(Long, Long, Timestamp, String)]
+    val df = ms.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val q = StreamingSessions.purchaseClickJoin(df)
+      .writeStream.format("memory").queryName("stream_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(typed)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_stream")
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((3L, 1L), (3L, 2L)))
+  }
+
+  test("parquet replay source streams the events table (AvailableNow)") {
+    val df = StreamingSessions.eventsStream(spark, sfDir)
+      .groupBy("event_type").count()
+    val q = df.writeStream.format("memory").queryName("replay_counts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val total = spark.table("replay_counts").agg(sum("count")).head.getLong(0)
+    assert(total == 1000L)
+  }
+}
