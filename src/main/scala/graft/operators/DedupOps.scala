@@ -17,10 +17,12 @@ object DedupOps {
 
   private val HexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs — deduped map-side inside the
+    * projection (array_distinct before explode), so building the index
+    * costs no shuffle. */
   private def docShingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("shingle"))
-      .distinct()
+    df.select(col("doc_id"),
+      explode(array_distinct(TextOps.shingles(col("text")))).as("shingle"))
 
   /** 64 xorshift-mixed hash lanes of one base hash — multiplication-free
     * (no ANSI overflow), deterministic, order-independent min per lane

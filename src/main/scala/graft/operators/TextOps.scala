@@ -76,8 +76,11 @@ object TextOps {
         col("noun").as("noun1"), col("p_name").as("n1"))
       val b = p.select(col("p_partkey").as("k2"), col("p_brand").as("brand2"),
         col("noun").as("noun2"), col("p_name").as("n2"))
+      // Length pre-filter: levenshtein ≥ |len(a)−len(b)|, so pairs differing
+      // by >3 chars can be cut before the O(len²) DP — same result set.
       a.join(b, col("brand1") === col("brand2") && col("noun1") === col("noun2")
-          && col("k1") < col("k2"))
+          && col("k1") < col("k2")
+          && abs(length(col("n1")) - length(col("n2"))) <= 3)
         .withColumn("dist", levenshtein(col("n1"), col("n2")))
         .filter(col("dist") <= 3)
         .select("k1", "k2", "n1", "n2", "dist")
