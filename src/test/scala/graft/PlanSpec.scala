@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions — the scale contract.
+  *
+  * Correctness specs prove the operators right at small SF; these prove the
+  * *plans* are the ones that survive a 1000-executor / 100 TB deployment:
+  * filters reach the parquet scan, projections prune the read schema, small
+  * dimensions broadcast, large joins shuffle on their keys, top-k never
+  * globally sorts, and nothing degenerates into a cartesian product.
+  * A regression here is invisible at sf0.001 and fatal at scale, which is
+  * exactly why it is pinned in CI.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter_compare pushes predicates into the parquet scan") {
+    val p = plan("filter_compare")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThan") || p.contains("LessThanOrEqual"), p)
+  }
+
+  test("scan_schema_projection prunes the read schema to selected columns") {
+    val p = plan("scan_schema_projection")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(readSchema.nonEmpty, p)
+    // lineitem has 16 columns; the projection reads exactly three.
+    assert(readSchema.count(_ == ':') >= 1 && !readSchema.contains("l_comment"), readSchema)
+    assert(readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("project_arith reads only the columns the expression needs") {
+    val p = plan("project_arith")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"), readSchema)
+  }
+
+  test("join_broadcast plans broadcast-hash joins for the small dimensions") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("join_sortmerge plans a sort-merge join for the two large tables") {
+    val p = plan("join_sortmerge")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("join_shuffle_hash honors the SHUFFLE_HASH hint") {
+    val p = plan("join_shuffle_hash")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("agg_hash_groupby uses two-phase hash aggregation inside codegen") {
+    val p = plan("agg_hash_groupby")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val cg = SparkEntry.queries("agg_hash_groupby")(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen subtrees"), cg.take(500))
+  }
+
+  test("topk_limit avoids a global sort via TakeOrderedAndProject") {
+    val p = plan("topk_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("no query degenerates into a cartesian or broadcast-nested-loop join") {
+    // join_cross_theta is the one deliberate cross product (region×nation,
+    // 5×25 rows); every other plan must stay equi-join shaped.
+    for (key <- SparkEntry.queries.keys if key != "join_cross_theta") {
+      val p = plan(key)
+      assert(!p.contains("CartesianProduct"), s"$key:\n$p")
+      withClue(s"$key uses BroadcastNestedLoopJoin — bounded side required") {
+        // BNLJ is acceptable only when one side is bounded by construction:
+        // a sample/limit (join_range_interval/join_asof theta-join a 100-row
+        // sample, sim_knn/fingerprint broadcast fixed query sets) or a
+        // 1-row aggregate (text_tfidf's corpus-count cross join).
+        // The two brute-force all-pairs similarity baselines BNLJ by design
+        // (no equi key exists); their scale path is the banded sim_ann_lsh.
+        if (p.contains("BroadcastNestedLoopJoin"))
+          assert(Seq("join_range_interval", "join_asof", "sim_knn_per_query",
+            "text_fingerprint", "text_tfidf", "dedup_embed_cosine",
+            "sim_cosine_topk").contains(key), p)
+      }
+    }
+  }
+
+  test("dedup_ngram_jaccard stays equi-join shaped end to end") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sessionize_native keeps one shuffle for the session aggregation") {
+    val p = plan("sessionize_native")
+    // one exchange for the user_id hash partitioning (plus AQE reads);
+    // a second exchange would mean the session grouping re-shuffles.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, p)
+  }
+
+  test("sim_knn_per_query broadcasts the query-vector side") {
+    val p = plan("sim_knn_per_query")
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("scans stay on the vectorized parquet reader") {
+    for (key <- Seq("scan_parquet", "scan_events_ns", "agg_hash_groupby")) {
+      val p = plan(key)
+      assert(p.contains("Scan parquet"), s"$key:\n$p")
+    }
+  }
+}
