@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import graft.functions.VecFunctions.vecDot
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,7 +97,76 @@ object SimilarityOps {
         .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
         .orderBy("d1", "d2")
     }),
+    // IVF (inverted-file) ANN: coarse k-means quantizer (deterministic
+    // seeds + one Lloyd refinement), vectors indexed by nearest centroid,
+    // each query probes only its nprobe nearest cells. The second scale
+    // path besides LSH banding: per-query search cost drops from O(N) to
+    // O(N·nprobe/K). No SQL oracle (approximate path); recall on clustered
+    // data is property-tested in the unit suite.
+    "sim_ivf_knn" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val index = ivfIndex(v, k = 16)
+      ivfSearch(v.filter(col("vec_id") < 10), index, nprobe = 2, topK = 5)
+    }),
   )
+
+  /** Nearest-cell assignment: one narrow shuffle of N×K (vec, cell) dots,
+    * map-side-combined max_by. Centroids ride in as a broadcast (bounded:
+    * K rows), so the vector table itself never reshuffles. */
+  private def assignCells(v: DataFrame, cent: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        vecDot(col("embedding"), col("c_emb")).as("d"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"), struct(col("d"), (-col("cell_id")).as("tb")))
+        .as("cell_id"),
+        first(col("embedding")).as("embedding"))
+
+  /** Deterministic centroid means: per-dimension DECIMAL accumulation
+    * (partition-order-independent), arrays rebuilt in dimension order. */
+  private def refineCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cell_id", "pos")
+      .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("cv"))
+      .groupBy("cell_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        e => e.getField("cv")).cast("array<float>").as("c_emb"))
+
+  /** Build the IVF index over `v(vec_id, embedding)`: k pseudo-random but
+    * deterministic seeds (smallest `xxhash64(vec_id)` — spreads across the
+    * corpus even when ids correlate with content; a TakeOrderedAndProject,
+    * no global sort), one Lloyd iteration, vectors assigned to their
+    * nearest refined centroid. Returns (vec_id, embedding, cell_id). */
+  def ivfIndex(v: DataFrame, k: Int): DataFrame = {
+    val seeds = v.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val cent1 = refineCentroids(assignCells(v, seeds))
+    assignCells(v, cent1)
+  }
+
+  /** Probe the `nprobe` nearest cells per query vector and rank the exact
+    * dot products within them — same output shape as `sim_knn_per_query`. */
+  def ivfSearch(q: DataFrame, index: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    val cent = refineCentroids(index)
+    val wq = Window.partitionBy("q_id").orderBy(col("cd").desc, col("cell_id"))
+    val probes = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cd", vecDot(col("q_emb"), col("c_emb")))
+      .withColumn("prk", row_number().over(wq))
+      .filter(col("prk") <= nprobe)
+      .select("q_id", "q_emb", "cell_id")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    probes.join(index.select(col("vec_id").as("c_id"), col("embedding"), col("cell_id")),
+        "cell_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        vecDot(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" ->
