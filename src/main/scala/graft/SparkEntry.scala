@@ -39,6 +39,7 @@ object SparkEntry {
     (DedupOps.queries, DedupOps.oracle),
     (SimilarityOps.queries, SimilarityOps.oracle),
     (MultimodalOps.queries, MultimodalOps.oracle),
+    (SkewOps.queries, SkewOps.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
