@@ -86,20 +86,18 @@ object DedupOps {
 
     // 32-bit SimHash from the per-nibble high bit of each token's MD5:
     // bit_j = sign of Σ_tokens (±1). Engine-portable (no platform hash).
-    "dedup_simhash" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .withColumn("h", md5(col("w")))
-      val sums = (0 until 32).map(j =>
-        sum(when(substring(col("h"), j + 1, 1).isin(HexHigh: _*), 1).otherwise(-1))
-          .as(s"b$j"))
-      val simhash = (0 until 32)
-        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), simhash.as("simhash"))
-        .orderBy("doc_id")
-    }),
+    "dedup_simhash" -> ((s, dir) =>
+      simhashes(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // SimHash near-dup PAIRS at hamming distance ≤ 3, found by pigeonhole
+    // banding: split the 32-bit hash into 4 disjoint 8-bit blocks — any
+    // pair within distance 3 must agree on ≥1 whole block (3 flipped bits
+    // touch at most 3 of 4 blocks), so the block equi-join has exact
+    // recall. Verification is one codegen'd bit_count(xor). The same
+    // banding bounds candidates at corpus scale: pairs per block-bucket,
+    // not |docs|².
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(t(s, dir, "documents"), maxHamming = 3).orderBy("d1", "d2")),
 
     // MinHash(64) + LSH(16 bands × 4 rows). No SQL oracle (sketch path);
     // property-tested against exact Jaccard in the unit suite. Output:
@@ -129,6 +127,45 @@ object DedupOps {
         .limit(50)
     }),
   )
+
+  /** Per-doc 32-bit SimHash (doc_id, simhash) — shared by the hash dump
+    * and the pair-finding queries. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+    val sums = (0 until 32).map(j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(HexHigh: _*), 1).otherwise(-1))
+        .as(s"b$j"))
+    val simhash = (0 until 32)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at hamming ≤ maxHamming via pigeonhole
+    * banding over 4 disjoint 8-bit blocks (exact recall for
+    * maxHamming ≤ 3: 3 flipped bits touch at most 3 of 4 blocks, so one
+    * block always matches). Returns (d1, d2, hamming). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-block banding is exact only for hamming <= 3")
+    val banded = simhashes(docs).select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("blk"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.blk"))
+    val a = banded.select(col("doc_id").as("d1"), col("simhash").as("h1"),
+      col("band"), col("blk"))
+    val b = banded.select(col("doc_id").as("d2"), col("simhash").as("h2"),
+      col("band"), col("blk"))
+    a.join(b, Seq("band", "blk")).filter(col("d1") < col("d2"))
+      .select("d1", "d2", "h1", "h2").distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+  }
 
   /** MinHash signatures (array of 64 lane-minima) + LSH band hashes
     * (array of 16). Exposed for the similarity/property tests. */
@@ -160,20 +197,34 @@ object DedupOps {
         |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
         |WHERE inter / (x.n + y.n - inter) >= 0.6
         |ORDER BY d1, d2""".stripMargin,
-    "dedup_simhash" -> {
-      val sums = (0 until 32).map(j =>
-        s"CAST(sum(CASE WHEN substring(h, ${j + 1}, 1) IN " +
-          s"(${HexHigh.map(c => s"'$c'").mkString(",")}) THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
-        .mkString(",\n   ")
-      val bits = (0 until 32)
-        .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-         | h AS (SELECT doc_id, md5(w) AS h FROM tok),
-         | s AS (SELECT doc_id,
-         |   $sums
-         |  FROM h GROUP BY 1)
-         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
-    },
+    "dedup_simhash" ->
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    // Oracle is the brute-force O(n²) pair scan — fine at verify scale;
+    // the Spark side must reproduce it exactly through the banding.
+    "dedup_simhash_pairs" ->
+      s"""$simhashCte
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
   )
+
+  /** Shared DuckDB CTE computing `sim(doc_id, simhash)`. */
+  private lazy val simhashCte: String = {
+    val sums = (0 until 32).map(j =>
+      s"CAST(sum(CASE WHEN substring(h, ${j + 1}, 1) IN " +
+        s"(${HexHigh.map(c => s"'$c'").mkString(",")}) THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
+      .mkString(",\n   ")
+    val bits = (0 until 32)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       | h AS (SELECT doc_id, md5(w) AS h FROM tok),
+       | s AS (SELECT doc_id,
+       |   $sums
+       |  FROM h GROUP BY 1),
+       | sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)""".stripMargin
+  }
 }

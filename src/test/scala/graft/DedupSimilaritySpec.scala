@@ -84,6 +84,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hamming <= 10, s"near-dup hamming $hamming too large")
   }
 
+  test("SimHash pigeonhole banding finds exactly the brute-force pairs") {
+    val docs = mkDocs()
+    val sh = DedupOps.simhashes(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // brute force over all pairs, hamming <= 3
+    val brute = (for {
+      (d1, h1) <- sh; (d2, h2) <- sh if d1 < d2
+      if java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (d1, d2)).toSet
+    val banded = DedupOps.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "corpus must contain simhash near-dups (exact dups)")
+  }
+
   test("multimodal decode stub + frame sampling") {
     import graft.operators.MultimodalOps.MediaPipeline
     val payload = "hello spark world".getBytes("UTF-8")
