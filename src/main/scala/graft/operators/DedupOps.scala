@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   private val HexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+  private val HexBit2 = Seq("4", "5", "6", "7", "c", "d", "e", "f")
 
   /** Distinct (doc_id, shingle) pairs — deduped map-side inside the
     * projection (array_distinct before explode), so building the index
@@ -128,43 +129,89 @@ object DedupOps {
     }),
   )
 
+  /** Per-doc token counts and per-WORD hash-bit lanes: md5 + the hex-digit
+    * bit tests run once per distinct vocabulary word, not once per token
+    * instance (31 words vs 270k instances at sf0.1 — the per-instance
+    * variant spent its whole runtime in substring/isin string predicates).
+    * The vocab side broadcasts; per-doc sums then reduce c×(±1) ints in
+    * codegen. At corpus scale vocab ≪ instances still holds; if the vocab
+    * outgrows the broadcast threshold AQE falls back to a shuffle join. */
+  private def tokenCounts(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+
+  private def vocabBits(tokCnt: DataFrame, lanes: Seq[(String, Seq[String])]): DataFrame = {
+    val h = md5(col("w"))
+    val cols = col("w") +: lanes.flatMap { case (name, hex) =>
+      (0 until 32).map(j =>
+        when(substring(h, j + 1, 1).isin(hex: _*), 1).otherwise(-1)
+          .as(s"${name}_v$j"))
+    }
+    tokCnt.select("w").distinct().select(cols: _*)
+  }
+
+  private def packBits(name: String) = (0 until 32)
+    .map(j => when(col(s"${name}_b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    .reduce(_ + _)
+
+  private def signSums(tokCnt: DataFrame, bits: DataFrame,
+      lanes: Seq[String]): DataFrame = {
+    val sums = lanes.flatMap(name => (0 until 32).map(j =>
+      sum(col("c") * col(s"${name}_v$j")).as(s"${name}_b$j")))
+    tokCnt.join(broadcast(bits), "w")
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+  }
+
   /** Per-doc 32-bit SimHash (doc_id, simhash) — shared by the hash dump
     * and the pair-finding queries. */
   def simhashes(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", md5(col("w")))
-    val sums = (0 until 32).map(j =>
-      sum(when(substring(col("h"), j + 1, 1).isin(HexHigh: _*), 1).otherwise(-1))
-        .as(s"b$j"))
-    val simhash = (0 until 32)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
+    val tokCnt = tokenCounts(docs)
+    signSums(tokCnt, vocabBits(tokCnt, Seq("lo" -> HexHigh)), Seq("lo"))
+      .select(col("doc_id"), packBits("lo").as("simhash"))
   }
 
-  /** SimHash near-dup pairs at hamming ≤ maxHamming via pigeonhole
-    * banding over 4 disjoint 8-bit blocks (exact recall for
+  /** 64-bit SimHash as two 32-bit halves (doc_id, sh_lo, sh_hi) — two
+    * sign bits per MD5 nibble (the 8-bit and the 4-bit lanes). Two bigint
+    * halves sidestep 1L<<63 sign/ANSI-overflow traps in both engines. */
+  def simhashes64(docs: DataFrame): DataFrame = {
+    val tokCnt = tokenCounts(docs)
+    val bits = vocabBits(tokCnt, Seq("lo" -> HexHigh, "hi" -> HexBit2))
+    signSums(tokCnt, bits, Seq("lo", "hi"))
+      .select(col("doc_id"), packBits("lo").as("sh_lo"), packBits("hi").as("sh_hi"))
+  }
+
+  /** SimHash near-dup pairs at 64-bit hamming ≤ maxHamming via pigeonhole
+    * banding over 4 disjoint 16-bit blocks (exact recall for
     * maxHamming ≤ 3: 3 flipped bits touch at most 3 of 4 blocks, so one
-    * block always matches). Returns (d1, d2, hamming). */
+    * block always matches). 16-bit blocks keep bucket collisions ~256×
+    * rarer than 8-bit ones — the 8-bit variant measured 7.5M candidate
+    * pairs at sf0.1 on this clustery corpus. Returns (d1, d2, hamming). */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-block banding is exact only for hamming <= 3")
-    val banded = simhashes(docs).select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("blk"))): _*))
-        .as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.blk"))
-    val a = banded.select(col("doc_id").as("d1"), col("simhash").as("h1"),
-      col("band"), col("blk"))
-    val b = banded.select(col("doc_id").as("d2"), col("simhash").as("h2"),
-      col("band"), col("blk"))
+    val blocks = Seq(
+      col("sh_lo").bitwiseAND(lit(65535L)),
+      shiftright(col("sh_lo"), 16).bitwiseAND(lit(65535L)),
+      col("sh_hi").bitwiseAND(lit(65535L)),
+      shiftright(col("sh_hi"), 16).bitwiseAND(lit(65535L)))
+    val banded = simhashes64(docs).select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+      explode(array(blocks.zipWithIndex.map { case (c, b) =>
+        struct(lit(b).as("band"), c.as("blk")) }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        col("bb.band"), col("bb.blk"))
+    val a = banded.select(col("doc_id").as("d1"), col("sh_lo").as("lo1"),
+      col("sh_hi").as("hi1"), col("band"), col("blk"))
+    val b = banded.select(col("doc_id").as("d2"), col("sh_lo").as("lo2"),
+      col("sh_hi").as("hi2"), col("band"), col("blk"))
+    // hamming-filter BEFORE the cross-band dedup: bit_count is one codegen
+    // instruction, so testing candidates and deduping only survivors
+    // beats deduping the full per-band blowup.
     a.join(b, Seq("band", "blk")).filter(col("d1") < col("d2"))
-      .select("d1", "d2", "h1", "h2").distinct()
-      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .withColumn("hamming",
+        (bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
+          bit_count(col("hi1").bitwiseXOR(col("hi2")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+      .select(col("d1"), col("d2"), col("hamming"))
+      .distinct()
   }
 
   /** MinHash signatures (array of 64 lane-minima) + LSH band hashes
@@ -200,16 +247,38 @@ object DedupOps {
     "dedup_simhash" ->
       s"""$simhashCte
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
-    // Oracle is the brute-force O(n²) pair scan — fine at verify scale;
-    // the Spark side must reproduce it exactly through the banding.
+    // Oracle is the brute-force O(n²) pair scan over the 64-bit hash —
+    // fine at verify scale; the Spark side must reproduce it exactly
+    // through the banding.
     "dedup_simhash_pairs" ->
-      s"""$simhashCte
+      s"""$simhash64Cte
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         | CAST(bit_count(xor(a.sh_lo, b.sh_lo))
+         |   + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT) AS hamming
+         |FROM sim64 a JOIN sim64 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh_lo, b.sh_lo))
+         |   + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
          |ORDER BY d1, d2""".stripMargin,
   )
+
+  /** Shared DuckDB CTE computing `sim64(doc_id, sh_lo, sh_hi)` — the
+    * 64-bit SimHash as two 32-bit halves, mirroring [[simhashes64]]. */
+  private lazy val simhash64Cte: String = {
+    def half(hex: Seq[String], name: String) = (0 until 32).map(j =>
+      s"CAST(sum(CASE WHEN substring(h, ${j + 1}, 1) IN " +
+        s"(${hex.map(c => s"'$c'").mkString(",")}) THEN 1 ELSE -1 END) AS BIGINT) AS ${name}_b$j")
+    val sums = (half(HexHigh, "lo") ++ half(HexBit2, "hi")).mkString(",\n   ")
+    def pack(name: String) = (0 until 32)
+      .map(j => s"(CASE WHEN ${name}_b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       | h AS (SELECT doc_id, md5(w) AS h FROM tok),
+       | s AS (SELECT doc_id,
+       |   $sums
+       |  FROM h GROUP BY 1),
+       | sim64 AS (SELECT doc_id, CAST(${pack("lo")} AS BIGINT) AS sh_lo,
+       |   CAST(${pack("hi")} AS BIGINT) AS sh_hi FROM s)""".stripMargin
+  }
 
   /** Shared DuckDB CTE computing `sim(doc_id, simhash)`. */
   private lazy val simhashCte: String = {

@@ -86,12 +86,12 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("SimHash pigeonhole banding finds exactly the brute-force pairs") {
     val docs = mkDocs()
-    val sh = DedupOps.simhashes(docs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-    // brute force over all pairs, hamming <= 3
+    val sh = DedupOps.simhashes64(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force over all pairs, 64-bit hamming <= 3
     val brute = (for {
-      (d1, h1) <- sh; (d2, h2) <- sh if d1 < d2
-      if java.lang.Long.bitCount(h1 ^ h2) <= 3
+      (d1, lo1, hi1) <- sh; (d2, lo2, hi2) <- sh if d1 < d2
+      if java.lang.Long.bitCount(lo1 ^ lo2) + java.lang.Long.bitCount(hi1 ^ hi2) <= 3
     } yield (d1, d2)).toSet
     val banded = DedupOps.simhashPairs(docs, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
