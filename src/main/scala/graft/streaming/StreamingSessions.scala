@@ -38,6 +38,17 @@ object StreamingSessions {
       .select(col("user_id"), col("w.start").as("w_start"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window aggregation with watermark (Append-compatible): each
+    * event lands in ⌈width/slide⌉ overlapping windows. */
+  def sliding(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup on event_id, state bounded by the watermark. */
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

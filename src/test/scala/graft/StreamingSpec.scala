@@ -148,6 +148,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((3L, 1L), (3L, 2L)))
   }
 
+  test("streaming tumbling window ≡ batch windowed aggregation") {
+    val data = Seq(ev(1, 1, 0), ev(2, 1, 30), ev(3, 1, 70),
+      ev(4, 2, 10), ev(5, 2, 130))
+    val flush = Seq(ev(99, 9, 10000), ev(100, 9, 20000))
+    val ms = MemoryStream[Event]
+    val out = runToMemory(
+      StreamingSessions.tumbling(ms.toDF(), "1 hour", "10 minutes"),
+      "stream_tumbling", ms, Seq(data, flush, Seq.empty))
+      .filter(col("user_id") < 9)
+    val batch = data.toDF()
+      .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("n_events"), col("sum_value"))
+    val canon = (df: DataFrame) => df.collect().map(_.toSeq).toSet
+    assert(canon(out) == canon(batch))
+    assert(out.count() == 4) // user1: 2 windows; user2: 2 windows
+  }
+
+  test("streaming sliding window ≡ batch; each event in width/slide windows") {
+    val data = Seq(ev(1, 1, 0), ev(2, 1, 20), ev(3, 2, 45))
+    val flush = Seq(ev(99, 9, 10000), ev(100, 9, 20000))
+    val ms = MemoryStream[Event]
+    val out = runToMemory(
+      StreamingSessions.sliding(ms.toDF(), "1 hour", "15 minutes", "10 minutes"),
+      "stream_sliding", ms, Seq(data, flush, Seq.empty))
+      .filter(col("user_id") < 9)
+    val batch = data.toDF()
+      .groupBy(col("user_id"), window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("n_events"), col("sum_value"))
+    val canon = (df: DataFrame) => df.collect().map(_.toSeq).toSet
+    assert(canon(out) == canon(batch))
+    // every event appears in 60/15 = 4 overlapping windows
+    val perEvent = out.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(perEvent == data.length * 4)
+  }
+
   test("parquet replay source streams the events table (AvailableNow)") {
     val df = StreamingSessions.eventsStream(spark, sfDir)
       .groupBy("event_type").count()
