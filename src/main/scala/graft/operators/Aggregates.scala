@@ -36,6 +36,17 @@ object Aggregates {
       t(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
 
+    // Sketch-based percentile (the 100 TB default — exact percentile
+    // collects per-group value multisets; the sketch is mergeable and
+    // bounded). No SQL oracle (sketch internals differ across engines);
+    // property-tested within 1% of exact in the unit suite.
+    "agg_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("approx_median"))
+        .orderBy("o_orderstatus")),
+
     "agg_stats" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")

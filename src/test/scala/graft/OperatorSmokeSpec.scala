@@ -52,6 +52,19 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("pinned: approx percentile within 1% of exact per group") {
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) / e < 0.01, s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+
   test("pinned: dedup_exact keeps all docs when no duplicates") {
     val n = SparkEntry.queries("dedup_exact")(spark, sfDir).count()
     assert(n == 500L) // sf0.001 documents are all distinct

@@ -187,6 +187,34 @@ class StreamingSpec extends SparkSpec {
     assert(perEvent == data.length * 4)
   }
 
+  test("update mode re-emits a growing window (KS continuous-update analog)") {
+    // Session windows are Append-only in Spark (merging sessions make
+    // update emission ill-defined) — pin that restriction...
+    val ms0 = MemoryStream[Event]
+    val sessionUpdate = intercept[org.apache.spark.sql.AnalysisException] {
+      StreamingSessions.sessionize(ms0.toDF(), "30 minutes", "10 minutes")
+        .writeStream.format("memory").queryName("upd_fail")
+        .outputMode("update").start()
+    }
+    assert(sessionUpdate.getMessage.contains("STREAMING_OUTPUT_MODE"))
+    // ...the supported continuous-update analog is Update mode on a
+    // tumbling-window aggregation: the same window re-emits as it grows,
+    // where Append would emit nothing until the watermark passes.
+    val ms = MemoryStream[Event]
+    val q = StreamingSessions.tumbling(ms.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("upd_windows")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(ev(1, 1, 0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(2, 1, 10)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("upd_windows")
+      .select("n_events").collect().map(_.getLong(0)).sorted.toSeq
+    assert(emitted == Seq(1L, 2L), s"got $emitted")
+  }
+
   test("parquet replay source streams the events table (AvailableNow)") {
     val df = StreamingSessions.eventsStream(spark, sfDir)
       .groupBy("event_type").count()
