@@ -60,12 +60,18 @@ object ScalarFuncs {
         abs(col("l_quantity") - lit(25.0)).as("qty_dev"),
       ).orderBy("l_orderkey", "l_linenumber")),
 
+    // Every output column is a scalar (the driver's oracle harness hashes
+    // pandas values — a raw array column is unhashable there), so the
+    // slice/head is emitted as three element columns, not one array.
     "fn_array" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("e1"),
-        slice(col("embedding"), 1, 3).as("head3"),
+        element_at(col("embedding"), 2).as("e2"),
+        element_at(col("embedding"), 3).as("e3"),
+        array_min(col("embedding")).as("emin"),
+        array_max(col("embedding")).as("emax"),
         array_contains(col("embedding"), lit(0.0f)).as("has_zero"),
       ).orderBy("vec_id")),
 
@@ -141,7 +147,8 @@ object ScalarFuncs {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_array" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-        | embedding[1] AS e1, embedding[1:3] AS head3,
+        | embedding[1] AS e1, embedding[2] AS e2, embedding[3] AS e3,
+        | list_min(embedding) AS emin, list_max(embedding) AS emax,
         | list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "fn_array_higher_order" ->

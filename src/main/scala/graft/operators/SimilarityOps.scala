@@ -83,15 +83,22 @@ object SimilarityOps {
       }.reduce(_ + _)
       val v = t(s, dir, "embeddings")
         .withColumn("bands", array((0 until 4).map(bandSig): _*))
-      val e = v.select(col("vec_id"), col("embedding"),
+      // Ids-only through the band self-join — the 256B vector ×4 bands on
+      // both sides would multiply shuffle payload ~8×. Embeddings re-attach
+      // to the (bounded) candidate set by broadcast, exactly like
+      // dedup_near_minhash.
+      val e = v.select(col("vec_id"),
         posexplode(col("bands")).as(Seq("band_id", "bucket")))
-      val a = e.select(col("vec_id").as("d1"), col("embedding").as("e1"),
-        col("band_id").as("band1"), col("bucket").as("bk1"))
-      val b = e.select(col("vec_id").as("d2"), col("embedding").as("e2"),
-        col("band_id").as("band2"), col("bucket").as("bk2"))
-      a.join(b, col("band1") === col("band2") && col("bk1") === col("bk2")
-          && col("d1") < col("d2"))
-        .select("d1", "d2", "e1", "e2").distinct()
+      val cand = e.as("x").join(e.as("y"),
+          col("x.band_id") === col("y.band_id")
+            && col("x.bucket") === col("y.bucket")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+        .distinct()
+      val emb = t(s, dir, "embeddings")
+      cand
+        .join(broadcast(emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))), "d1")
+        .join(broadcast(emb.select(col("vec_id").as("d2"), col("embedding").as("e2"))), "d2")
         .withColumn("sim", vecDot(col("e1"), col("e2")))
         .filter(col("sim") >= 0.3)
         .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
@@ -105,8 +112,8 @@ object SimilarityOps {
     // data is property-tested in the unit suite.
     "sim_ivf_knn" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
-      val index = ivfIndex(v, k = 16)
-      ivfSearch(v.filter(col("vec_id") < 10), index, nprobe = 2, topK = 5)
+      val (index, cent) = ivfIndex(v, k = 16)
+      ivfSearch(v.filter(col("vec_id") < 10), index, cent, nprobe = 2, topK = 5)
     }),
   )
 
@@ -137,18 +144,29 @@ object SimilarityOps {
     * deterministic seeds (smallest `xxhash64(vec_id)` — spreads across the
     * corpus even when ids correlate with content; a TakeOrderedAndProject,
     * no global sort), one Lloyd iteration, vectors assigned to their
-    * nearest refined centroid. Returns (vec_id, embedding, cell_id). */
-  def ivfIndex(v: DataFrame, k: Int): DataFrame = {
+    * nearest refined centroid.
+    *
+    * Returns (index = (vec_id, embedding, cell_id), centroids =
+    * (cell_id, c_emb)). Both are `persist()`ed: each is referenced from
+    * more than one point of the search plan, and an uncached lineage
+    * replays the full corpus scan + assignment shuffle per reference —
+    * at 100 TB that re-reads the corpus ~3×, and even at sf0.1 it was the
+    * slowest round-1 bench line (4.18 s). The cluster analog is writing
+    * the index as a bucketed table; in-session, cache is the same bound. */
+  def ivfIndex(v: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val seeds = v.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-    val cent1 = refineCentroids(assignCells(v, seeds))
-    assignCells(v, cent1)
+    val cent = refineCentroids(assignCells(v, seeds)).persist()
+    val index = assignCells(v, cent).persist()
+    (index, cent)
   }
 
   /** Probe the `nprobe` nearest cells per query vector and rank the exact
-    * dot products within them — same output shape as `sim_knn_per_query`. */
-  def ivfSearch(q: DataFrame, index: DataFrame, nprobe: Int, topK: Int): DataFrame = {
-    val cent = refineCentroids(index)
+    * dot products within them — same output shape as `sim_knn_per_query`.
+    * `cent` is the centroid table from [[ivfIndex]] — passed in, never
+    * recomputed from the index. */
+  def ivfSearch(q: DataFrame, index: DataFrame, cent: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
     val wq = Window.partitionBy("q_id").orderBy(col("cd").desc, col("cell_id"))
     val probes = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cent))

@@ -30,10 +30,10 @@ class IvfSpec extends SparkSpec {
 
   test("IVF search recovers same-cluster neighbors on clustered data") {
     val v = clusteredVecs()
-    val index = SimilarityOps.ivfIndex(v, k = 4)
+    val (index, cent) = SimilarityOps.ivfIndex(v, k = 4)
     // one query per cluster (ids 0, 25, 50, 75)
     val res = SimilarityOps.ivfSearch(v.filter(col("vec_id") % 25 === 0), index,
-      nprobe = 1, topK = 5).collect()
+      cent, nprobe = 1, topK = 5).collect()
     assert(res.length == 4 * 5)
     // every neighbor must come from the query's own cluster
     res.foreach { r =>
@@ -44,7 +44,7 @@ class IvfSpec extends SparkSpec {
 
   test("IVF assigns every vector and keeps clusters coherent") {
     val v = clusteredVecs()
-    val index = SimilarityOps.ivfIndex(v, k = 4)
+    val (index, _) = SimilarityOps.ivfIndex(v, k = 4)
     assert(index.count() == 100)
     // one Lloyd step from random seeds need not balance cells perfectly,
     // but each tight cluster must keep a majority of its members together
@@ -69,6 +69,22 @@ class IvfSpec extends SparkSpec {
       val sims = sorted.map(_.getDouble(2))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
+  }
+
+  test("IVF index materializes: corpus is scanned a bounded number of times") {
+    val acc = spark.sparkContext.longAccumulator("corpus-touches")
+    val touch = udf { (id: Long) => acc.add(1L); id }
+    val v = clusteredVecs().withColumn("vec_id", touch(col("vec_id")))
+    val (index, cent) = SimilarityOps.ivfIndex(v, k = 4)
+    val res = SimilarityOps.ivfSearch(v.filter(col("vec_id") % 25 === 0), index,
+      cent, nprobe = 1, topK = 5).collect()
+    assert(res.nonEmpty)
+    // Build+search lineage is 4 corpus passes (seed pick, seed-assign,
+    // refined-assign, query filter); the round-1 uncached formulation
+    // replayed ~9. Bound at 6 to allow cache-population races.
+    val n = 100L
+    assert(acc.value <= 6 * n, s"corpus touched ${acc.value} rows (> ${6 * n})")
+    index.unpersist(); cent.unpersist()
   }
 
   test("IVF recall beats the random-probe floor on the real table") {
