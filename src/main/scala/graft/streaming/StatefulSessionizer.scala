@@ -36,7 +36,33 @@ object StatefulSessionizer {
   private def emit(userId: Long, s: OpenSession, gapUs: Long): SessionOut =
     SessionOut(userId, toTs(s.startUs), toTs(s.lastUs + gapUs), s.n, s.sum)
 
-  /** The per-group state transition. Public for direct unit testing. */
+  /** The gap-merge fold shared by both timeout flavors: close sessions
+    * broken by the gap, leave the tail open in `state`, and return the
+    * closed ones. The caller decides how the open tail eventually emits
+    * (event-time watermark vs wall-clock idle). */
+  private def mergeEvents(gapUs: Long, userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    val sorted = events.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id))
+    val closed = Vector.newBuilder[SessionOut]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val tUs = us(e.ts)
+      cur match {
+        case Some(s) if tUs - s.lastUs <= gapUs =>
+          cur = Some(OpenSession(s.startUs, math.max(s.lastUs, tUs), s.n + 1, s.sum + e.value))
+        case Some(s) =>
+          closed += emit(userId, s, gapUs)
+          cur = Some(OpenSession(tUs, tUs, 1, e.value))
+        case None =>
+          cur = Some(OpenSession(tUs, tUs, 1, e.value))
+      }
+    }
+    cur.foreach(state.update)
+    closed.result().iterator
+  }
+
+  /** The per-group state transition (event-time timeouts). Public for
+    * direct unit testing. */
   def updateGroup(gapUs: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {
@@ -45,27 +71,30 @@ object StatefulSessionizer {
       state.remove()
       out
     } else {
-      val sorted = events.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id))
-      val closed = Vector.newBuilder[SessionOut]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val tUs = us(e.ts)
-        cur match {
-          case Some(s) if tUs - s.lastUs <= gapUs =>
-            cur = Some(OpenSession(s.startUs, math.max(s.lastUs, tUs), s.n + 1, s.sum + e.value))
-          case Some(s) =>
-            closed += emit(userId, s, gapUs)
-            cur = Some(OpenSession(tUs, tUs, 1, e.value))
-          case None =>
-            cur = Some(OpenSession(tUs, tUs, 1, e.value))
-        }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        // Emit via timeout once the watermark passes session end.
-        state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
-      }
-      closed.result().iterator
+      val closed = mergeEvents(gapUs, userId, events, state)
+      // Emit via timeout once the watermark passes session end.
+      state.getOption.foreach(s => state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000))
+      closed
+    }
+  }
+
+  /** Wall-clock variant (KS WALL_CLOCK_TIME punctuate analog): an open
+    * session also emits after `idleMs` of processing time with no new
+    * events for the key — a stalled partition/source cannot hold its
+    * last session open forever, which EventTimeTimeout (watermark-driven,
+    * hence data-driven) cannot guarantee. A session emitted by idle
+    * timeout still closes at `last_event + gap` in event time. */
+  def updateGroupProcTime(gapUs: Long, idleMs: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(emit(userId, _, gapUs)).iterator
+      state.remove()
+      out
+    } else {
+      val closed = mergeEvents(gapUs, userId, events, state)
+      if (state.exists) state.setTimeoutDuration(idleMs)
+      closed
     }
   }
 
@@ -80,5 +109,19 @@ object StatefulSessionizer {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         updateGroup(gapUs))
+  }
+
+  /** Streaming entry point, processing-time timeout flavor: sessions close
+    * on the event-time gap as usual, and additionally after `idleMs` of
+    * wall-clock silence per key. No watermark required — emission does not
+    * depend on any future data arriving. */
+  def sessionizeProcTime(events: Dataset[Event],
+      gapUs: Long = 30L * 60 * 1000000, idleMs: Long = 1000L): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[SessionOut]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        updateGroupProcTime(gapUs, idleMs))
   }
 }

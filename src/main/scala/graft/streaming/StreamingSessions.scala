@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** §2.8 streaming operators (Structured Streaming): the incremental twins
   * of the batch sessionization/window operators in
@@ -72,6 +73,43 @@ object StreamingSessions {
       .withWatermark("c_ts", watermark)
     p.join(c, expr(
       "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"))
+  }
+
+  /** First-match-wins branch predicates (KStream#split semantics): an
+    * event belongs to branch i iff predicate i matches and none of the
+    * earlier ones did. Null predicates count as non-matching. */
+  def branchPredicates(preds: Seq[Column]): Seq[Column] = {
+    val safe = preds.map(p => coalesce(p, lit(false)))
+    safe.zipWithIndex.map { case (p, i) =>
+      safe.take(i).foldLeft(p)((acc, prev) => acc && !prev)
+    }
+  }
+
+  /** KStream `split`/`branch` + `to(topic)` analog: fan one event stream
+    * out to one parquet sink per branch (first-match-wins, `rest` catching
+    * the remainder) in a single `foreachBatch` pass — the batch is
+    * persisted once and filtered N times, not recomputed per sink.
+    *
+    * Exactly-once per sink: each batch writes to
+    * `<baseDir>/<branch>/batch_id=<id>` with overwrite, so a retried
+    * micro-batch replaces its own partition instead of appending
+    * duplicates (the file-sink-log idempotence trick, spelled out). */
+  def branchFanOut(events: DataFrame, branches: Seq[(String, Column)],
+      rest: Option[String], baseDir: String, checkpoint: String): StreamingQuery = {
+    val names = branches.map(_._1) ++ rest
+    val matchAny = branches.map(b => coalesce(b._2, lit(false))).reduce(_ || _)
+    val preds = branchPredicates(branches.map(_._2)) ++ rest.map(_ => !matchAny)
+    val writeBatch: (DataFrame, Long) => Unit = { (batch, id) =>
+      batch.persist()
+      try names.zip(preds).foreach { case (name, p) =>
+        batch.filter(p).write.mode("overwrite")
+          .parquet(s"$baseDir/$name/batch_id=$id")
+      } finally batch.unpersist()
+    }
+    events.writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", checkpoint)
+      .start()
   }
 
   /** Parquet-backed streaming source over the events table (the no-Kafka

@@ -18,6 +18,19 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(key)(spark, sfDir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Pre-AQE shuffle count: `Exchange hashpartitioning` nodes in the
+    * SIMPLE explain string (formatted mode moves partitioning into the
+    * Arguments section and would count zero, silently). */
+  private def hashExchanges(key: String): Int = {
+    // Drop caches left by earlier suites: simple-mode explain prints the
+    // full child plan inside each InMemoryRelation, so stale cache entries
+    // (e.g. IvfSpec's) would double-count this query's own exchanges.
+    spark.sharedState.cacheManager.clearCache()
+    val p = SparkEntry.queries(key)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    "Exchange hashpartitioning".r.findAllIn(p).size
+  }
+
   test("filter_compare pushes predicates into the parquet scan") {
     val p = plan("filter_compare")
     assert(p.contains("PushedFilters: ["), p)
@@ -96,11 +109,30 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sessionize_native keeps one shuffle for the session aggregation") {
-    val p = plan("sessionize_native")
-    // one exchange for the user_id hash partitioning (plus AQE reads);
-    // a second exchange would mean the session grouping re-shuffles.
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges <= 1, p)
+    // one exchange for the user_id hash partitioning; a second would mean
+    // the session grouping re-shuffles.
+    assert(hashExchanges("sessionize_native") <= 1)
+  }
+
+  test("dedup/similarity pipelines stay within their shuffle budgets") {
+    // Exchange-count ceilings pinned at the round-2 plan shapes: a future
+    // refactor that silently adds a shuffle to one of these pipelines
+    // fails here instead of surfacing as a 100 TB regression. Counts are
+    // pre-AQE (AQE can only merge/skip these at runtime, never add).
+    val ceilings = Map(
+      "dedup_exact" -> 1,          // single hash agg on content
+      "dedup_ngram_jaccard" -> 3,  // index join + pair-count agg + size attach
+      "dedup_simhash" -> 3,        // token count + vocab dedup + per-doc sums
+      "dedup_simhash_pairs" -> 6,  // simhash64 chain + band self-join + dedup
+      "dedup_near_minhash" -> 4,   // shingle sigs + band join + candidate dedup
+      "sim_ann_lsh" -> 1,          // ids-only band join; vectors broadcast back
+      "sim_ivf_knn" -> 11,         // seed pick + 2 Lloyd assigns + probe ranks
+      "text_tfidf" -> 4,           // tf agg + df agg + idf attach
+      "text_edit_distance" -> 0)   // blocked pairs broadcast-joined
+    for ((key, ceiling) <- ceilings) {
+      val n = hashExchanges(key)
+      assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
+    }
   }
 
   test("sim_knn_per_query broadcasts the query-vector side") {

@@ -215,6 +215,112 @@ class StreamingSpec extends SparkSpec {
     assert(emitted == Seq(1L, 2L), s"got $emitted")
   }
 
+  /** Checkpoint/restart recovery: run the sessionizer against a file
+    * source with a checkpoint, stop while sessions are still open (held
+    * only in the state store), append more data, restart from the same
+    * checkpoint — the final output must equal the batch result over ALL
+    * events, which is only possible if the open-session state was
+    * restored (the RocksDB+changelog durability analog, SURVEY §1.1). */
+  private def restartRecoveryRun(tag: String, provider: Option[String]): Unit = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val batch1 = Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 5))
+    val batch2 = Seq(ev(4, 1, 60), ev(99, 9, 10000), ev(100, 9, 20000))
+    val schema = batch1.toDF().schema
+    def write(events: Seq[Event]): Unit =
+      events.toDF().coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = StreamingSessions.sessionize(
+          spark.readStream.schema(schema).parquet(src), "30 minutes", "10 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    provider.foreach(spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    try {
+      write(batch1)
+      runOnce() // watermark is behind every session end: output empty, state open
+      write(batch2)
+      runOnce() // restart: must resume from restored state, then flush
+    } finally provider.foreach { _ =>
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val canon = (df: DataFrame) => df
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(out).filter(col("user_id") < 9)
+    val batch = Sessionization.nativeSessions((batch1 ++ batch2).toDF())
+      .filter(col("user_id") < 9)
+    assert(canon(got) == canon(batch))
+    assert(got.count() == 3) // user1: sessions {0,10} and {60}; user2: {5}
+  }
+
+  test("checkpoint restart recovers sessionizer state (default state store)") {
+    restartRecoveryRun("ckpt_hdfs", None)
+  }
+
+  test("checkpoint restart recovers sessionizer state (RocksDB state store)") {
+    restartRecoveryRun("ckpt_rocks", Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+  }
+
+  test("processing-time timeout emits open sessions on idle (wall-clock punctuate)") {
+    val data = Seq(ev(1, 1, 0, 2.0), ev(2, 1, 10, 3.0), ev(3, 1, 90, 1.0),
+      ev(4, 2, 0, 5.0))
+    val ms = MemoryStream[Event]
+    val q = StatefulSessionizer.sessionizeProcTime(ms.toDS(), idleMs = 500).toDF()
+      .writeStream.format("memory").queryName("proctime_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      ms.addData(data)
+      // The gap-closed session (user1 {0,10}) emits with the batch; the
+      // still-open ones (user1 {90}, user2 {0}) must emit via the idle
+      // timeout with NO further data and NO watermark movement — the
+      // guarantee EventTimeTimeout cannot give on a stalled source.
+      // Poll the sink only: with ProcessingTimeTimeout the trigger keeps
+      // scheduling timeout micro-batches itself, and processAllAvailable
+      // never sees a quiescent stream (it blocks indefinitely here).
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("proctime_sessions").count() < 3
+          && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    val canon = (df: DataFrame) => df
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("sum_value"), 6))
+      .collect().map(_.toSeq).toSet
+    // Session boundaries match the batch/event-time semantics exactly —
+    // the wall clock decides only WHEN the open tail emits, never its shape.
+    assert(canon(spark.table("proctime_sessions"))
+      == canon(Sessionization.nativeSessions(data.toDF())))
+  }
+
+  test("branch fan-out: each event lands in exactly one sink (KStream split)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_branch").toString
+    val ms = MemoryStream[Event]
+    val branches = Seq(
+      "big" -> (col("value") >= 100.0),
+      "user1" -> (col("user_id") === 1L)) // overlaps with big: first match wins
+    val q = StreamingSessions.branchFanOut(ms.toDF(), branches, Some("rest"),
+      s"$base/sinks", s"$base/ckpt")
+    try {
+      ms.addData(Seq(ev(1, 1, 0, 150.0), ev(2, 1, 1, 10.0), ev(3, 2, 2, 10.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(4, 2, 3, 200.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def ids(name: String) = spark.read.parquet(s"$base/sinks/$name")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids("big") == Set(1L, 4L))   // ev1 matches both → big only
+    assert(ids("user1") == Set(2L))
+    assert(ids("rest") == Set(3L))
+  }
+
   test("parquet replay source streams the events table (AvailableNow)") {
     val df = StreamingSessions.eventsStream(spark, sfDir)
       .groupBy("event_type").count()
