@@ -40,6 +40,7 @@ object SparkEntry {
     (SimilarityOps.queries, SimilarityOps.oracle),
     (MultimodalOps.queries, MultimodalOps.oracle),
     (SkewOps.queries, SkewOps.oracle),
+    (RelationalExt.queries, RelationalExt.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.Tables._
+import graft.Tables.{dsum, dsumSql}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 relational surface extensions: map/struct/conditional scalar
+  * functions, collect/bool aggregates, pivot/unpivot reshaping,
+  * percent_rank/cume_dist analytics, and two composite TPC-H-shape
+  * pipelines (the "does the whole engine hang together" queries).
+  *
+  * Scale notes: pivot compiles to one two-phase hash aggregation (the
+  * value list is explicit, so no extra distinct-values job); unpivot is a
+  * narrow Expand (no shuffle); the composite queries broadcast their
+  * dimension sides and keep the fact-side join key partitioning.
+  */
+object RelationalExt {
+
+  val queries: Map[String, Q] = Map(
+    // MapType surface: construction, lookup (hit + miss), key listing.
+    // Output is all scalars — the oracle harness hashes pandas values.
+    "fn_map" -> ((s, dir) => {
+      val m = map(lit("price"), col("o_totalprice"),
+        lit("key"), col("o_orderkey").cast("double"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        element_at(m, "price").as("m_price"),
+        element_at(m, "nope").as("m_miss"),
+        size(map_keys(m)).as("n_keys"),
+        array_join(map_keys(m), ",").as("keys_csv"),
+      ).orderBy("o_orderkey")
+    }),
+
+    // Nested struct construction and field access (two levels deep).
+    "fn_struct" -> ((s, dir) => {
+      val st = struct(col("c_name").as("name"), col("c_acctbal").as("bal"))
+      val nested = struct(st.as("inner"), (col("c_custkey") % 5).as("tag"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        st.getField("name").as("s_name"),
+        (st.getField("bal") * 2).as("bal2"),
+        nested.getField("inner").getField("bal").as("nbal"),
+        nested.getField("tag").as("tag"),
+      ).orderBy("c_custkey")
+    }),
+
+    // CASE WHEN chains, nullif/coalesce, greatest/least.
+    "fn_conditional" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or"),
+        greatest(col("o_custkey") % 7, lit(3L)).as("g7"),
+        least(col("o_totalprice"), lit(150000.0)).as("capped"),
+      ).orderBy("o_orderkey")),
+
+    // collect_list / collect_set — made deterministic (hence oracle-able)
+    // by sorting inside the row and joining to a scalar string.
+    "agg_collect_sort" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(
+          array_join(sort_array(collect_list(col("o_orderstatus"))), "").as("statuses"),
+          array_join(sort_array(collect_set(col("o_orderpriority"))), "|").as("prios"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")),
+
+    // count_if / bool_and / bool_or (FILTER-clause analytics).
+    "agg_bool_countif" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_quantity") > 25).as("n_big"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_deep_disc"),
+          max(col("l_linenumber")).as("max_ln"))
+        .orderBy("l_returnflag")),
+
+    // Pivot: explicit value list → single two-phase hash agg, no
+    // distinct-values pre-job, no extra shuffle vs a plain groupBy.
+    "pivot_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .orderBy("yr")),
+
+    // Unpivot/melt: a narrow Expand projection — row count ×2, zero
+    // shuffle until the final presentation sort.
+    "unpivot_metrics" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").as("l_quantity"),
+            col("l_discount").as("l_discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // percent_rank / cume_dist / ntile over a total order (price + key
+    // tiebreak makes every rank — and the DuckDB twin — deterministic).
+    "win_percent_cume" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 9).as("pr"),
+        round(cume_dist().over(w), 9).as("cd"),
+        ntile(5).over(w).as("nt"),
+      ).orderBy("o_orderkey")
+    }),
+
+    // TPC-H Q3 shape (shipping priority): two fact filters pushed to the
+    // scans, customer dimension broadcast, one shuffle on l_orderkey for
+    // the join + one for the final agg, top-10 via TakeOrderedAndProject.
+    "tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1995-03-15").cast("date")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape (returned items by customer): returnflag filter on
+    // the fact scan, customer+nation broadcast, top-20 by lost revenue.
+    "tpch_q10" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_map" ->
+      """SELECT o_orderkey, o_totalprice AS m_price,
+        | CAST(NULL AS DOUBLE) AS m_miss, CAST(2 AS INT) AS n_keys,
+        | 'price,key' AS keys_csv
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_struct" ->
+      """SELECT c_custkey, c_name AS s_name, c_acctbal * 2 AS bal2,
+        | c_acctbal AS nbal, c_custkey % 5 AS tag
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 200000 THEN 'high'
+        |      WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+        | coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or,
+        | greatest(o_custkey % 7, 3) AS g7,
+        | least(o_totalprice, 150000.0) AS capped
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "agg_collect_sort" ->
+      """SELECT o_custkey,
+        | array_to_string(list_sort(list(o_orderstatus)), '') AS statuses,
+        | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS prios,
+        | count(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_bool_countif" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        | bool_and(l_quantity > 0) AS all_pos,
+        | bool_or(l_discount > 0.09) AS any_deep_disc,
+        | max(l_linenumber) AS max_ln
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "pivot_status" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         | CAST(sum(CASE WHEN o_orderstatus = 'O'
+         |   THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "O",
+         | CAST(sum(CASE WHEN o_orderstatus = 'F'
+         |   THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",
+         | CAST(sum(CASE WHEN o_orderstatus = 'P'
+         |   THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "P"
+         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "unpivot_metrics" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        | l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount' AS metric,
+        | l_discount AS val FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "win_percent_cume" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | round(percent_rank() OVER w, 9) AS pr,
+        | round(cume_dist() OVER w, 9) AS cd,
+        | CAST(ntile(5) OVER w AS INT) AS nt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         | AND o_orderdate < DATE '1995-03-15'
+         | AND l_shipdate > DATE '1995-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         | count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+  )
+}

@@ -31,6 +31,13 @@ object TextOps {
 
   def shingles(text: Column): Column = shingleUdf(text)
 
+  /** Word bigrams, same tight-UDF pattern as [[shingles]] (n=2). */
+  private val bigramUdf = udf((text: String) => {
+    val toks = text.split(' ')
+    if (toks.length < 2) Array.empty[String]
+    else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+  })
+
   private val stopwords = Seq("the", "a")
 
   val queries: Map[String, Q] = Map(
@@ -40,6 +47,15 @@ object TextOps {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
         .limit(20)),
+
+    // Bigram frequency: same explode→two-phase-agg shape as wordcount;
+    // bigrams come from the tight shingle UDF pattern (n=2).
+    "text_ngram_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(bigramUdf(col("text"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(50)),
 
     "text_tfidf" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
@@ -157,6 +173,12 @@ object TextOps {
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "text_ngram_freq" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        | b AS (SELECT array_to_string(toks[i:i+1], ' ') AS bigram
+        |   FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t))
+        |SELECT bigram, count(*) AS cnt FROM b
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
