@@ -110,6 +110,47 @@ object RelationalExt {
       ).orderBy("o_orderkey")
     }),
 
+    // Time-series gap fill (training-pipeline resampling): hourly buckets
+    // per user, missing hours zero-filled. The dense grid is generated
+    // map-side from each user's (min, max) span — one agg for buckets,
+    // one for spans, one equi-join; no per-row sequence state anywhere.
+    "ts_gap_fill" -> ((s, dir) => {
+      val b = events(s, dir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+      val span = b.groupBy("user_id")
+        .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+        .select(col("user_id"),
+          explode(sequence(col("b0"), col("b1"), expr("interval 1 hour"))).as("bucket"))
+      span.join(b, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("user_id", "bucket")
+    }),
+
+    // Latest record per key (CDC upsert / KTable-compaction analog):
+    // one max_by aggregation — map-side partials, no window sort. The
+    // (ts, event_id) struct tiebreak makes the winner deterministic.
+    "dedup_latest_by_key" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .agg(max_by(
+          struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.ts").as("ts"),
+          col("last.event_id").as("event_id"),
+          col("last.event_type").as("event_type"), col("last.value").as("value"))
+        .orderBy("user_id")),
+
+    // explode_outer: rows with empty arrays survive with NULL (the outer
+    // UDTF shape — plain explode silently drops them).
+    "fn_explode_outer" -> ((s, dir) => {
+      val zs = filter(split(col("text"), " "), w => w.startsWith("z"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode_outer(zs).as("ztok"))
+        .orderBy("doc_id", "ztok")
+    }),
+
     // TPC-H Q3 shape (shipping priority): two fact filters pushed to the
     // scans, customer dimension broadcast, one shuffle on l_orderkey for
     // the join + one for the final agg, top-10 via TakeOrderedAndProject.
@@ -203,6 +244,32 @@ object RelationalExt {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "ts_gap_fill" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |   count(*) AS n_events,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        | span AS (SELECT user_id,
+        |   unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+        |  FROM b GROUP BY user_id)
+        |SELECT span.user_id, span.bucket,
+        | coalesce(b.n_events, 0) AS n_events,
+        | coalesce(b.sum_value, 0.0) AS sum_value
+        |FROM span LEFT JOIN b ON span.user_id = b.user_id AND span.bucket = b.bucket
+        |ORDER BY span.user_id, span.bucket""".stripMargin,
+    "dedup_latest_by_key" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+        | FROM events) WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "fn_explode_outer" ->
+      """WITH z AS (SELECT doc_id,
+        |   list_filter(string_split(text, ' '), w -> starts_with(w, 'z')) AS l
+        |  FROM documents)
+        |SELECT doc_id,
+        | unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS ztok
+        |FROM z ORDER BY doc_id, ztok""".stripMargin,
     "tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate,
          | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue

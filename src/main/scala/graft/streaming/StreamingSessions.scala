@@ -75,6 +75,36 @@ object StreamingSessions {
       "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"))
   }
 
+  /** KTable materialization (changelog compaction): latest record per
+    * key, continuously updated — Update output mode re-emits a key's row
+    * whenever a newer event arrives. The same max_by aggregation as the
+    * batch `dedup_latest_by_key`, so stream and batch compactions agree. */
+  def latestByKey(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.ts").as("ts"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"), col("last.value").as("value"))
+
+  /** Windowed stream⋈stream LEFT OUTER join (KStream.leftJoin analog):
+    * purchases keep a row even when no click preceded them — the null
+    * side emits once the watermark passes the join window. */
+  def purchaseClickLeftJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, expr(
+      "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"),
+      "leftOuter")
+  }
+
   /** First-match-wins branch predicates (KStream#split semantics): an
     * event belongs to branch i iff predicate i matches and none of the
     * earlier ones did. Null predicates count as non-matching. */

@@ -321,6 +321,60 @@ class StreamingSpec extends SparkSpec {
     assert(ids("rest") == Set(3L))
   }
 
+  test("KTable analog: latest-by-key updates as newer events arrive") {
+    def tev(id: Long, user: Long, offMin: Long, value: Double) =
+      (id, user, new Timestamp(T0 + offMin * 60000), "click", value)
+    val ms = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val df = ms.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val q = StreamingSessions.latestByKey(df)
+      .writeStream.format("memory").queryName("ktable_latest")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(tev(1, 1, 0, 10.0), tev(2, 2, 5, 20.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(tev(3, 1, 50, 30.0), tev(4, 3, 1, 40.0))) // user1 updated
+      q.processAllAvailable()
+    } finally q.stop()
+    // memory sink in update mode appends each re-emission: the LAST row
+    // per user is the compacted KTable value — same as the batch max_by.
+    val table = spark.table("ktable_latest").collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (user_id, event_id)
+    val compacted = table.zipWithIndex.groupBy(_._1._1)
+      .map { case (u, rows) => u -> rows.maxBy(_._2)._1._2 }
+    assert(compacted == Map(1L -> 3L, 2L -> 2L, 3L -> 4L))
+    // user1 was re-emitted (update semantics): appears twice in the log
+    assert(table.count(_._1 == 1L) == 2)
+  }
+
+  test("stream-stream LEFT OUTER join emits null-click purchases after watermark") {
+    val events = Seq(
+      ev(1, 1, 0),   // click t0
+      ev(2, 1, 30),  // purchase t30 → joins click t0
+      ev(3, 2, 40),  // purchase t40, no clicks for user 2 → null side
+      ev(9, 9, 10000), ev(10, 9, 20000)) // CLICK flushes: both sides' event-
+    // time stats must advance — the join watermark is the min over the two
+    // withWatermark branches, and each branch only sees its own filter's rows
+    val typed = events.map(e => (e.event_id, e.user_id, e.ts,
+      if (e.event_id == 1 || e.event_id >= 9) "click" else "purchase"))
+    val ms = MemoryStream[(Long, Long, Timestamp, String)]
+    val df = ms.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val q = StreamingSessions.purchaseClickLeftJoin(df)
+      .writeStream.format("memory").queryName("stream_left")
+      .outputMode("append").start()
+    try {
+      ms.addData(typed.take(3))
+      q.processAllAvailable()
+      ms.addData(typed.drop(3)) // watermark jump lets the outer row emit
+      q.processAllAvailable()
+      ms.addData(Seq((11L, 9L, new Timestamp(T0 + 30000 * 60000), "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_left").filter(col("p_user") < 9)
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    assert(got == Seq((2L, 1L), (3L, -1L))) // purchase 3 survives with null click
+  }
+
   test("parquet replay source streams the events table (AvailableNow)") {
     val df = StreamingSessions.eventsStream(spark, sfDir)
       .groupBy("event_type").count()
