@@ -44,6 +44,28 @@ object MultimodalOps {
       }
     }
 
+    /** Batched-inference shape (the mapInPandas/GPU-scorer pattern in
+      * Scala): rows buffer into fixed-size batches inside each partition,
+      * one "model call" scores the whole batch, results flatten back out.
+      * The batch assembly and partition-parallelism are the real plumbing;
+      * the model is a deterministic linear stub so the oracle can recompute
+      * scores exactly in SQL. */
+    def batchScore(spark: SparkSession, emb: DataFrame, batchSize: Int = 64): DataFrame = {
+      import spark.implicits._
+      emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          it.grouped(batchSize).flatMap { batch =>
+            // stub "model": score_i = Σ_j v_ij · w_j with w_j = ((j%7)−3)/10
+            batch.map { case (id, v) =>
+              var s = 0.0
+              var j = 0
+              while (j < v.length) { s += v(j).toDouble * ((j % 7 - 3) / 10.0); j += 1 }
+              (id, s)
+            }
+          }
+        }.toDF("vec_id", "score")
+    }
+
     /** Partition-parallel feature extraction over binary media records. */
     def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
       import spark.implicits._
@@ -78,6 +100,13 @@ object MultimodalOps {
           encode(col("text"), "UTF-8").as("content"))
       MediaPipeline.extractFeatures(s, media).orderBy("doc_id")
     }),
+
+    // Batched model scoring over the embedding column (GPU-inference
+    // plumbing with a deterministic stub model — see batchScore).
+    "multimodal_batch_score" -> ((s, dir) =>
+      MediaPipeline.batchScore(s, t(s, dir, "embeddings"))
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("vec_id")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -94,6 +123,16 @@ object MultimodalOps {
          | ${cnt(" ", "n_spaces")}, ${cnt("a", "cnt_a")}, ${cnt("e", "cnt_e")},
          | ${cnt("i", "cnt_i")}, ${cnt("o", "cnt_o")}, ${cnt("u", "cnt_u")}
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "multimodal_batch_score" -> {
+      // Literal weight list (same doubles the stub model computes);
+      // list_dot_product accumulates sequentially — bit-identical to the
+      // scorer's loop, unlike a GROUP BY sum whose order is unspecified.
+      val weights = (0 until 64).map(j => (j % 7 - 3) / 10.0).mkString("[", ", ", "]")
+      s"""SELECT vec_id,
+         | round(list_dot_product(
+         |   list_transform(embedding, x -> CAST(x AS DOUBLE)), $weights), 6) AS score
+         |FROM embeddings ORDER BY vec_id""".stripMargin
     },
   )
 }

@@ -151,6 +151,44 @@ object RelationalExt {
         .orderBy("doc_id", "ztok")
     }),
 
+    // Deterministic hash-based train/test split (the training-pipeline
+    // staple): fold assignment from md5(salt || key) — stable across
+    // runs, partitions, AND engines (md5 is bit-identical everywhere,
+    // unlike xxhash64/rand). 'cc'/'ff' hex prefix ≈ 79.7% train.
+    "train_test_split" -> ((s, dir) => {
+      val h = md5(concat(lit("split42:"), col("doc_id")))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(substring(h, 1, 2) < "cc", "train").otherwise("test").as("fold"),
+      ).orderBy("doc_id")
+    }),
+
+    // Histogram binning via width_bucket → two-phase count agg.
+    "agg_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12))
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+
+    // The SQL entry path: same engine, same Catalyst plan, declared in
+    // ANSI SQL over a temp view instead of the DataFrame DSL.
+    "sql_api_q1" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          | count(*) AS n
+          |FROM lineitem_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
+    // Seeded Bernoulli sample — deterministic for a fixed seed (pinned in
+    // DeterminismSpec) but engine-specific RNG, so no SQL oracle.
+    "sample_seeded" -> ((s, dir) =>
+      t(s, dir, "documents").sample(withReplacement = false, 0.25, seed = 7)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // TPC-H Q3 shape (shipping priority): two fact filters pushed to the
     // scans, customer dimension broadcast, one shuffle on l_orderkey for
     // the join + one for the final agg, top-10 via TakeOrderedAndProject.
@@ -270,6 +308,20 @@ object RelationalExt {
         |SELECT doc_id,
         | unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS ztok
         |FROM z ORDER BY doc_id, ztok""".stripMargin,
+    "train_test_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |   THEN 'train' ELSE 'test' END AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 600000.0 * 12) AS BIGINT) + 1 AS bucket,
+        | count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "sql_api_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate,
          | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue

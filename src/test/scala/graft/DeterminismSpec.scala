@@ -17,4 +17,16 @@ class DeterminismSpec extends SparkSpec {
     }
     assert(flaky.isEmpty, s"nondeterministic queries: $flaky")
   }
+
+  test("seeded sample and hash split land near their target fractions") {
+    val n = Tables.t(spark, sfDir, "documents").count().toDouble
+    val ns = SparkEntry.queries("sample_seeded")(spark, sfDir).count().toDouble
+    assert(math.abs(ns / n - 0.25) < 0.15, s"sample fraction ${ns / n}")
+    val folds = SparkEntry.queries("train_test_split")(spark, sfDir)
+      .groupBy("fold").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val train = folds.getOrElse("train", 0L).toDouble
+    // 'cc'/'100' hex prefix threshold = 204/256 ≈ 0.797 expected train share
+    assert(math.abs(train / n - 0.797) < 0.15, s"train fraction ${train / n}")
+  }
 }
