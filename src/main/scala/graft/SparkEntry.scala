@@ -41,6 +41,7 @@ object SparkEntry {
     (MultimodalOps.queries, MultimodalOps.oracle),
     (SkewOps.queries, SkewOps.oracle),
     (RelationalExt.queries, RelationalExt.oracle),
+    (Aggregates.sketchQueries, Map.empty[String, String]),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

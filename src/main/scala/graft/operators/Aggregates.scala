@@ -111,6 +111,19 @@ object Aggregates {
     }),
   )
 
+  /** Mergeable-sketch distinct count (the 100 TB pattern: per-group HLL
+    * partials travel between stages, rows never re-aggregate). Bounded
+    * output; no SQL oracle (sketch bits are engine-specific) — accuracy
+    * pinned in OperatorSmokeSpec against exact countDistinct. */
+  val sketchQueries: Map[String, Q] = Map(
+    "agg_hll_sketch_merge" -> ((s, dir) => {
+      val partials = t(s, dir, "documents").groupBy("source")
+        .agg(hll_sketch_agg(col("text")).as("sk"))
+      partials.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct_docs"))
+    }),
+  )
+
   val oracle: Map[String, String] = Map(
     "agg_hash_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -20,6 +20,13 @@ object Shim {
   /** Wrap a raw Catalyst Expression as a user-facing Column (Spark 4.x). */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Expose the `private[sql]` rule list of a SparkSessionExtensions —
+    * test-only introspection of what an extensions class injected. */
+  def optimizerRules(spark: SparkSession, ext: org.apache.spark.sql.SparkSessionExtensions)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+
   /** Unwrap a Column back to its Catalyst Expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -65,6 +65,14 @@ class OperatorSmokeSpec extends SparkSpec {
     }
   }
 
+  test("pinned: merged HLL sketches within 5% of exact distinct docs") {
+    val approx = SparkEntry.queries("agg_hll_sketch_merge")(spark, sfDir)
+      .head.getLong(0).toDouble
+    val exact = Tables.t(spark, sfDir, "documents")
+      .select(countDistinct(col("text"))).head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("pinned: dedup_exact keeps all docs when no duplicates") {
     val n = SparkEntry.queries("dedup_exact")(spark, sfDir).count()
     assert(n == 500L) // sf0.001 documents are all distinct
