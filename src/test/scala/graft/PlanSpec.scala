@@ -135,6 +135,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("composite TPC-H shapes broadcast their dimensions and bound the top-k") {
+    for (key <- Seq("tpch_q3", "tpch_q10")) {
+      val p = plan(key)
+      assert(p.contains("BroadcastHashJoin"), s"$key:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$key:\n$p")
+      assert(!p.contains("Exchange rangepartitioning"), s"$key:\n$p")
+    }
+  }
+
   test("sim_knn_per_query broadcasts the query-vector side") {
     val p = plan("sim_knn_per_query")
     assert(p.contains("Broadcast"), p)
