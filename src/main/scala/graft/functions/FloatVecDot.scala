@@ -79,4 +79,26 @@ object VecFunctions {
   def register(spark: SparkSession): Unit =
     Shim.registerFunction(spark, "vec_dot",
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1)))
+
+  /** Register Catalyst's `BloomFilterMightContain` as SQL `might_contain`
+    * (Spark ships the expression for its internal runtime-filter rewrite
+    * but does not SQL-register it) — used by the explicit bloom-pruned
+    * join, `RelationalExt.join_bloom_pruned`. */
+  def registerMightContain(spark: SparkSession): Unit = {
+    Shim.registerFunction(spark, "might_contain",
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1)))
+    Shim.registerFunction(spark, "bloom_filter_agg",
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        children match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, n) => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+          case _ => throw new IllegalArgumentException(
+            "bloom_filter_agg takes 1-3 arguments")
+        }
+      })
+  }
 }

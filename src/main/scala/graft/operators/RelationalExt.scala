@@ -189,6 +189,40 @@ object RelationalExt {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Time-series forward fill: carry the last non-null observation
+    // forward per key — last(ignoreNulls) over a running rows-frame, one
+    // shuffle on the key, no self-join.
+    "ts_forward_fill" -> ((s, dir) => {
+      val obs = when(col("event_type") === "purchase", col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).select(col("event_id"), col("user_id"),
+        last(obs, ignoreNulls = true).over(w).as("ffill_value"))
+        .orderBy("event_id")
+    }),
+
+    // Explicit bloom-filter runtime pruning: build a bloom over the dim
+    // keys (scalar subquery — one tiny broadcast), prune the fact scan
+    // with might_contain BEFORE the join, then the exact semi join mops
+    // up false positives. Catalyst's InjectRuntimeFilter does this
+    // automatically for some shuffle-join shapes; the explicit form
+    // covers the rest (e.g. pre-shuffle pruning both sides of a
+    // fact-fact SMJ). Result is exactly the plain semi join.
+    "join_bloom_pruned" -> ((s, dir) => {
+      graft.functions.VecFunctions.registerMightContain(s)
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .createOrReplaceTempView("bloom_dim")
+      val dim = s.table("bloom_dim").select(col("c_custkey"))
+      t(s, dir, "orders")
+        .filter(expr(
+          """might_contain(
+            |  (SELECT bloom_filter_agg(xxhash64(c_custkey), 5000L, 50000L) FROM bloom_dim),
+            |  xxhash64(o_custkey))""".stripMargin))
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // TPC-H Q3 shape (shipping priority): two fact filters pushed to the
     // scans, customer dimension broadcast, one shuffle on l_orderkey for
     // the join + one for the final agg, top-10 via TakeOrderedAndProject.
@@ -322,6 +356,17 @@ object RelationalExt {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_forward_fill" ->
+      """SELECT event_id, user_id,
+        | last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "join_bloom_pruned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
     "tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate,
          | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
