@@ -100,6 +100,44 @@ object DedupOps {
     "dedup_simhash_pairs" -> ((s, dir) =>
       simhashPairs(t(s, dir, "documents"), maxHamming = 3).orderBy("d1", "d2")),
 
+    // Near-dup CLUSTERS from the SimHash pair graph: bounded min-label
+    // propagation (3 rounds) assigns every clustered doc the smallest
+    // doc_id reachable from it — the canonical-representative step that
+    // turns pair mining into actual dedup. Each round is one equi-join +
+    // one min-agg (all codegen'd); 3 rounds cover diameter-3 components,
+    // far beyond the near-clique clusters hamming-banding emits. At
+    // corpus scale, switch to pointer-jumping (label = label of label)
+    // for O(log D) rounds. Oracle: DuckDB recursive CTE to the true
+    // fixpoint — equality also proves 3 rounds reach it on this data.
+    "dedup_cluster" -> ((s, dir) => {
+      val p = simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+        .select("d1", "d2")
+      // The pair graph is the leaf of every iteration's join — persist it
+      // or each round replays the whole SimHash chain (cf. the round-1
+      // sim_ivf_knn lineage-recompute lesson). It is also orders of
+      // magnitude smaller than the corpus (pairs ≈ planted dups), so the
+      // label rounds run on ONE partition: 32-task micro-stages cost more
+      // in scheduling than they save. Scale rule: partition the rounds by
+      // |edges|/target-partition-size, not by the corpus's setting.
+      val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
+        .repartition(1).persist()
+      var labels = edges.select(col("d1").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id"))
+      for (_ <- 1 to 3) {
+        val nb = edges.join(labels, col("d2") === col("doc_id"))
+          .groupBy(col("d1")).agg(min("lbl").as("nlbl"))
+        // localCheckpoint (eager) truncates the lineage each round:
+        // labels_k is referenced twice by round k+1, so an unbroken chain
+        // replays 2^k join rounds in the final plan
+        labels = labels.join(nb, labels("doc_id") === nb("d1"), "left")
+          .select(labels("doc_id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+      }
+      labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash(64) + LSH(16 bands × 4 rows). No SQL oracle (sketch path);
     // property-tested against exact Jaccard in the unit suite. Output:
     // top-50 candidate pairs by estimated Jaccard (deterministic order).
@@ -250,6 +288,22 @@ object DedupOps {
     // Oracle is the brute-force O(n²) pair scan over the 64-bit hash —
     // fine at verify scale; the Spark side must reproduce it exactly
     // through the banding.
+    // True connected-components fixpoint via recursive CTE over the same
+    // brute-force 64-bit-hamming pair set the pairs oracle uses.
+    "dedup_cluster" ->
+      s"""$simhash64Cte,
+         | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |   FROM sim64 a JOIN sim64 b ON a.doc_id < b.doc_id
+         |   WHERE bit_count(xor(a.sh_lo, b.sh_lo))
+         |      + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3),
+         | e AS (SELECT d1, d2 FROM p UNION SELECT d2, d1 FROM p)
+         |SELECT doc_id, min(lbl) AS cluster_id FROM (
+         |  WITH RECURSIVE walk(doc_id, lbl) AS (
+         |    SELECT d1, d1 FROM e
+         |    UNION
+         |    SELECT e.d1, w.lbl FROM e JOIN walk w ON e.d2 = w.doc_id)
+         |  SELECT doc_id, lbl FROM walk)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""$simhash64Cte
          |SELECT a.doc_id AS d1, b.doc_id AS d2,

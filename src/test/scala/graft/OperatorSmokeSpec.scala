@@ -11,7 +11,8 @@ class OperatorSmokeSpec extends SparkSpec {
   // Queries whose sf0.001 result is legitimately empty (no planted
   // near-dups / no customers without orders at this sf).
   private val mayBeEmpty = Set("join_anti", "set_except", "dedup_ngram_jaccard",
-    "dedup_near_minhash", "sim_ann_lsh", "dedup_embed_cosine", "text_edit_distance")
+    "dedup_near_minhash", "sim_ann_lsh", "dedup_embed_cosine", "text_edit_distance",
+    "dedup_cluster")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs on sf0.001") {
