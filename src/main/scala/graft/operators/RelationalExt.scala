@@ -189,6 +189,30 @@ object RelationalExt {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // regexp_extract_all (array-returning regex) — output stringified for
+    // the scalar-only oracle harness.
+    "fn_regexp_extract_all" -> ((s, dir) => {
+      val words = regexp_extract_all(col("p_type"), lit("\\w+"), lit(0))
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        array_join(words, "|").as("words"),
+        size(words).as("n_words"),
+      ).orderBy("p_partkey")
+    }),
+
+    // str_to_map: parse a k=v,k=v string into a map, extract typed fields.
+    "fn_str_to_map" -> ((s, dir) => {
+      val kv = concat(lit("status="), col("o_orderstatus"),
+        lit(",prio="), col("o_orderpriority"))
+      val m = str_to_map(kv, lit(","), lit("="))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        element_at(m, "status").as("status"),
+        element_at(m, "prio").as("prio"),
+        size(m).as("n"),
+      ).orderBy("o_orderkey")
+    }),
+
     // Time-series forward fill: carry the last non-null observation
     // forward per key — last(ignoreNulls) over a running rows-frame, one
     // shuffle on the key, no self-join.
@@ -356,6 +380,15 @@ object RelationalExt {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "fn_regexp_extract_all" ->
+      """SELECT p_partkey,
+        | array_to_string(regexp_extract_all(p_type, '\w+'), '|') AS words,
+        | CAST(len(regexp_extract_all(p_type, '\w+')) AS INT) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_str_to_map" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio,
+        | CAST(2 AS INT) AS n
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "ts_forward_fill" ->
       """SELECT event_id, user_id,
         | last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)

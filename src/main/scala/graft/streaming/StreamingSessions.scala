@@ -125,21 +125,28 @@ object StreamingSessions {
     * micro-batch replaces its own partition instead of appending
     * duplicates (the file-sink-log idempotence trick, spelled out). */
   def branchFanOut(events: DataFrame, branches: Seq[(String, Column)],
-      rest: Option[String], baseDir: String, checkpoint: String): StreamingQuery = {
+      rest: Option[String], baseDir: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch(branchWriteBatch(branches, rest, baseDir))
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The per-micro-batch writer behind [[branchFanOut]], exposed so the
+    * retry path is testable: calling it twice with the same batchId must
+    * leave each sink with exactly one copy (overwrite of the same
+    * `batch_id=` partition — idempotent replay). */
+  def branchWriteBatch(branches: Seq[(String, Column)], rest: Option[String],
+      baseDir: String): (DataFrame, Long) => Unit = {
     val names = branches.map(_._1) ++ rest
     val matchAny = branches.map(b => coalesce(b._2, lit(false))).reduce(_ || _)
     val preds = branchPredicates(branches.map(_._2)) ++ rest.map(_ => !matchAny)
-    val writeBatch: (DataFrame, Long) => Unit = { (batch, id) =>
+    (batch: DataFrame, id: Long) => {
       batch.persist()
       try names.zip(preds).foreach { case (name, p) =>
         batch.filter(p).write.mode("overwrite")
           .parquet(s"$baseDir/$name/batch_id=$id")
       } finally batch.unpersist()
     }
-    events.writeStream
-      .foreachBatch(writeBatch)
-      .option("checkpointLocation", checkpoint)
-      .start()
   }
 
   /** Parquet-backed streaming source over the events table (the no-Kafka

@@ -321,6 +321,17 @@ class StreamingSpec extends SparkSpec {
     assert(ids("rest") == Set(3L))
   }
 
+  test("branch fan-out batch replay is idempotent (retry = same batch_id overwrite)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_branch_retry").toString
+    val branches = Seq("big" -> (col("value") >= 100.0))
+    val write = StreamingSessions.branchWriteBatch(branches, Some("rest"), base)
+    val batch = Seq(ev(1, 1, 0, 150.0), ev(2, 1, 1, 10.0)).toDF()
+    write(batch, 0L)
+    write(batch, 0L) // simulated micro-batch retry after a sink failure
+    assert(spark.read.parquet(s"$base/big").count() == 1)
+    assert(spark.read.parquet(s"$base/rest").count() == 1)
+  }
+
   test("KTable analog: latest-by-key updates as newer events arrive") {
     def tev(id: Long, user: Long, offMin: Long, value: Double) =
       (id, user, new Timestamp(T0 + offMin * 60000), "click", value)
