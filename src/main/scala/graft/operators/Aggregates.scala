@@ -122,6 +122,17 @@ object Aggregates {
       partials.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct_docs"))
     }),
+
+    // Heavy hitters via the approx_top_k frequent-items sketch — the
+    // mergeable answer to "top-k words over 100 TB" (exact top-k needs a
+    // full groupBy; the sketch is one bounded-size partial per partition).
+    // Accuracy vs exact counts pinned in OperatorSmokeSpec.
+    "agg_approx_top_k" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .agg(expr("approx_top_k(word, 10)").as("topk"))
+        .select(explode(col("topk")).as("e"))
+        .select(col("e.*"))),
   )
 
   val oracle: Map[String, String] = Map(

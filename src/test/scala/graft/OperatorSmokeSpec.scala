@@ -74,6 +74,25 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("pinned: approx_top_k matches exact word counts at this scale") {
+    val approx = SparkEntry.queries("agg_approx_top_k")(spark, sfDir).collect()
+    assert(approx.length == 10)
+    val exact = Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the sketch must report true counts for every item it returns
+    approx.foreach { r =>
+      val (w, c) = (r.getString(0), r.getLong(1))
+      assert(exact(w) == c, s"$w: sketch=$c exact=${exact(w)}")
+    }
+    // and its minimum reported count must dominate all excluded words
+    val returned = approx.map(_.getString(0)).toSet
+    val minTop = approx.map(_.getLong(1)).min
+    val bestExcluded = exact.collect { case (w, c) if !returned(w) => c }.max
+    assert(minTop >= bestExcluded, s"minTop=$minTop bestExcluded=$bestExcluded")
+  }
+
   test("pinned: dedup_exact keeps all docs when no duplicates") {
     val n = SparkEntry.queries("dedup_exact")(spark, sfDir).count()
     assert(n == 500L) // sf0.001 documents are all distinct

@@ -128,7 +128,15 @@ class PlanSpec extends SparkSpec {
       "sim_ann_lsh" -> 1,          // ids-only band join; vectors broadcast back
       "sim_ivf_knn" -> 11,         // seed pick + 2 Lloyd assigns + probe ranks
       "text_tfidf" -> 4,           // tf agg + df agg + idf attach
-      "text_edit_distance" -> 0)   // blocked pairs broadcast-joined
+      "text_edit_distance" -> 0,   // blocked pairs broadcast-joined
+      // round-2 pipelines (measured at their round-2 plan shapes):
+      "dedup_cluster" -> 2,        // checkpointed label rounds; broadcast joins
+      "tpch_q3" -> 2,              // joins broadcast; one agg shuffle
+      "tpch_q10" -> 2,
+      "join_bloom_pruned" -> 1,    // bloom scalar subquery + broadcast semi
+      "ts_gap_fill" -> 3,          // bucket agg + span agg + grid join
+      "dedup_latest_by_key" -> 1,  // single max_by agg
+      "multimodal_batch_score" -> 0) // pure mapPartitions projection
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
