@@ -109,34 +109,8 @@ object DedupOps {
     // corpus scale, switch to pointer-jumping (label = label of label)
     // for O(log D) rounds. Oracle: DuckDB recursive CTE to the true
     // fixpoint — equality also proves 3 rounds reach it on this data.
-    "dedup_cluster" -> ((s, dir) => {
-      val p = simhashPairs(t(s, dir, "documents"), maxHamming = 3)
-        .select("d1", "d2")
-      // The pair graph is the leaf of every iteration's join — persist it
-      // or each round replays the whole SimHash chain (cf. the round-1
-      // sim_ivf_knn lineage-recompute lesson). It is also orders of
-      // magnitude smaller than the corpus (pairs ≈ planted dups), so the
-      // label rounds run on ONE partition: 32-task micro-stages cost more
-      // in scheduling than they save. Scale rule: partition the rounds by
-      // |edges|/target-partition-size, not by the corpus's setting.
-      val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
-        .repartition(1).persist()
-      var labels = edges.select(col("d1").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id"))
-      for (_ <- 1 to 3) {
-        val nb = edges.join(labels, col("d2") === col("doc_id"))
-          .groupBy(col("d1")).agg(min("lbl").as("nlbl"))
-        // localCheckpoint (eager) truncates the lineage each round:
-        // labels_k is referenced twice by round k+1, so an unbroken chain
-        // replays 2^k join rounds in the final plan
-        labels = labels.join(nb, labels("doc_id") === nb("d1"), "left")
-          .select(labels("doc_id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-      }
-      labels.select(col("doc_id"), col("lbl").as("cluster_id"))
-        .orderBy("doc_id")
-    }),
+    "dedup_cluster" -> ((s, dir) =>
+      clusterLabels(t(s, dir, "documents")).orderBy("doc_id")),
 
     // MinHash(64) + LSH(16 bands × 4 rows). No SQL oracle (sketch path);
     // property-tested against exact Jaccard in the unit suite. Output:
@@ -252,6 +226,38 @@ object DedupOps {
       .distinct()
   }
 
+  /** Near-dup connected components over the SimHash pair graph: bounded
+    * min-label propagation (3 rounds — covers diameter-3 components, far
+    * beyond the near-clique clusters hamming-banding emits; at corpus
+    * scale switch to pointer-jumping for O(log D) rounds). Returns
+    * (doc_id, cluster_id = smallest reachable doc_id) for clustered docs.
+    *
+    * Engineering: the pair graph is the leaf of every round's join —
+    * persisted, or each round replays the whole SimHash chain (the
+    * round-1 sim_ivf_knn lineage lesson). It is also orders of magnitude
+    * smaller than the corpus (pairs ≈ planted dups), so the rounds run on
+    * ONE partition: 32-task micro-stages cost more in scheduling than
+    * they save; partition the rounds by |edges|, not the corpus setting.
+    * Each round ends in an eager localCheckpoint: labels_k is referenced
+    * twice by round k+1, so an unbroken chain replays 2^k join rounds
+    * (measured 3.25s → 1.70s warm at sf0.1). */
+  def clusterLabels(docs: DataFrame): DataFrame = {
+    val p = simhashPairs(docs, maxHamming = 3).select("d1", "d2")
+    val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
+      .repartition(1).persist()
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+    for (_ <- 1 to 3) {
+      val nb = edges.join(labels, col("d2") === col("doc_id"))
+        .groupBy(col("d1")).agg(min("lbl").as("nlbl"))
+      labels = labels.join(nb, labels("doc_id") === nb("d1"), "left")
+        .select(labels("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** MinHash signatures (array of 64 lane-minima) + LSH band hashes
     * (array of 16). Exposed for the similarity/property tests. */
   def minhashSignatures(docShingles: DataFrame): DataFrame = {
@@ -291,19 +297,8 @@ object DedupOps {
     // True connected-components fixpoint via recursive CTE over the same
     // brute-force 64-bit-hamming pair set the pairs oracle uses.
     "dedup_cluster" ->
-      s"""$simhash64Cte,
-         | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
-         |   FROM sim64 a JOIN sim64 b ON a.doc_id < b.doc_id
-         |   WHERE bit_count(xor(a.sh_lo, b.sh_lo))
-         |      + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3),
-         | e AS (SELECT d1, d2 FROM p UNION SELECT d2, d1 FROM p)
-         |SELECT doc_id, min(lbl) AS cluster_id FROM (
-         |  WITH RECURSIVE walk(doc_id, lbl) AS (
-         |    SELECT d1, d1 FROM e
-         |    UNION
-         |    SELECT e.d1, w.lbl FROM e JOIN walk w ON e.d2 = w.doc_id)
-         |  SELECT doc_id, lbl FROM walk)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH ${clusterLabelsSql("documents")}
+         |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""$simhash64Cte
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
@@ -315,9 +310,10 @@ object DedupOps {
          |ORDER BY d1, d2""".stripMargin,
   )
 
-  /** Shared DuckDB CTE computing `sim64(doc_id, sh_lo, sh_hi)` — the
-    * 64-bit SimHash as two 32-bit halves, mirroring [[simhashes64]]. */
-  private lazy val simhash64Cte: String = {
+  /** Shared DuckDB CTE list computing `sim64(doc_id, sh_lo, sh_hi)` — the
+    * 64-bit SimHash as two 32-bit halves, mirroring [[simhashes64]] —
+    * over an arbitrary source relation (no leading WITH, composable). */
+  def simhash64Ctes(src: String): String = {
     def half(hex: Seq[String], name: String) = (0 until 32).map(j =>
       s"CAST(sum(CASE WHEN substring(h, ${j + 1}, 1) IN " +
         s"(${hex.map(c => s"'$c'").mkString(",")}) THEN 1 ELSE -1 END) AS BIGINT) AS ${name}_b$j")
@@ -325,7 +321,7 @@ object DedupOps {
     def pack(name: String) = (0 until 32)
       .map(j => s"(CASE WHEN ${name}_b$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM $src),
        | h AS (SELECT doc_id, md5(w) AS h FROM tok),
        | s AS (SELECT doc_id,
        |   $sums
@@ -333,6 +329,26 @@ object DedupOps {
        | sim64 AS (SELECT doc_id, CAST(${pack("lo")} AS BIGINT) AS sh_lo,
        |   CAST(${pack("hi")} AS BIGINT) AS sh_hi FROM s)""".stripMargin
   }
+
+  private lazy val simhash64Cte: String = "WITH " + simhash64Ctes("documents")
+
+  /** DuckDB CTE list ending in `labels(doc_id, cluster_id)` — the true
+    * connected-components fixpoint over `src`'s hamming≤3 pair graph,
+    * mirroring [[clusterLabels]] (composable; no leading WITH). */
+  def clusterLabelsSql(src: String): String =
+    s"""${simhash64Ctes(src)},
+       | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |   FROM sim64 a JOIN sim64 b ON a.doc_id < b.doc_id
+       |   WHERE bit_count(xor(a.sh_lo, b.sh_lo))
+       |      + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3),
+       | e AS (SELECT d1, d2 FROM p UNION SELECT d2, d1 FROM p),
+       | labels AS (SELECT doc_id, min(lbl) AS cluster_id FROM (
+       |   WITH RECURSIVE walk(doc_id, lbl) AS (
+       |     SELECT d1, d1 FROM e
+       |     UNION
+       |     SELECT e.d1, w.lbl FROM e JOIN walk w ON e.d2 = w.doc_id)
+       |   SELECT doc_id, lbl FROM walk)
+       |  GROUP BY doc_id)""".stripMargin
 
   /** Shared DuckDB CTE computing `sim(doc_id, simhash)`. */
   private lazy val simhashCte: String = {

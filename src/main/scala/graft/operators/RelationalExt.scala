@@ -171,6 +171,30 @@ object RelationalExt {
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")),
 
+    // Correlated EXISTS — Catalyst decorrelates the subquery into a semi
+    // join (RewritePredicateSubquery); declared in SQL because that is
+    // the shape users write it in.
+    "subquery_exists_correlated" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_sq c
+          |WHERE EXISTS (SELECT 1 FROM orders_sq o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Correlated scalar subquery — decorrelated into an aggregate + join;
+    // each order's price relative to its customer's average.
+    "subquery_scalar_correlated" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq2")
+      s.sql(
+        """SELECT o_orderkey,
+          | round(o_totalprice / (SELECT avg(i.o_totalprice) FROM orders_sq2 i
+          |   WHERE i.o_custkey = o.o_custkey), 6) AS rel_price
+          |FROM orders_sq2 o ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // The SQL entry path: same engine, same Catalyst plan, declared in
     // ANSI SQL over a temp view instead of the DataFrame DSL.
     "sql_api_q1" -> ((s, dir) => {
@@ -264,6 +288,28 @@ object RelationalExt {
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    // The end-to-end training-data story in one query: quality filter →
+    // exact dedup (keep smallest doc_id per text) → near-dup removal
+    // (drop non-canonical cluster members, via DedupOps.clusterLabels) →
+    // deterministic train/test fold → per-fold corpus stats. Every stage
+    // is one of the engine's verified operators; the composite pins that
+    // they compose.
+    "pipeline_corpus_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("n_chars") >= 100)
+      val exact = docs.groupBy("text")
+        .agg(min("doc_id").as("doc_id"), min("n_chars").as("n_chars"))
+      val nonCanon = DedupOps.clusterLabels(docs)
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val kept = exact.join(nonCanon, Seq("doc_id"), "left_anti")
+      val h = md5(concat(lit("split42:"), col("doc_id")))
+      kept
+        .select(col("n_chars"),
+          when(substring(h, 1, 2) < "cc", "train").otherwise("test").as("fold"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("fold")
     }),
 
     // TPC-H Q10 shape (returned items by customer): returnflag filter on
@@ -375,6 +421,16 @@ object RelationalExt {
       """SELECT CAST(FLOOR(o_totalprice / 600000.0 * 12) AS BIGINT) + 1 AS bucket,
         | count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "subquery_exists_correlated" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "subquery_scalar_correlated" ->
+      """SELECT o_orderkey,
+        | round(o_totalprice / (SELECT avg(i.o_totalprice) FROM orders i
+        |   WHERE i.o_custkey = o.o_custkey), 6) AS rel_price
+        |FROM orders o ORDER BY o_orderkey""".stripMargin,
     "sql_api_q1" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -410,6 +466,18 @@ object RelationalExt {
          | AND l_shipdate > DATE '1995-03-15'
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "pipeline_corpus_clean" ->
+      s"""WITH docs AS (SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 100),
+         | ${DedupOps.clusterLabelsSql("docs")},
+         | noncanon AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+         | exact AS (SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+         |   FROM docs GROUP BY text),
+         | kept AS (SELECT * FROM exact
+         |   WHERE doc_id NOT IN (SELECT doc_id FROM noncanon))
+         |SELECT CASE WHEN substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+         |   THEN 'train' ELSE 'test' END AS fold,
+         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM kept GROUP BY 1 ORDER BY fold""".stripMargin,
     "tpch_q10" ->
       s"""SELECT c_custkey, c_name, n_name,
          | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
