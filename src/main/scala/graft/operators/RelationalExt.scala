@@ -110,6 +110,28 @@ object RelationalExt {
       ).orderBy("o_orderkey")
     }),
 
+    // try_* arithmetic: the ANSI-mode-safe path (Spark 4 ANSI is on by
+    // default — plain division by zero throws; try_divide yields NULL).
+    "fn_try_arith" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_discount")).as("price_per_disc"),
+        try_add(col("l_orderkey") + lit(1L), lit(Long.MaxValue)).as("overflow_null"),
+      ).orderBy("l_orderkey", "l_linenumber")),
+
+    // Array set algebra — sizes only (element order of intersect/union
+    // differs across engines; cardinalities are engine-portable).
+    "fn_array_setops" -> ((s, dir) => {
+      val tw = array_distinct(split(col("p_type"), " "))
+      val nw = array_distinct(split(col("p_name"), " "))
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        size(array_intersect(tw, nw)).as("n_common"),
+        size(array_union(tw, nw)).as("n_union"),
+        size(array_except(tw, nw)).as("n_only_type"),
+      ).orderBy("p_partkey")
+    }),
+
     // Time-series gap fill (training-pipeline resampling): hourly buckets
     // per user, missing hours zero-filled. The dense grid is generated
     // map-side from each user's (min, max) span — one agg for buckets,
@@ -386,6 +408,22 @@ object RelationalExt {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "fn_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_discount = 0 THEN NULL
+        |      ELSE l_extendedprice / l_discount END AS price_per_disc,
+        | CAST(NULL AS BIGINT) AS overflow_null
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_array_setops" ->
+      """WITH w AS (SELECT p_partkey,
+        |   list_distinct(string_split(p_type, ' ')) AS tw,
+        |   list_distinct(string_split(p_name, ' ')) AS nw
+        |  FROM part)
+        |SELECT p_partkey,
+        | CAST(len(list_intersect(tw, nw)) AS INT) AS n_common,
+        | CAST(len(list_distinct(list_concat(tw, nw))) AS INT) AS n_union,
+        | CAST(len(list_filter(tw, x -> NOT list_contains(nw, x))) AS INT) AS n_only_type
+        |FROM w ORDER BY p_partkey""".stripMargin,
     "ts_gap_fill" ->
       """WITH b AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
         |   count(*) AS n_events,
