@@ -259,6 +259,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == 3) // user1: sessions {0,10} and {60}; user2: {5}
   }
 
+  test("checkpoint restart recovers flatMapGroupsWithState custom state") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_fmgws").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val batch1 = Seq(ev(1, 1, 0, 2.0), ev(2, 1, 10, 3.0), ev(3, 2, 5, 5.0))
+    val batch2 = Seq(ev(4, 1, 60, 1.0), ev(99, 9, 10000), ev(100, 9, 20000))
+    val schema = batch1.toDF().schema
+    def write(events: Seq[Event]): Unit =
+      events.toDF().coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src).as[Event]
+      val q = StatefulSessionizer.sessionize(stream).toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    write(batch1); runOnce() // user-1/2 sessions live only in GroupState now
+    write(batch2); runOnce() // restart must restore them
+    val canon = (df: DataFrame) => df
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("sum_value"), 6))
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(out).filter(col("user_id") < 9)
+    val batch = Sessionization.nativeSessions((batch1 ++ batch2).toDF())
+      .filter(col("user_id") < 9)
+    assert(canon(got) == canon(batch))
+    assert(got.count() == 3)
+  }
+
   test("checkpoint restart recovers sessionizer state (default state store)") {
     restartRecoveryRun("ckpt_hdfs", None)
   }
