@@ -123,6 +123,21 @@ object Aggregates {
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct_docs"))
     }),
 
+    // Top-k per group WITHOUT a window sort: mergeable bounded-heap
+    // aggregator (TopKAgg) — map-side partials truncate to k, so only
+    // groups×k pairs cross the shuffle and no partition is ever sorted.
+    // Oracle = the row_number window formulation, proving equivalence.
+    "agg_topk_heap" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("topk"))
+        .select(col("o_custkey"), posexplode(col("topk")).as(Seq("pos", "e")))
+        .select(col("o_custkey"), col("e._1").as("o_totalprice"),
+          col("e._2").as("o_orderkey"), (col("pos") + 1).cast("int").as("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+
     // Heavy hitters via the approx_top_k frequent-items sketch — the
     // mergeable answer to "top-k words over 100 TB" (exact top-k needs a
     // full groupBy; the sketch is one bounded-size partial per partition).
@@ -136,6 +151,13 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // heap-aggregate top-k ≡ the window row_number formulation
+    "agg_topk_heap" ->
+      """SELECT o_custkey, o_totalprice, o_orderkey, rk FROM (
+        | SELECT o_custkey, o_totalprice, o_orderkey,
+        |   CAST(row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        | FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "agg_hash_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
          | ${dsumSql("l_quantity")} AS sum_qty,
