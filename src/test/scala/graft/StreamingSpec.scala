@@ -236,18 +236,22 @@ class StreamingSpec extends SparkSpec {
         .option("checkpointLocation", ckpt).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
     }
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    provider.foreach(spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    // RocksDB runs with changelog checkpointing — the exact analog of the
+    // Kafka-Streams RocksDB+changelog-topic durability model (SURVEY §1.1)
+    val confs = provider.map(p => Map(
+      "spark.sql.streaming.stateStore.providerClass" -> p,
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+    )).getOrElse(Map.empty)
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       write(batch1)
       runOnce() // watermark is behind every session end: output empty, state open
       write(batch2)
       runOnce() // restart: must resume from restored state, then flush
-    } finally provider.foreach { _ =>
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
     val canon = (df: DataFrame) => df
       .select("user_id", "session_start", "session_end", "n_events")
