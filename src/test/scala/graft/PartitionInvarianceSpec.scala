@@ -1,0 +1,28 @@
+package graft
+
+/** Partition-count invariance — the scale-correctness property behind the
+  * DECIMAL accumulators and struct tiebreaks: a query's VALUES must not
+  * depend on how many partitions the shuffle used, or results drift when
+  * the same job runs on a different cluster size. Representative queries
+  * (float sums, window frames, composites, mapPartitions batching) run
+  * under 2 vs 32 shuffle partitions and must match byte-for-byte.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val keys = Seq("agg_hash_groupby", "agg_stats", "win_running_sum",
+    "text_tfidf", "tpch_q3", "multimodal_batch_score", "pipeline_corpus_clean",
+    "agg_topk_heap", "dedup_simhash")
+
+  private def runAt(parts: Int, key: String): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try SparkEntry.queries(key)(spark, sfDir).collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  keys.foreach { key =>
+    test(s"$key is invariant to shuffle partition count (2 vs 32)") {
+      assert(runAt(2, key) == runAt(32, key))
+    }
+  }
+}
