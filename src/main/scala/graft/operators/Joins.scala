@@ -74,6 +74,30 @@ object Joins {
         .orderBy("r_regionkey", "n_nationkey")),
 
     // For each purchase event: clicks by the same user in the preceding hour.
+    // KEYLESS range join at scale: events ⋈ derived "hot windows" with no
+    // equi key at all. The scale technique: explode each 2h window into
+    // its covering hour buckets, bucket each event once, equi-join on the
+    // bucket, then apply the exact range as a residual filter — candidates
+    // ∝ events-in-covered-hours, never |events|×|windows| (the BNLJ a
+    // naive theta join would plan; the no-cartesian sweep enforces this
+    // stays equi-join shaped).
+    "join_range_bucketed" -> ((s, dir) => {
+      val e = events(s, dir)
+      val hot = e.filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("w_start"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 8)
+        .select(col("w_start"), (col("w_start") + expr("interval 2 hours")).as("w_end"))
+      val hotB = hot.withColumn("bucket",
+        explode(sequence(col("w_start"), col("w_start") + expr("interval 1 hour"),
+          expr("interval 1 hour"))))
+      e.withColumn("bucket", date_trunc("hour", col("ts")))
+        .join(hotB, Seq("bucket"))
+        .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy("w_start").agg(count(lit(1)).as("n_events"))
+        .orderBy("w_start")
+    }),
+
     "join_range_interval" -> ((s, dir) => {
       val e = events(s, dir)
       val p = e.filter(col("event_type") === "purchase")
@@ -145,6 +169,16 @@ object Joins {
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region JOIN nation ON n_regionkey <> r_regionkey
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "join_range_bucketed" ->
+      """WITH hot AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1 HAVING count(*) >= 8)
+        |SELECT h.w_start, count(*) AS n_events
+        |FROM events e JOIN hot h
+        |  ON CAST(e.ts AS TIMESTAMP) >= h.w_start
+        | AND CAST(e.ts AS TIMESTAMP) < h.w_start + INTERVAL 2 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_range_interval" ->
       """SELECT p.event_id, count(c.cts) AS clicks_1h
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts FROM events
