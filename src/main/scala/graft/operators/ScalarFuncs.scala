@@ -51,6 +51,18 @@ object ScalarFuncs {
         date_add(to_date(col("o_orderdate")), 7).as("week_later"),
       ).orderBy("o_orderkey")),
 
+    // Calendar functions beyond fn_date: quarter/day-of-year boundaries,
+    // month-end snapping, date construction.
+    "fn_date_extras" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        last_day(col("o_orderdate")).as("month_end"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+          .as("month_start"),
+      ).orderBy("o_orderkey")),
+
     "fn_math" -> ((s, dir) =>
       t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
@@ -137,6 +149,14 @@ object ScalarFuncs {
         | CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
         | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
         | CAST(o_orderdate AS DATE) + 7 AS week_later
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_date_extras" ->
+      """SELECT o_orderkey,
+        | CAST(quarter(o_orderdate) AS INT) AS qtr,
+        | CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1)
+        |   AS month_start
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,

@@ -152,6 +152,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("agg_topk_heap aggregates in two phases (map-side truncation)") {
+    val p = plan("agg_topk_heap")
+    // partial ObjectHashAggregate before the shuffle + final after — the
+    // bounded-buffer truncation happens map-side, which is the whole point
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("sim_knn_per_query broadcasts the query-vector side") {
     val p = plan("sim_knn_per_query")
     assert(p.contains("Broadcast"), p)

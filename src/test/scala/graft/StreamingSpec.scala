@@ -418,6 +418,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((2L, 1L), (3L, -1L))) // purchase 3 survives with null click
   }
 
+  test("rate-limited replay: maxFilesPerTrigger bounds each micro-batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rate").toString
+    val all = (1L to 30L).map(i => ev(i, i % 3, i))
+    all.grouped(10).foreach(_.toDF().coalesce(1).write.mode("append").parquet(base))
+    val schema = all.toDF().schema
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(base)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        batchSizes += b.count(); ()
+      }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // 3 files × 1 per trigger = 3 micro-batches of 10 — backfill proceeds
+    // at a bounded rate instead of one giant batch
+    assert(batchSizes.sorted.toSeq == Seq(10L, 10L, 10L), batchSizes)
+  }
+
   test("parquet replay source streams the events table (AvailableNow)") {
     val df = StreamingSessions.eventsStream(spark, sfDir)
       .groupBy("event_type").count()
