@@ -193,6 +193,48 @@ object RelationalExt {
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")),
 
+    // Bitwise aggregates (bit_and/bit_or/bit_xor) — set-membership masks
+    // and parity checks at aggregation time.
+    "agg_bitwise" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          bit_and(col("l_linenumber")).as("band"),
+          bit_or(col("l_linenumber")).as("bor"),
+          bit_xor(col("l_orderkey")).as("bxor"))
+        .orderBy("l_returnflag")),
+
+    // grouping()/grouping_id() disambiguate NULL-as-total from NULL-as-
+    // value in cube outputs.
+    "agg_grouping_id" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
+    // String padding/shaping: lpad/rpad/repeat/reverse/translate.
+    "fn_string_pad" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        rpad(col("c_mktsegment"), 12, ".").as("seg_padded"),
+        repeat(lit("ab"), 3).as("rep"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+      ).orderBy("c_custkey")),
+
+    // nth_value over a full-partition frame.
+    "win_nth_value" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+      ).orderBy("o_orderkey")
+    }),
+
     // Correlated EXISTS — Catalyst decorrelates the subquery into a semi
     // join (RewritePredicateSubquery); declared in SQL because that is
     // the shape users write it in.
@@ -459,6 +501,32 @@ object RelationalExt {
       """SELECT CAST(FLOOR(o_totalprice / 600000.0 * 12) AS BIGINT) + 1 AS bucket,
         | count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_bitwise" ->
+      """SELECT l_returnflag,
+        | CAST(bit_and(l_linenumber) AS INT) AS band,
+        | CAST(bit_or(l_linenumber) AS INT) AS bor,
+        | bit_xor(l_orderkey) AS bxor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        | CAST(grouping(l_returnflag) AS INT) AS g_rf
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "fn_string_pad" ->
+      """SELECT c_custkey,
+        | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        | rpad(c_mktsegment, 12, '.') AS seg_padded,
+        | repeat('ab', 3) AS rep,
+        | reverse(c_mktsegment) AS seg_rev,
+        | translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "win_nth_value" ->
+      """SELECT o_orderkey, o_custkey,
+        | nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "subquery_exists_correlated" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
