@@ -23,6 +23,19 @@ class OperatorSmokeSpec extends SparkSpec {
     }
   }
 
+  test("observe() exposes inline data-quality metrics without a second pass") {
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val df = Tables.t(spark, sfDir, "documents")
+      .observe(obs, count(lit(1)).as("n"),
+        sum(col("n_chars")).as("chars"),
+        count_if(col("n_chars") < 10).as("too_short"))
+    df.collect()
+    val m = obs.get
+    assert(m("n") == 500L, m)
+    assert(m("too_short") == 0L, m)
+    assert(m("chars").asInstanceOf[Long] > 0L, m)
+  }
+
   test("every oracleSql key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
