@@ -111,6 +111,27 @@ object StatefulSessionizer {
         updateGroup(gapUs))
   }
 
+  /** Entry point with bootstrap state (the KS "restore state from a
+    * table" analog): open sessions precomputed offline — e.g. by the
+    * batch sessionizer over history — seed the stateful operator, so a
+    * migration to streaming continues half-open sessions instead of
+    * splitting them at the cutover point. */
+  def sessionizeFromState(events: Dataset[Event],
+      initial: Dataset[(Long, OpenSession)],
+      gapUs: Long = 30L * 60 * 1000000,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val tupleEnc = Encoders.tuple(Encoders.scalaLong, stateEnc)
+    val initKV = initial.groupByKey(_._1)(Encoders.scalaLong)
+      .mapValues(_._2)(stateEnc)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout,
+        initKV)(updateGroup(gapUs))
+  }
+
   /** Streaming entry point, processing-time timeout flavor: sessions close
     * on the event-time gap as usual, and additionally after `idleMs` of
     * wall-clock silence per key. No watermark required — emission does not

@@ -101,6 +101,26 @@ class StreamingSpec extends SparkSpec {
     assert(canon(out) == canon(batch))
   }
 
+  test("bootstrap state: streaming continues sessions opened by a batch backfill") {
+    import StatefulSessionizer.OpenSession
+    // history ended with user 1's session open: 2 events, last at t-10min
+    val t0us = T0 * 1000L
+    val initial = Seq((1L, OpenSession(t0us - 20L * 60 * 1000000,
+      t0us - 10L * 60 * 1000000, 2, 7.5))).toDS()
+    val ms = MemoryStream[Event]
+    val out = runToMemory(
+      StatefulSessionizer.sessionizeFromState(ms.toDS(), initial).toDF(),
+      "bootstrap_sessions", ms,
+      Seq(Seq(ev(1, 1, 5, 1.0), ev(2, 2, 0, 2.0)),          // in-gap: merges
+        Seq(ev(99, 9, 10000), ev(100, 9, 20000)), Seq.empty))
+      .filter(col("user_id") < 9)
+    val rows = out.select("user_id", "n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    // user 1: bootstrap(2 events, 7.5) + event at t+5min = one 3-event session
+    // spanning the cutover; user 2: fresh 1-event session
+    assert(rows == Seq((1L, 3L, 8.5), (2L, 1L, 2.0)), rows.toString)
+  }
+
   test("streaming dedup drops duplicate event_ids within watermark") {
     val ms = MemoryStream[Event]
     val out = runToMemory(
