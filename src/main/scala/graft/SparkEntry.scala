@@ -42,6 +42,7 @@ object SparkEntry {
     (SkewOps.queries, SkewOps.oracle),
     (RelationalExt.queries, RelationalExt.oracle),
     (Aggregates.sketchQueries, Map.empty[String, String]),
+    (SortSetOps.evolutionQueries, SortSetOps.evolutionOracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

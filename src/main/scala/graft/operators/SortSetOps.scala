@@ -43,6 +43,29 @@ object SortSetOps {
         .orderBy("key")),
   )
 
+  /** Schema-evolution union (data-lake reality: files written before a
+    * column existed union'd with files written after): unionByName with
+    * allowMissingColumns NULL-fills the missing side — positional
+    * unionAll would silently misalign. */
+  val evolutionQueries: Map[String, Q] = Map(
+    "set_union_schema_evolution" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val v2 = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy(col("doc_id"), col("source").asc_nulls_first)
+    }),
+  )
+
+  val evolutionOracle: Map[String, String] = Map(
+    "set_union_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+        | CAST(NULL AS BIGINT) AS n_chars FROM documents
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id, source ASC NULLS FIRST""".stripMargin,
+  )
+
   val oracle: Map[String, String] = Map(
     "sort_multi_col" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

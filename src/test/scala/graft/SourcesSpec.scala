@@ -49,6 +49,18 @@ class SourcesSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("mergeSchema reads files written under different schema versions") {
+    val dir = tmpDir("graft_mergeschema")
+    val docs = Tables.t(spark, sfDir, "documents")
+    docs.select("doc_id", "lang").write.mode("append").parquet(dir)
+    docs.select("doc_id", "lang", "n_chars").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars"))
+    assert(merged.count() == docs.count() * 2)
+    // rows from the old-schema file surface NULL for the new column
+    assert(merged.filter(col("n_chars").isNull).count() == docs.count())
+  }
+
   test("queries run unchanged over a re-materialized (non-parquet-origin) table") {
     // write documents to CSV, read back, register via a temp dir of parquet —
     // proving operators depend only on schema, not on the original format
