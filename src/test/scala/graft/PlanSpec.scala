@@ -152,6 +152,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_bloom_pruned keeps the bloom probe ahead of the semi join") {
+    val p = SparkEntry.queries("join_bloom_pruned")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // the might_contain filter must survive optimization as a pre-join
+    // prune — if it folds away, the runtime-filter demonstration is gone
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("Join LeftSemi"), p)
+  }
+
   test("agg_topk_heap aggregates in two phases (map-side truncation)") {
     val p = plan("agg_topk_heap")
     // partial ObjectHashAggregate before the shuffle + final after — the
