@@ -57,6 +57,44 @@ object TextOps {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(50)),
 
+    // PII scrubbing: redact email-shaped and long-digit-run tokens before
+    // a corpus ships to training — pure codegen'd regexp_replace, one
+    // projection pass, no shuffle.
+    "text_pii_redact" -> ((s, dir) => {
+      val noEmail = regexp_replace(col("text"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+      val noDigits = regexp_replace(noEmail, "\\d{6,}", "<NUM>")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        noDigits.as("clean_text"),
+        (length(col("text")) - length(noDigits)).as("chars_removed"),
+      ).orderBy("doc_id")
+    }),
+
+    // Train/test contamination check: test-fold docs sharing >= 3 distinct
+    // 3-gram shingles with ANY train-fold doc. Same inverted-index
+    // group-count plan as dedup_ngram_jaccard — candidates come from the
+    // shingle equi-join, never a doc x doc cross product; fold assignment
+    // is the engine's own md5 split, so the check composes with
+    // train_test_split exactly.
+    "text_contamination" -> ((s, dir) => {
+      val h = md5(concat(lit("split42:"), col("doc_id")))
+      val docs = t(s, dir, "documents")
+        .withColumn("fold", when(substring(h, 1, 2) < "cc", "train").otherwise("test"))
+      val sh = docs.select(col("doc_id"), col("fold"),
+        explode(array_distinct(shingles(col("text")))).as("shingle"))
+      val tr = sh.filter(col("fold") === "train")
+        .select(col("doc_id").as("train_id"), col("shingle"))
+      val te = sh.filter(col("fold") === "test")
+        .select(col("doc_id").as("test_id"), col("shingle"))
+      te.join(tr, Seq("shingle"))
+        .groupBy("test_id", "train_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+        .groupBy("test_id")
+        .agg(count(lit(1)).as("n_train_matches"), max("shared").as("max_shared"))
+        .orderBy("test_id")
+    }),
+
     "text_tfidf" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -179,6 +217,31 @@ object TextOps {
         |   FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t))
         |SELECT bigram, count(*) AS cnt FROM b
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\d{6,}', '<NUM>', 'g') AS clean_text,
+        | CAST(length(text) - length(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\d{6,}', '<NUM>', 'g')) AS INT) AS chars_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH f AS (SELECT doc_id, text,
+        |   CASE WHEN substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |     THEN 'train' ELSE 'test' END AS fold
+        |  FROM documents),
+        | t AS (SELECT doc_id, fold, string_split(text, ' ') AS toks FROM f),
+        | s AS (SELECT DISTINCT doc_id, fold, array_to_string(toks[i:i+2], ' ') AS shingle
+        |   FROM (SELECT doc_id, fold, toks,
+        |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        | pairs AS (SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+        |     count(*) AS shared
+        |   FROM s te JOIN s tr ON te.shingle = tr.shingle
+        |   WHERE te.fold = 'test' AND tr.fold = 'train'
+        |   GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT test_id, count(*) AS n_train_matches, max(shared) AS max_shared
+        |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
