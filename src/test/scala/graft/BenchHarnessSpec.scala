@@ -21,15 +21,27 @@ class BenchHarnessSpec extends SparkSpec {
   }
 
   test("sim_ann_lsh shuffles carry ids only; vectors travel by broadcast") {
+    assertNoWidePayload("sim_ann_lsh",
+      c => c.contains("embedding") || c == "e1" || c == "e2")
+  }
+
+  test("dedup_near_minhash band join shuffles ids only; signatures broadcast") {
+    assertNoWidePayload("dedup_near_minhash",
+      c => c.startsWith("sig") || c == "bands")
+  }
+
+  /** Walk the executed plan's shuffle exchanges and assert none carries a
+    * wide column — the candidate joins must shuffle narrow ids, with the
+    * wide payload re-attached by broadcast afterwards. */
+  private def assertNoWidePayload(key: String, wide: String => Boolean): Unit = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val df = SparkEntry.queries("sim_ann_lsh")(spark, sfDir)
+    val df = SparkEntry.queries(key)(spark, sfDir)
     df.collect() // materialize so AQE finalizes the physical plan
     val shuffleCols = df.queryExecution.executedPlan.collect {
       case e: ShuffleExchangeExec => e.child.output.map(_.name)
     }.flatten
-    val vectorish = shuffleCols.filter(c =>
-      c.contains("embedding") || c == "e1" || c == "e2")
-    assert(vectorish.isEmpty,
-      s"vector columns in shuffle payload: $vectorish (all: $shuffleCols)")
+    val offenders = shuffleCols.filter(wide)
+    assert(offenders.isEmpty,
+      s"$key wide columns in shuffle payload: $offenders (all: $shuffleCols)")
   }
 }
