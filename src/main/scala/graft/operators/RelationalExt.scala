@@ -193,6 +193,19 @@ object RelationalExt {
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")),
 
+    // Multi-distinct aggregation: three DISTINCT aggregates (one of them
+    // multi-column) + a plain count in ONE groupBy — Catalyst plans this
+    // with a single Expand (row multiplier = #distinct groups), not one
+    // job per distinct.
+    "agg_distinct_multi" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          count_distinct(col("l_partkey"), col("l_suppkey")).as("n_ps"),
+          count_distinct(col("l_partkey")).as("n_p"),
+          count_distinct(col("l_suppkey")).as("n_s"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // Bitwise aggregates (bit_and/bit_or/bit_xor) — set-membership masks
     // and parity checks at aggregation time.
     "agg_bitwise" -> ((s, dir) =>
@@ -501,6 +514,17 @@ object RelationalExt {
       """SELECT CAST(FLOOR(o_totalprice / 600000.0 * 12) AS BIGINT) + 1 AS bucket,
         | count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_distinct_multi" ->
+      """WITH g AS (SELECT l_returnflag,
+        |   count(DISTINCT l_partkey) AS n_p,
+        |   count(DISTINCT l_suppkey) AS n_s,
+        |   count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        | ps AS (SELECT l_returnflag, count(*) AS n_ps FROM
+        |   (SELECT DISTINCT l_returnflag, l_partkey, l_suppkey FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT g.l_returnflag, n_ps, n_p, n_s, n
+        |FROM g JOIN ps USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
     "agg_bitwise" ->
       """SELECT l_returnflag,
         | CAST(bit_and(l_linenumber) AS INT) AS band,
