@@ -406,6 +406,85 @@ object RelationalExt {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+
+    // TPC-H Q5 shape (local supplier volume): the 6-table star join with
+    // the extra customer-nation = supplier-nation equality. region/nation/
+    // customer/supplier all broadcast; only orders⋈lineitem shuffles, and
+    // it shuffles once on the order key.
+    "tpch_q5" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val c = t(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_nationkey", "n_name")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q18 shape (large-volume orders): the self-aggregating HAVING
+    // subquery decorrelates to one hash agg + semi join; customer
+    // broadcasts, the quantity re-agg reuses the order-key partitioning.
+    "tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(dsum(col("l_quantity")).as("tot_qty"))
+        .filter(col("tot_qty") > 130)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("tot_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // SCD-type-2 interval build: per-user event_type change-points become
+    // [valid_from, valid_to) validity ranges with an is_current flag —
+    // the standard CDC-history materialization. One window partition per
+    // user (bounded rows), no second shuffle for the lead().
+    "ts_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev.withColumn("valid_to", lead("ts", 1).over(w2))
+        .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          col("valid_to"),
+          col("valid_to").isNull.cast("int").as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // Bitwise scalar surface: & | ^ << >> and popcount — the bit-packing
+    // toolkit the SimHash/banding operators build on, exposed directly.
+    "fn_bit_scalar" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(lit(255L))).as("b_and"),
+        (col("o_orderkey").bitwiseOR(lit(4096L))).as("b_or"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("b_xor"),
+        shiftleft(col("o_orderkey"), 3).as("b_shl"),
+        shiftright(col("o_orderkey"), 2).as("b_shr"),
+        bit_count(col("o_orderkey")).as("b_pop"),
+      ).orderBy("o_orderkey")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -618,5 +697,47 @@ object RelationalExt {
          |WHERE l_returnflag = 'R'
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "tpch_q5" ->
+      s"""SELECT n_name,
+         | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         | AND o_orderdate >= TIMESTAMP '1996-01-01'
+         | AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q18" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS tot_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${dsumSql("l_quantity")} > 130)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, tot_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "ts_scd2" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |     AS prev_type
+        |  FROM events),
+        | ch AS (SELECT * FROM ev WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        | CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS INT)
+        |   AS is_current
+        |FROM ch ORDER BY user_id, valid_from""".stripMargin,
+    "fn_bit_scalar" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS b_and,
+        | o_orderkey | 4096 AS b_or,
+        | xor(o_orderkey, o_custkey) AS b_xor,
+        | o_orderkey << 3 AS b_shl,
+        | o_orderkey >> 2 AS b_shr,
+        | CAST(bit_count(o_orderkey) AS INT) AS b_pop
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -76,6 +76,27 @@ object SimilarityOps {
     // bucket collides (standard banding — per-band match prob p^4, overall
     // 1-(1-p^4)^4). No SQL oracle (approximate path); recall vs brute
     // force is property-tested in the unit suite.
+    // Symmetric int8 quantization of the embedding column — the 4×
+    // vector-bytes reduction that makes a 100 TB ANN index fit: codes are
+    // max-abs-scaled to [-127, 127] and emitted as exact integers (csv),
+    // so the result is bit-deterministic on both engines. Pure projection,
+    // no shuffle; at scale this runs in the scan stage. QuantizeSpec pins
+    // the reconstruction error and that quantized top-k ≈ exact top-k.
+    "sim_quantize_int8" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+        .withColumn("mx", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      v.select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        col("mx").as("max_abs"),
+        array_join(
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(127.0) / col("mx") + lit(0.5))
+              .cast("int").cast("string")),
+          ",").as("codes_csv"),
+      ).orderBy("vec_id")
+    }),
+
     "sim_ann_lsh" -> ((s, dir) => {
       def bandSig(band: Int) = (0 until 4).map { p =>
         when(vecDot(col("embedding"), typedlit(planes(band * 4 + p))) > 0,
@@ -191,6 +212,15 @@ object SimilarityOps {
       s"""SELECT a.vec_id AS d1, b.vec_id AS d2, round($oracleDot, 6) AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |ORDER BY $oracleDot DESC, d1, d2 LIMIT 10""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |   list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims, mx AS max_abs,
+        | array_to_string(list_transform(embedding,
+        |   x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INT) AS VARCHAR)),
+        |   ',') AS codes_csv
+        |FROM s ORDER BY vec_id""".stripMargin,
     "sim_knn_per_query" ->
       s"""SELECT q_id, c_id, round(sim, 6) AS sim, rk FROM (
          |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, $oracleDot AS sim,

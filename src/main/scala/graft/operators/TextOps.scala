@@ -57,6 +57,25 @@ object TextOps {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(50)),
 
+    // Gopher-style repetition signals: fraction of duplicated word
+    // bigrams and the heaviest single bigram per doc — the standard
+    // "is this page boilerplate/spam" quality gate before training.
+    // Shape: map-side bigram explode → one (doc,bigram) hash agg →
+    // one doc-level re-agg; both aggs are two-phase, keyed on doc_id
+    // so the second agg is a near-free partial.
+    "text_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(bigramUdf(col("text"))).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_count"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_count"),
+          floor((col("n_bigrams") - col("n_distinct")) * lit(10000) / col("n_bigrams"))
+            .cast("long").as("dup_bp"))
+        .orderBy("doc_id")),
+
     // PII scrubbing: redact email-shaped and long-digit-run tokens before
     // a corpus ships to training — pure codegen'd regexp_replace, one
     // projection pass, no shuffle.
@@ -217,6 +236,15 @@ object TextOps {
         |   FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t))
         |SELECT bigram, count(*) AS cnt FROM b
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | b AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        |   FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        | per AS (SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_distinct,
+        | max(c) AS top_count,
+        | CAST(floor((sum(c) - count(*)) * 10000 / sum(c)) AS BIGINT) AS dup_bp
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pii_redact" ->
       """SELECT doc_id,
         | regexp_replace(regexp_replace(text,

@@ -136,7 +136,14 @@ class PlanSpec extends SparkSpec {
       "join_bloom_pruned" -> 1,    // bloom scalar subquery + broadcast semi
       "ts_gap_fill" -> 3,          // bucket agg + span agg + grid join
       "dedup_latest_by_key" -> 1,  // single max_by agg
-      "multimodal_batch_score" -> 0) // pure mapPartitions projection
+      "multimodal_batch_score" -> 0, // pure mapPartitions projection
+      // round-2 second-wave additions:
+      "tpch_q5" -> 3,              // fact SMJ on orderkey + nation agg; dims broadcast
+      "tpch_q18" -> 3,             // qty agg + order join + (agg partial reuse)
+      "text_repetition" -> 2,      // (doc,bigram) agg + doc re-agg
+      "sim_quantize_int8" -> 0,    // pure projection — quantization is scan-stage
+      "ts_scd2" -> 1,              // both windows share the user_id partitioning
+      "fn_bit_scalar" -> 0)        // pure projection
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
@@ -144,11 +151,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("composite TPC-H shapes broadcast their dimensions and bound the top-k") {
-    for (key <- Seq("tpch_q3", "tpch_q10")) {
+    for (key <- Seq("tpch_q3", "tpch_q10", "tpch_q5", "tpch_q18")) {
       val p = plan(key)
       assert(p.contains("BroadcastHashJoin"), s"$key:\n$p")
-      assert(p.contains("TakeOrderedAndProject"), s"$key:\n$p")
-      assert(!p.contains("Exchange rangepartitioning"), s"$key:\n$p")
+      // q5 ends in a full sort of ≤25 nation rows — no top-k to bound there.
+      if (key != "tpch_q5") {
+        assert(p.contains("TakeOrderedAndProject"), s"$key:\n$p")
+        assert(!p.contains("Exchange rangepartitioning"), s"$key:\n$p")
+      }
     }
   }
 
