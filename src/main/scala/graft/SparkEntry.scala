@@ -41,6 +41,7 @@ object SparkEntry {
     (MultimodalOps.queries, MultimodalOps.oracle),
     (SkewOps.queries, SkewOps.oracle),
     (RelationalExt.queries, RelationalExt.oracle),
+    (TpchOps.queries, TpchOps.oracle),
     (Aggregates.sketchQueries, Map.empty[String, String]),
     (SortSetOps.evolutionQueries, SortSetOps.evolutionOracle),
   )

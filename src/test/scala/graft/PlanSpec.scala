@@ -143,7 +143,20 @@ class PlanSpec extends SparkSpec {
       "text_repetition" -> 2,      // (doc,bigram) agg + doc re-agg
       "sim_quantize_int8" -> 0,    // pure projection — quantization is scan-stage
       "ts_scd2" -> 1,              // both windows share the user_id partitioning
-      "fn_bit_scalar" -> 0)        // pure projection
+      "fn_bit_scalar" -> 0,        // pure projection
+      // TPC-H Q4–Q22 wave (measured at their initial plan shapes):
+      "tpch_q4" -> 1,              // semi join rides the scan; one agg shuffle
+      "tpch_q6" -> 0,              // pure scan filter + global agg
+      "tpch_q7" -> 1,              // all dims broadcast; one group-by shuffle
+      "tpch_q8" -> 1,
+      "tpch_q12" -> 1,
+      "tpch_q13" -> 2,             // per-customer count + histogram re-agg
+      "tpch_q14" -> 0,             // part broadcast; single global agg
+      "tpch_q15" -> 1,             // supplier-revenue agg; window is 1 row set
+      "tpch_q17" -> 1,             // decorrelated avg reuses l_partkey agg
+      "tpch_q19" -> 0,             // disjunction stays a broadcast-join residual
+      "tpch_q21" -> 5,             // lat CTE join + semi + anti + final agg
+      "tpch_q22" -> 1)             // anti join + one group-by shuffle
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
@@ -160,6 +173,31 @@ class PlanSpec extends SparkSpec {
         assert(!p.contains("Exchange rangepartitioning"), s"$key:\n$p")
       }
     }
+  }
+
+  test("TPC-H subquery shapes decorrelate into semi/anti joins, never BNLJ") {
+    // Q4's EXISTS (with its correlated non-equi date predicate) and Q21's
+    // EXISTS + NOT EXISTS must become equi semi/anti joins; Q22's NOT
+    // EXISTS an anti join. A decorrelation regression would surface as a
+    // nested-loop re-execution per outer row — fatal at fact-table scale.
+    val q4 = plan("tpch_q4")
+    assert(q4.contains("LeftSemi"), q4)
+    val q21 = plan("tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21)
+    val q22 = plan("tpch_q22")
+    assert(q22.contains("LeftAnti"), q22)
+    for (k <- Seq("tpch_q4", "tpch_q17", "tpch_q21", "tpch_q22")) {
+      val p = plan(k)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$k:\n$p")
+    }
+  }
+
+  test("tpch_q6 pushes its whole WHERE clause into the parquet scan") {
+    val p = plan("tpch_q6")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), pushed)
   }
 
   test("join_bloom_pruned keeps the bloom probe ahead of the semi join") {
