@@ -42,6 +42,7 @@ object SparkEntry {
     (SkewOps.queries, SkewOps.oracle),
     (RelationalExt.queries, RelationalExt.oracle),
     (TpchOps.queries, TpchOps.oracle),
+    (AnalyticsExt.queries, AnalyticsExt.oracle),
     (Aggregates.sketchQueries, Map.empty[String, String]),
     (SortSetOps.evolutionQueries, SortSetOps.evolutionOracle),
   )

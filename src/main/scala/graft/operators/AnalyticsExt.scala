@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Round-2 third-wave analytics: exact linear regression aggregates and
+  * batch MERGE/upsert semantics.
+  *
+  * Scale notes: `agg_regression` is one two-phase hash aggregation — the
+  * five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are map-side
+  * partial-aggregated DECIMALs, so the result is partition-count
+  * invariant and the regression math runs once per group on the driver
+  * side of the final agg, not per row. `cdc_merge_upsert` is the
+  * standard no-lakehouse MERGE: one full-outer join on the key (both
+  * sides pre-compacted to latest-per-key by max_by aggs) + coalesce —
+  * at 100 TB both compactions and the join share the user_id hash
+  * partitioning, so AQE plans one shuffle per side and no re-shuffle
+  * for the join.
+  */
+object AnalyticsExt {
+
+  val queries: Map[String, Q] = Map(
+    // Least-squares y = slope·x + intercept per group, from exact DECIMAL
+    // sufficient statistics (NOT the built-in regr_* functions, whose
+    // double accumulation is summation-order-dependent and so not
+    // bit-stable across engines/partitionings). The final arithmetic runs
+    // on exact sums → identical doubles in Spark and DuckDB.
+    "agg_regression" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val g = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * y).as("sxy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("l_returnflag"),
+          round((cov / varx), 9).as("slope"),
+          round((col("sy") - (cov / varx) * col("sx")) / col("n"), 9).as("intercept"),
+          round((cov * cov) / (varx * vary), 9).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Batch MERGE (CDC upsert without a lakehouse format): target =
+    // latest purchase per user before the cutoff, source = changes after
+    // it. MATCHED → update value/ts, NOT MATCHED → insert; target rows
+    // with no change survive untouched. One full-outer join + coalesce.
+    "cdc_merge_upsert" -> ((s, dir) => {
+      val cutoff = lit("2024-01-08 00:00:00").cast("timestamp")
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(max_by(
+          struct(col("ts"), col("event_id"), col("value")),
+          struct(col("ts"), col("event_id"))).as("r"))
+          .select(col("user_id"), col("r.ts").as("ts"), col("r.value").as("value"))
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      val target = latest(ev.filter(col("ts") < cutoff))
+        .withColumnRenamed("ts", "t_ts").withColumnRenamed("value", "t_value")
+      val source = latest(ev.filter(col("ts") >= cutoff))
+        .withColumnRenamed("ts", "s_ts").withColumnRenamed("value", "s_value")
+      target.join(source, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("s_ts"), col("t_ts")).as("ts"),
+          coalesce(col("s_value"), col("t_value")).as("value"),
+          when(col("t_ts").isNull, "insert")
+            .when(col("s_ts").isNull, "keep").otherwise("update").as("action"))
+        .orderBy("user_id")
+    }),
+
+    // Z-order (Morton) key: interleave the low 16 bits of two join/filter
+    // columns via the classic mask-and-shift spread — pure integer bit
+    // ops, codegen-friendly, and bit-identical in any engine. Sorting a
+    // write by this key bounds parquet row-group min/max stats on BOTH
+    // dimensions (LayoutSpec proves the skipping); this is the multi-
+    // column data-skipping layout lever for 100 TB scans.
+    "fn_zorder" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        zorderKey(col("o_orderkey"), col("o_custkey")).as("zkey"))
+        .orderBy("o_orderkey")),
+  )
+
+  /** Interleave the low 16 bits of `x` (even positions) and `y` (odd):
+    * the standard Morton spread via doubling shifts + masks. Result fits
+    * in 32 bits — no sign hazard. */
+  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def spread16(c: org.apache.spark.sql.Column) = {
+      val v0 = c.bitwiseAND(lit(0xFFFFL))
+      val v1 = (v0.bitwiseOR(shiftleft(v0, 8))).bitwiseAND(lit(0x00FF00FFL))
+      val v2 = (v1.bitwiseOR(shiftleft(v1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      val v3 = (v2.bitwiseOR(shiftleft(v2, 2))).bitwiseAND(lit(0x33333333L))
+      (v3.bitwiseOR(shiftleft(v3, 1))).bitwiseAND(lit(0x55555555L))
+    }
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+  }
+
+  /** DuckDB twin of [[zorderKey]] (same spread, SQL operators). */
+  def zorderSql(x: String, y: String): String = {
+    def spread16(e: String) = {
+      val v0 = s"($e & 65535)"
+      val v1 = s"(($v0 | ($v0 << 8)) & 16711935)"
+      val v2 = s"(($v1 | ($v1 << 4)) & 252645135)"
+      val v3 = s"(($v2 | ($v2 << 2)) & 858993459)"
+      s"(($v3 | ($v3 << 1)) & 1431655765)"
+    }
+    s"(${spread16(x)} | (${spread16(y)} << 1))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "fn_zorder" ->
+      s"""SELECT o_orderkey, o_custkey,
+         | ${zorderSql("o_orderkey", "o_custkey")} AS zkey
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "agg_regression" ->
+      s"""WITH g AS (SELECT l_returnflag,
+         | CAST(count(*) AS DOUBLE) AS n,
+         | ${dsumSql("l_quantity")} AS sx, ${dsumSql("l_extendedprice")} AS sy,
+         | ${dsumSql("l_quantity * l_extendedprice")} AS sxy,
+         | ${dsumSql("l_quantity * l_quantity")} AS sxx,
+         | ${dsumSql("l_extendedprice * l_extendedprice")} AS syy
+         |FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag,
+         | round((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) AS slope,
+         | round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 9) AS intercept,
+         | round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+         |   / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 9) AS r2
+         |FROM g ORDER BY l_returnflag""".stripMargin,
+    "cdc_merge_upsert" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        | target AS (SELECT user_id, ts AS t_ts, value AS t_value FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rk
+        |   FROM ev WHERE ts < TIMESTAMP '2024-01-08 00:00:00') WHERE rk = 1),
+        | source AS (SELECT user_id, ts AS s_ts, value AS s_value FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rk
+        |   FROM ev WHERE ts >= TIMESTAMP '2024-01-08 00:00:00') WHERE rk = 1)
+        |SELECT coalesce(target.user_id, source.user_id) AS user_id,
+        | coalesce(s_ts, t_ts) AS ts,
+        | coalesce(s_value, t_value) AS value,
+        | CASE WHEN t_ts IS NULL THEN 'insert'
+        |      WHEN s_ts IS NULL THEN 'keep' ELSE 'update' END AS action
+        |FROM target FULL OUTER JOIN source ON target.user_id = source.user_id
+        |ORDER BY user_id""".stripMargin,
+  )
+}

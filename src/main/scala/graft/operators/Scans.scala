@@ -3,13 +3,31 @@ package graft.operators
 import graft.Tables._
 import org.apache.spark.sql.functions._
 
-/** §2.1 sources: parquet scans, column pruning, the ns-timestamp source.
+/** §2.1 sources: parquet scans, column pruning, the ns-timestamp source,
+  * and CSV/JSON interchange round-trips.
   *
   * Reference semantics: topic consume (`StreamsBuilder.stream`) — here a
   * columnar parquet scan whose projection/predicates Catalyst pushes into
   * the reader (verify via `.explain`: ReadSchema / PushedFilters).
+  *
+  * The CSV/JSON keys prove lossless interchange: parquet → text format →
+  * read back with an explicit schema, hash-compared against the oracle's
+  * direct parquet read. Doubles survive because both writers emit
+  * shortest-round-trip decimal strings. The temp dir is per-JVM and the
+  * write is overwrite-mode, so the query stays deterministic.
   */
 object Scans {
+  private def roundTrip(s: org.apache.spark.sql.SparkSession, dir: String,
+      fmt: String): org.apache.spark.sql.DataFrame = {
+    val src = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_rt_$fmt"
+    src.write.mode("overwrite").format(fmt).save(tmp)
+    s.read.format(fmt).schema(src.schema).load(tmp)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) =>
       t(s, dir, "lineitem").orderBy("l_orderkey", "l_linenumber")),
@@ -21,6 +39,10 @@ object Scans {
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")),
+
+    "scan_csv_roundtrip" -> ((s, dir) => roundTrip(s, dir, "csv")),
+
+    "scan_json_roundtrip" -> ((s, dir) => roundTrip(s, dir, "json")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -32,5 +54,13 @@ object Scans {
     "scan_schema_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_csv_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scan_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -67,6 +67,55 @@ class LayoutSpec extends SparkSpec {
       .filter(col("l_orderkey") === key).count())
   }
 
+  test("z-order-sorted write bounds row-group stats on BOTH filter dimensions") {
+    // Single-key sort skips on one column only; sorting by the Morton
+    // interleave of (l_orderkey, l_partkey) narrows row-group min/max on
+    // both — the layout that makes 2-D point/range queries skip IO at
+    // 100 TB. Proven here directly from the parquet footers.
+    import graft.operators.AnalyticsExt.zorderKey
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val rgBytes = 32 * 1024
+    val zdir = Files.createTempDirectory("graft_zorder").toString
+    // normalize both dims to the same 8-bit range first — raw interleave
+    // would let the wider column's high bits dominate the curve and the
+    // narrow column would not be clustered at all (the standard z-order
+    // writer trick; min/max here play the role of table-level stats)
+    val (oMin, oMax, pMin, pMax) = {
+      val r = li.agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def scale8(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      ((c - lit(lo)) * 255L / lit(hi - lo)).cast("long")
+    li.withColumn("zkey", zorderKey(
+        scale8(col("l_orderkey"), oMin, oMax),
+        scale8(col("l_partkey"), pMin, pMax)))
+      .sort("zkey").drop("zkey").coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", rgBytes).parquet(zdir)
+    val kdir = Files.createTempDirectory("graft_keysort").toString
+    li.sort("l_orderkey").coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", rgBytes).parquet(kdir)
+
+    def overlap(dir: String, column: String): (Int, Int) = {
+      val rs = rowGroupRanges(dir, column)
+      val keys = rs.map(_._1).sorted
+      val key = keys(keys.length / 2)
+      (rs.count { case (lo, hi) => lo <= key && key <= hi }, rs.length)
+    }
+    val (zOrd, zn) = overlap(zdir, "l_orderkey")
+    val (zPart, _) = overlap(zdir, "l_partkey")
+    val (kOrd, kn) = overlap(kdir, "l_orderkey")
+    val (kPart, _) = overlap(kdir, "l_partkey")
+    assert(zn >= 4, s"want several row groups, got $zn")
+    // single-key sort: perfect on its key, blind on the other dimension
+    assert(kOrd <= 2, s"keysort should bound l_orderkey: $kOrd/$kn")
+    assert(kPart == kn, s"keysort expected blind on l_partkey: $kPart/$kn")
+    // z-order: strictly narrows BOTH dimensions
+    assert(zOrd < zn, s"zorder should narrow l_orderkey: $zOrd/$zn")
+    assert(zPart < zn, s"zorder should narrow l_partkey: $zPart/$zn")
+  }
+
   test("compacting writer hits a target file size instead of shipping shuffle shrapnel") {
     val ev = Tables.events(spark, sfDir)
     // the anti-pattern: one output file per shuffle partition

@@ -156,7 +156,11 @@ class PlanSpec extends SparkSpec {
       "tpch_q17" -> 1,             // decorrelated avg reuses l_partkey agg
       "tpch_q19" -> 0,             // disjunction stays a broadcast-join residual
       "tpch_q21" -> 5,             // lat CTE join + semi + anti + final agg
-      "tpch_q22" -> 1)             // anti join + one group-by shuffle
+      "tpch_q22" -> 1,             // anti join + one group-by shuffle
+      // third-wave additions:
+      "agg_regression" -> 1,       // one two-phase agg carries all 5 moments
+      "cdc_merge_upsert" -> 2,     // two latest-per-key aggs; join reuses their partitioning
+      "fn_zorder" -> 0)            // pure projection — bit ops codegen inline
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
