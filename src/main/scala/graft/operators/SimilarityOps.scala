@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * `list_dot_product` over double-cast lists, and ~10× the higher-order-fn
   * formulation that SURVEY §4.3 measured at 12.8s).
   *
-  * Scale paths: brute-force pair joins broadcast the smaller side (vectors
-  * are 256B each — 2k vectors ≈ 0.5MB); the LSH variant buckets by
-  * random-hyperplane signature so candidate pairs shrink by ~2^bits for
-  * genuinely-near neighbors.
+  * Scale paths: brute-force pair joins run through [[allPairs]], which
+  * broadcasts only while the table fits a bounded build side (vectors are
+  * 256B each — 2k vectors ≈ 0.5MB) and otherwise degrades to a blocked
+  * shuffle join; the LSH variant buckets by random-hyperplane signature so
+  * candidate pairs shrink by ~2^bits for genuinely-near neighbors.
   */
 object SimilarityOps {
 
@@ -31,13 +32,42 @@ object SimilarityOps {
     "list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE))," +
       " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
 
+  /** Past this many vectors a forced broadcast of the full table stops
+    * being a bounded-side invariant (200k × 256 B ≈ 51 MB) and the
+    * brute-force pair join degrades to the blocked shuffle form. */
+  val BroadcastRowCeiling: Long = 100000L
+
+  /** Size-guarded all-pairs (`d1 < d2`) self-join over `v(vec_id,
+    * embedding)` — the substrate of the brute-force similarity baselines.
+    *
+    * Below `maxBroadcastRows` the right side broadcasts (BNLJ against a
+    * bounded build side; the left never shuffles). Past the ceiling the
+    * join degrades to a blocked shuffle join instead of an oversized
+    * broadcast: the right side hash-blocks on `vec_id`, the left
+    * replicates once per block (bounded ×`blocks`, independent of n), and
+    * the pair predicate applies inside each block — an equi-join on the
+    * block id, never an unbounded cartesian. The n² comparison work is
+    * inherent to the brute-force *baseline* either way; the guard bounds
+    * per-executor memory, and the scale paths remain LSH banding and IVF. */
+  def allPairs(v: DataFrame, maxBroadcastRows: Long = BroadcastRowCeiling): DataFrame = {
+    val a = v.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = v.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    if (v.count() <= maxBroadcastRows) {
+      a.join(broadcast(b), col("d1") < col("d2"))
+    } else {
+      val blocks = 32L
+      val aa = a.withColumn("blk",
+        explode(sequence(lit(0L), lit(blocks - 1))))
+      val bb = b.withColumn("blk", pmod(xxhash64(col("d2")), lit(blocks)))
+      aa.join(bb, aa("blk") === bb("blk") && col("d1") < col("d2"))
+        .select(col("d1"), col("e1"), col("d2"), col("e2"))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Global top-10 most similar pairs (vectors are ~unit-norm: cosine ≡ dot).
     "sim_cosine_topk" -> ((s, dir) => {
-      val v = t(s, dir, "embeddings")
-      val a = v.select(col("vec_id").as("d1"), col("embedding").as("e1"))
-      val b = v.select(col("vec_id").as("d2"), col("embedding").as("e2"))
-      a.join(broadcast(b), col("d1") < col("d2"))
+      allPairs(t(s, dir, "embeddings"))
         .select(col("d1"), col("d2"), vecDot(col("e1"), col("e2")).as("sim"))
         .orderBy(col("sim").desc, col("d1"), col("d2"))
         .limit(10)
@@ -61,10 +91,7 @@ object SimilarityOps {
 
     // Embedding-cosine near-dup pairs above a fixed threshold.
     "dedup_embed_cosine" -> ((s, dir) => {
-      val v = t(s, dir, "embeddings")
-      val a = v.select(col("vec_id").as("d1"), col("embedding").as("e1"))
-      val b = v.select(col("vec_id").as("d2"), col("embedding").as("e2"))
-      a.join(broadcast(b), col("d1") < col("d2"))
+      allPairs(t(s, dir, "embeddings"))
         .withColumn("sim", vecDot(col("e1"), col("e2")))
         .filter(col("sim") >= 0.35)
         .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))

@@ -99,6 +99,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus must contain simhash near-dups (exact dups)")
   }
 
+  test("allPairs size guard: broadcast below ceiling, blocked shuffle join above") {
+    import graft.operators.SimilarityOps
+    val v = graft.Tables.t(spark, sfDir, "embeddings")
+    val bc = SimilarityOps.allPairs(v, maxBroadcastRows = Long.MaxValue)
+    val sh = SimilarityOps.allPairs(v, maxBroadcastRows = 0L)
+    // Small regime: forced broadcast → BroadcastNestedLoopJoin on the theta pair.
+    assert(bc.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "guarded path below ceiling must broadcast")
+    // Large regime: no forced broadcast anywhere — the join is key-based on
+    // the block id (SMJ/SHJ, or a *runtime* BHJ if AQE proves the side small),
+    // never a nested-loop cartesian.
+    assert(!sh.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "guarded path above ceiling must not force a broadcast nested loop")
+    assert(sh.queryExecution.optimizedPlan.toString.contains("blk"),
+      "fallback must join on the block id")
+    // Both regimes produce identical pair sets.
+    val l = bc.select("d1", "d2").orderBy("d1", "d2").collect().toSeq
+    val r = sh.select("d1", "d2").orderBy("d1", "d2").collect().toSeq
+    assert(l == r, s"regimes disagree: broadcast=${l.size} blocked=${r.size}")
+  }
+
   test("multimodal decode stub + frame sampling") {
     import graft.operators.MultimodalOps.MediaPipeline
     val payload = "hello spark world".getBytes("UTF-8")
