@@ -100,15 +100,16 @@ object DedupOps {
     "dedup_simhash_pairs" -> ((s, dir) =>
       simhashPairs(t(s, dir, "documents"), maxHamming = 3).orderBy("d1", "d2")),
 
-    // Near-dup CLUSTERS from the SimHash pair graph: bounded min-label
-    // propagation (3 rounds) assigns every clustered doc the smallest
-    // doc_id reachable from it — the canonical-representative step that
-    // turns pair mining into actual dedup. Each round is one equi-join +
-    // one min-agg (all codegen'd); 3 rounds cover diameter-3 components,
-    // far beyond the near-clique clusters hamming-banding emits. At
-    // corpus scale, switch to pointer-jumping (label = label of label)
-    // for O(log D) rounds. Oracle: DuckDB recursive CTE to the true
-    // fixpoint — equality also proves 3 rounds reach it on this data.
+    // Near-dup CLUSTERS from the SimHash pair graph: min-label
+    // propagation + pointer jumping iterated to a measured fixpoint
+    // assigns every clustered doc the smallest doc_id reachable from it —
+    // the canonical-representative step that turns pair mining into
+    // actual dedup. Each round is two equi-joins + one min-agg (all
+    // codegen'd); pointer jumping doubles the horizon per round, so
+    // diameter-D components converge in O(log D) rounds, and the
+    // zero-changes exit means NO diameter silently under-merges. Shuffle
+    // width is driven by the measured |edges|, not the corpus setting.
+    // Oracle: DuckDB recursive CTE to the true fixpoint.
     "dedup_cluster" -> ((s, dir) =>
       clusterLabels(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -226,35 +227,82 @@ object DedupOps {
       .distinct()
   }
 
-  /** Near-dup connected components over the SimHash pair graph: bounded
-    * min-label propagation (3 rounds — covers diameter-3 components, far
-    * beyond the near-clique clusters hamming-banding emits; at corpus
-    * scale switch to pointer-jumping for O(log D) rounds). Returns
-    * (doc_id, cluster_id = smallest reachable doc_id) for clustered docs.
+  /** Near-dup connected components over the SimHash pair graph — thin
+    * wrapper binding [[connectedComponents]] to the hamming≤3 pair miner.
+    * Returns (doc_id, cluster_id = smallest doc_id in the component). */
+  def clusterLabels(docs: DataFrame): DataFrame =
+    connectedComponents(simhashPairs(docs, maxHamming = 3))
+
+  /** Directed edge rows per shuffle partition for the propagation rounds:
+    * 4M rows of two longs ≈ 64 MB per task — partitioning is driven by the
+    * MEASURED edge count, never by the corpus-level shuffle setting. */
+  val EdgesPerPartition: Long = 4L * 1000 * 1000
+
+  /** Shuffle width for a propagation round: ⌈|directed edges| / 4M⌉,
+    * capped at the session's shuffle parallelism. Planted-dup graphs are
+    * orders of magnitude smaller than the corpus, so they land on ONE
+    * partition (32-task micro-stages cost more in scheduling than they
+    * save — measured in round 2); a pathological 100 TB edge set spreads
+    * at ~64 MB/task instead of landing on one. */
+  def edgePartitions(directedEdges: Long, maxParallelism: Int): Int =
+    math.min(maxParallelism.toLong,
+      directedEdges / EdgesPerPartition + 1).toInt
+
+  /** Connected components over an undirected pair set `pairs(d1, d2)`:
+    * min-label propagation with pointer jumping, iterated to a MEASURED
+    * fixpoint. Returns (doc_id, cluster_id = smallest id reachable).
+    *
+    * Each round does one neighbor-min propagation (equi-join + min agg)
+    * followed by one pointer jump (label := label's label), which doubles
+    * the reachable-min horizon — O(log D) rounds for diameter-D
+    * components instead of the O(D) of plain propagation. The loop exits
+    * when a round changes zero labels, so components of ANY diameter
+    * merge fully (the fixed-round variant silently under-merges anything
+    * wider than its round count — pinned by the diameter-8 test).
     *
     * Engineering: the pair graph is the leaf of every round's join —
-    * persisted, or each round replays the whole SimHash chain (the
-    * round-1 sim_ivf_knn lineage lesson). It is also orders of magnitude
-    * smaller than the corpus (pairs ≈ planted dups), so the rounds run on
-    * ONE partition: 32-task micro-stages cost more in scheduling than
-    * they save; partition the rounds by |edges|, not the corpus setting.
-    * Each round ends in an eager localCheckpoint: labels_k is referenced
-    * twice by round k+1, so an unbroken chain replays 2^k join rounds
-    * (measured 3.25s → 1.70s warm at sf0.1). */
-  def clusterLabels(docs: DataFrame): DataFrame = {
-    val p = simhashPairs(docs, maxHamming = 3).select("d1", "d2")
+    * persisted, or each round replays the whole upstream mining chain
+    * (the round-1 sim_ivf_knn lineage lesson). Each round's label frame
+    * is eagerly localCheckpoint'ed: it is referenced twice by the next
+    * round, so an unbroken chain replays 2^k join rounds (measured
+    * 3.25s → 1.70s warm at sf0.1). The convergence count joins two
+    * already-checkpointed label frames — one small job, no replay. The
+    * label-decrease invariant (labels are component ids, monotonically
+    * non-increasing, bounded below by the component minimum) guarantees
+    * termination; `maxRounds` is a pure safety net. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select("d1", "d2").persist()
+    val parts = edgePartitions(2L * p.count(),
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
-      .repartition(1).persist()
+      .repartition(parts, col("d2")).persist()
     var labels = edges.select(col("d1").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
-    for (_ <- 1 to 3) {
+      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    p.unpersist()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
       val nb = edges.join(labels, col("d2") === col("doc_id"))
         .groupBy(col("d1")).agg(min("lbl").as("nlbl"))
-      labels = labels.join(nb, labels("doc_id") === nb("d1"), "left")
+      val prop = labels.join(nb, labels("doc_id") === nb("d1"), "left")
         .select(labels("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
+      // pointer jump: label := label-of-label (both references hit the
+      // checkpointed `prop`, so the self-join costs one small stage)
+      val ptr = prop.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
+      val next = prop.join(ptr, prop("lbl") === ptr("p_id"), "left")
+        .select(prop("doc_id"),
+          least(prop("lbl"), coalesce(col("p_lbl"), prop("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(
+          labels.select(col("doc_id"), col("lbl").as("old_lbl")), "doc_id")
+        .filter(col("lbl") =!= col("old_lbl")).count()
+      labels = next
+      round += 1
     }
+    edges.unpersist()
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 

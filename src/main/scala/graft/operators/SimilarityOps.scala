@@ -209,19 +209,21 @@ object SimilarityOps {
     (index, cent)
   }
 
-  /** Probe the `nprobe` nearest cells per query vector and rank the exact
-    * dot products within them — same output shape as `sim_knn_per_query`.
-    * `cent` is the centroid table from [[ivfIndex]] — passed in, never
-    * recomputed from the index. */
-  def ivfSearch(q: DataFrame, index: DataFrame, cent: DataFrame,
-      nprobe: Int, topK: Int): DataFrame = {
+  /** Per-query probe set: the `nprobe` nearest centroids per query
+    * (q_id, q_emb, cell_id). Centroids ride in as a broadcast (≤ K rows). */
+  private def ivfProbes(q: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     val wq = Window.partitionBy("q_id").orderBy(col("cd").desc, col("cell_id"))
-    val probes = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cent))
       .withColumn("cd", vecDot(col("q_emb"), col("c_emb")))
       .withColumn("prk", row_number().over(wq))
       .filter(col("prk") <= nprobe)
       .select("q_id", "q_emb", "cell_id")
+  }
+
+  /** Exact-rank the probed cells' vectors per query — the shared back
+    * half of [[ivfSearch]] and [[ivfSearchTable]]. */
+  private def ivfRank(probes: DataFrame, index: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     probes.join(index.select(col("vec_id").as("c_id"), col("embedding"), col("cell_id")),
         "cell_id")
@@ -232,6 +234,45 @@ object SimilarityOps {
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("rk"))
       .orderBy("q_id", "rk")
+  }
+
+  /** Probe the `nprobe` nearest cells per query vector and rank the exact
+    * dot products within them — same output shape as `sim_knn_per_query`.
+    * `cent` is the centroid table from [[ivfIndex]] — passed in, never
+    * recomputed from the index. */
+  def ivfSearch(q: DataFrame, index: DataFrame, cent: DataFrame,
+      nprobe: Int, topK: Int): DataFrame =
+    ivfRank(ivfProbes(q, cent, nprobe), index, topK)
+
+  /** Persist the IVF index as a BUCKETED table (`name`, bucketed by
+    * `cell_id`) plus its centroid sidecar (`name_centroids`, K rows) —
+    * the build-once / probe-many path: a 100 TB index is built in one
+    * pass and every later search opens it from disk instead of
+    * re-scanning + re-assigning the corpus. Bucketing by `cell_id` means
+    * a probe's literal cell filter prunes to the probed buckets
+    * (SelectedBucketsCount in the scan), never a full index scan. */
+  def ivfIndexSave(v: DataFrame, k: Int, name: String, nBuckets: Int = 16): Unit = {
+    val (index, cent) = ivfIndex(v, k)
+    index.write.bucketBy(nBuckets, "cell_id")
+      .mode("overwrite").saveAsTable(name)
+    cent.write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    index.unpersist()
+    cent.unpersist()
+  }
+
+  /** Search a disk-persisted IVF index (see [[ivfIndexSave]]) without
+    * touching the source corpus. The probed cell ids are collected to the
+    * driver — bounded by K × |queries|, both small by construction — and
+    * pushed as a LITERAL `isin` filter so the bucketed scan prunes to the
+    * probed buckets (a join would defeat bucket pruning). */
+  def ivfSearchTable(spark: org.apache.spark.sql.SparkSession, q: DataFrame,
+      name: String, nprobe: Int, topK: Int): DataFrame = {
+    val cent = spark.table(s"${name}_centroids")
+    val probes = ivfProbes(q, cent, nprobe)
+    val cells = probes.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val index = spark.table(name).filter(col("cell_id").isin(cells: _*))
+    ivfRank(probes, index, topK)
   }
 
   val oracle: Map[String, String] = Map(

@@ -96,17 +96,36 @@ object TextOps {
     // shingle equi-join, never a doc x doc cross product; fold assignment
     // is the engine's own md5 split, so the check composes with
     // train_test_split exactly.
+    //
+    // Single shingling pass: instead of filtering the index into a train
+    // side and a test side and equi-joining them (two corpus scans + two
+    // shingle-UDF passes — Catalyst pushes the fold filter below any
+    // shared exchange, so reuse never materializes), group the index by
+    // shingle ONCE, collecting the shingle's test ids and train ids side
+    // by side, and explode the cross pairs. One documents scan, one
+    // shingle pass, one shuffle on `shingle` (pinned in PlanSpec); the
+    // pair expansion Σ_sh c_te·c_tr is identical to the join's.
+    //
+    // Hot-shingle policy (inherited from dedup_ngram_jaccard's measured
+    // crossover, DedupOps): the expansion stays linear while per-shingle
+    // doc-frequency is bounded — here the per-shingle id sets also bound
+    // the aggregation buffers. For corpora with ultra-hot boilerplate
+    // shingles, drop shingles above a document-frequency ceiling before
+    // the pair explode (they carry no contamination signal: every fold
+    // shares them) or move to the prefix-filter variant.
     "text_contamination" -> ((s, dir) => {
       val h = md5(concat(lit("split42:"), col("doc_id")))
       val docs = t(s, dir, "documents")
         .withColumn("fold", when(substring(h, 1, 2) < "cc", "train").otherwise("test"))
       val sh = docs.select(col("doc_id"), col("fold"),
         explode(array_distinct(shingles(col("text")))).as("shingle"))
-      val tr = sh.filter(col("fold") === "train")
-        .select(col("doc_id").as("train_id"), col("shingle"))
-      val te = sh.filter(col("fold") === "test")
-        .select(col("doc_id").as("test_id"), col("shingle"))
-      te.join(tr, Seq("shingle"))
+      val bySh = sh.groupBy("shingle").agg(
+          collect_set(when(col("fold") === "test", col("doc_id"))).as("te"),
+          collect_set(when(col("fold") === "train", col("doc_id"))).as("tr"))
+        .filter(size(col("te")) > 0 && size(col("tr")) > 0)
+      bySh
+        .select(explode(col("te")).as("test_id"), col("tr"))
+        .select(col("test_id"), explode(col("tr")).as("train_id"))
         .groupBy("test_id", "train_id").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 3)
         .groupBy("test_id")

@@ -224,10 +224,20 @@ object TpchOps {
           .as("revenue"))
     }),
 
-    // Q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS over
-    // the same fact, decorrelated into one semi and one anti join.
-    // "Late" = shipped >90 days after order placement (computed once in
-    // the `lat` CTE; the subqueries correlate only on the order key).
+    // Q21: suppliers who kept orders waiting. The textbook EXISTS +
+    // NOT EXISTS decorrelates into a semi and an anti join — but Spark
+    // inlines the `lat` CTE into all three references, so the
+    // lineitem⋈orders fact join executes THREE times (the whole query
+    // cost at scale). The classic single-pass formulation instead folds
+    // both subqueries into per-orderkey supplier counts: one row per
+    // (order, supplier) via aggregation, then window counts over the
+    // order — EXISTS(other supplier) ⇔ n_supp ≥ 2, NOT EXISTS(other LATE
+    // supplier) ⇔ this supplier is late and n_late_supp = 1. One fact
+    // join, one agg shuffle, one window shuffle over the (far smaller)
+    // per-(order,supplier) set; numwait = the qualifying suppliers' late
+    // line counts. The DuckDB oracle keeps the EXISTS formulation, so
+    // the hash match proves the rewrite's equivalence.
+    // "Late" = shipped >90 days after order placement.
     "tpch_q21" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("li_q21")
       t(s, dir, "orders").createOrReplaceTempView("ord_q21")
@@ -237,15 +247,19 @@ object TpchOps {
           |  SELECT l_orderkey, l_suppkey,
           |    (l_shipdate > o_orderdate + INTERVAL 90 DAYS) AS late
           |  FROM li_q21 JOIN ord_q21 ON l_orderkey = o_orderkey
-          |  WHERE o_orderstatus = 'F')
-          |SELECT s_name, count(*) AS numwait
-          |FROM supp_q21 JOIN lat l1 ON s_suppkey = l1.l_suppkey
-          |WHERE l1.late
-          | AND EXISTS (SELECT 1 FROM lat l2
-          |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-          | AND NOT EXISTS (SELECT 1 FROM lat l3
-          |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-          |    AND l3.late)
+          |  WHERE o_orderstatus = 'F'),
+          |per AS (
+          |  SELECT l_orderkey, l_suppkey,
+          |    count_if(late) AS late_lines, bool_or(late) AS any_late
+          |  FROM lat GROUP BY l_orderkey, l_suppkey),
+          |flag AS (
+          |  SELECT l_suppkey, late_lines, any_late,
+          |    count(*)           OVER (PARTITION BY l_orderkey) AS n_supp,
+          |    count_if(any_late) OVER (PARTITION BY l_orderkey) AS n_late_supp
+          |  FROM per)
+          |SELECT s_name, sum(late_lines) AS numwait
+          |FROM supp_q21 JOIN flag ON s_suppkey = l_suppkey
+          |WHERE any_late AND n_supp >= 2 AND n_late_supp = 1
           |GROUP BY s_name
           |ORDER BY numwait DESC, s_name
           |LIMIT 100""".stripMargin)

@@ -59,10 +59,11 @@ object StreamingSessions {
   def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(customer, events("user_id") === customer("c_custkey"), "inner")
 
-  /** Windowed stream⋈stream self-join (KStream.join(JoinWindows) analog):
-    * purchase events matched to clicks by the same user within the
-    * preceding hour. Both sides need watermarks for state cleanup. */
-  def purchaseClickJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+  /** Shared purchase/click branches for the windowed stream⋈stream joins:
+    * both sides carry watermarks (state cleanup needs event-time bounds on
+    * each branch — the join watermark is the min over the two). */
+  private def purchaseClickBranches(events: DataFrame,
+      watermark: String): (DataFrame, DataFrame) = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
@@ -71,8 +72,18 @@ object StreamingSessions {
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", watermark)
-    p.join(c, expr(
-      "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"))
+    (p, c)
+  }
+
+  private val purchaseClickCond =
+    "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"
+
+  /** Windowed stream⋈stream self-join (KStream.join(JoinWindows) analog):
+    * purchase events matched to clicks by the same user within the
+    * preceding hour. Both sides need watermarks for state cleanup. */
+  def purchaseClickJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val (p, c) = purchaseClickBranches(events, watermark)
+    p.join(c, expr(purchaseClickCond))
   }
 
   /** KTable materialization (changelog compaction): latest record per
@@ -92,17 +103,17 @@ object StreamingSessions {
     * purchases keep a row even when no click preceded them — the null
     * side emits once the watermark passes the join window. */
   def purchaseClickLeftJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
-    val p = events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", watermark)
-    val c = events.filter(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", watermark)
-    p.join(c, expr(
-      "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"),
-      "leftOuter")
+    val (p, c) = purchaseClickBranches(events, watermark)
+    p.join(c, expr(purchaseClickCond), "leftOuter")
+  }
+
+  /** Windowed stream⋈stream FULL OUTER join (KStream.outerJoin analog):
+    * BOTH unmatched sides emit a null-padded row once the watermark
+    * passes their join window — clicks that never led to a purchase AND
+    * purchases with no preceding click each surface exactly once. */
+  def purchaseClickOuterJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val (p, c) = purchaseClickBranches(events, watermark)
+    p.join(c, expr(purchaseClickCond), "fullOuter")
   }
 
   /** First-match-wins branch predicates (KStream#split semantics): an

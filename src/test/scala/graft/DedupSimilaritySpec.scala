@@ -99,6 +99,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus must contain simhash near-dups (exact dups)")
   }
 
+  test("connectedComponents merges a diameter-8 path that fixed-3-round propagation provably misses") {
+    // Path graph 0-1-2-...-8: one component, diameter 8. The old
+    // fixed-3-round min-label propagation (no pointer jumping) only pulls
+    // a label 3 hops, so the far end keeps label 5 — the silent
+    // under-merge the convergence loop exists to prevent.
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+
+    // Contrast case: the retired fixed-round loop, reproduced verbatim.
+    val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist()
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+    for (_ <- 1 to 3) {
+      val nb = edges.join(labels, col("d2") === col("doc_id"))
+        .groupBy(col("d1")).agg(min("lbl").as("nlbl"))
+      labels = labels.join(nb, labels("doc_id") === nb("d1"), "left")
+        .select(labels("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    val fixedRounds = labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.unpersist()
+    assert(fixedRounds(8L) == 5L,
+      s"fixed 3 rounds unexpectedly converged: $fixedRounds")
+
+    val cc = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (0L to 8L).map(_ -> 0L).toMap, s"got $cc")
+  }
+
+  test("connectedComponents handles multiple components and isolated self-structure") {
+    // two components (triangle 0-1-2 + long path 10..15) in one edge set
+    val pairs = (Seq((0L, 1L), (1L, 2L), (0L, 2L)) ++
+      (10L until 15L).map(i => (i, i + 1))).toDF("d1", "d2")
+    val cc = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L to 2L).map(_ -> 0L).toMap ++ (10L to 15L).map(_ -> 10L).toMap
+    assert(cc == expected, s"got $cc")
+  }
+
+  test("edgePartitions scales with measured |edges| and caps at session parallelism") {
+    assert(DedupOps.edgePartitions(100L, 32) == 1)          // tiny graph: one task
+    assert(DedupOps.edgePartitions(12L * 1000 * 1000, 32) == 4)  // ~64MB/task
+    assert(DedupOps.edgePartitions(1000L * 1000 * 1000, 32) == 32) // capped
+  }
+
   test("allPairs size guard: broadcast below ceiling, blocked shuffle join above") {
     import graft.operators.SimilarityOps
     val v = graft.Tables.t(spark, sfDir, "embeddings")

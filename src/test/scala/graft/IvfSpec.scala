@@ -87,6 +87,46 @@ class IvfSpec extends SparkSpec {
     index.unpersist(); cent.unpersist()
   }
 
+  test("bucketed IVF index probes from disk: no corpus scan, pruned buckets, fresh session") {
+    spark.sql("DROP TABLE IF EXISTS ivf_idx")
+    spark.sql("DROP TABLE IF EXISTS ivf_idx_centroids")
+    val v = Tables.t(spark, sfDir, "embeddings")
+    SimilarityOps.ivfIndexSave(v, k = 16, "ivf_idx", nBuckets = 16)
+
+    // in-session reference BEFORE dropping state (same build → same result)
+    val (index, cent) = SimilarityOps.ivfIndex(v, k = 16)
+    val q = v.filter(col("vec_id") < 10)
+    val expected = SimilarityOps.ivfSearch(q, index, cent, nprobe = 2, topK = 5)
+      .collect().map(_.toSeq)
+    index.unpersist(); cent.unpersist()
+
+    // fresh session (shared catalog, clean temp/cache state) + cold cache:
+    // the probe must run entirely off the persisted tables
+    val s2 = spark.newSession()
+    s2.catalog.clearCache()
+    val q2 = Tables.t(s2, sfDir, "embeddings").filter(col("vec_id") < 10)
+    val res = SimilarityOps.ivfSearchTable(s2, q2, "ivf_idx", nprobe = 2, topK = 5)
+    assert(res.collect().map(_.toSeq).sameElements(expected))
+
+    // plan proof: the ranking side scans ONLY the bucketed index table —
+    // pruned to the probed buckets — never embeddings.parquet. (The tiny
+    // query-vector side legitimately reads its 10 rows from the corpus.)
+    val probeCells = res.queryExecution.executedPlan.toString
+    val formatted = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val idxScans = formatted.linesIterator
+      .filter(l => l.contains("Scan") && l.contains("ivf_idx")).toSeq
+    assert(idxScans.nonEmpty, formatted)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(formatted)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n$formatted")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"bucket pruning selected all buckets: ${sel.get.matched}\n$probeCells")
+
+    spark.sql("DROP TABLE IF EXISTS ivf_idx")
+    spark.sql("DROP TABLE IF EXISTS ivf_idx_centroids")
+  }
+
   test("IVF recall beats the random-probe floor on the real table") {
     val v = Tables.t(spark, sfDir, "embeddings")
     val truth = SparkEntry.queries("sim_knn_per_query")(spark, sfDir)

@@ -155,7 +155,8 @@ class PlanSpec extends SparkSpec {
       "tpch_q15" -> 1,             // supplier-revenue agg; window is 1 row set
       "tpch_q17" -> 1,             // decorrelated avg reuses l_partkey agg
       "tpch_q19" -> 0,             // disjunction stays a broadcast-join residual
-      "tpch_q21" -> 5,             // lat CTE join + semi + anti + final agg
+      "tpch_q21" -> 3,             // ONE fact SMJ (2) + s_name agg; per-(order,
+                                   // supp) agg + window reuse the orderkey hash
       "tpch_q22" -> 1,             // anti join + one group-by shuffle
       // third-wave additions:
       "agg_regression" -> 1,       // one two-phase agg carries all 5 moments
@@ -180,14 +181,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("TPC-H subquery shapes decorrelate into semi/anti joins, never BNLJ") {
-    // Q4's EXISTS (with its correlated non-equi date predicate) and Q21's
-    // EXISTS + NOT EXISTS must become equi semi/anti joins; Q22's NOT
-    // EXISTS an anti join. A decorrelation regression would surface as a
-    // nested-loop re-execution per outer row — fatal at fact-table scale.
+    // Q4's EXISTS (with its correlated non-equi date predicate) must
+    // become an equi semi join; Q22's NOT EXISTS an anti join. A
+    // decorrelation regression would surface as a nested-loop
+    // re-execution per outer row — fatal at fact-table scale.
     val q4 = plan("tpch_q4")
     assert(q4.contains("LeftSemi"), q4)
-    val q21 = plan("tpch_q21")
-    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21)
     val q22 = plan("tpch_q22")
     assert(q22.contains("LeftAnti"), q22)
     for (k <- Seq("tpch_q4", "tpch_q17", "tpch_q21", "tpch_q22")) {
@@ -195,6 +194,28 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$k:\n$p")
     }
+  }
+
+  test("tpch_q21 executes the lineitem⋈orders fact join exactly once") {
+    // The EXISTS/NOT EXISTS formulation inlined the `lat` CTE three times
+    // (three fact-join executions). The per-orderkey supplier-count
+    // rewrite must keep ONE lineitem scan and ONE orders scan — at 100×
+    // the fact join is the whole query cost, times the scan count.
+    val p = plan("tpch_q21")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert("orders\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p) // supplier counts ride one window pass
+  }
+
+  test("text_contamination shingles the corpus once (single-pass group-collect)") {
+    // The per-shingle collect form must keep ONE documents scan and ONE
+    // shingle-UDF Generate: the retired filter-then-join form scanned and
+    // shingled the full corpus twice (Catalyst pushes the fold filters
+    // below any shared exchange, so reuse never materializes).
+    val p = plan("text_contamination")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.linesIterator.count(l =>
+      l.contains("explode(array_distinct(UDF")) == 1, p)
   }
 
   test("tpch_q6 pushes its whole WHERE clause into the parquet scan") {

@@ -24,6 +24,8 @@ class StreamingSpec extends SparkSpec {
   private def ev(id: Long, user: Long, offMin: Long, value: Double = 1.0): Event =
     Event(id, user, new Timestamp(T0 + offMin * 60000), value)
 
+  private def ts(offMin: Long): Timestamp = new Timestamp(T0 + offMin * 60000)
+
   /** Run a streaming query over a memory sink until drained; returns the
     * sink table. An extra empty round lets event-time timeouts fire after
     * the final watermark update (classic off-by-one-batch semantics). */
@@ -436,6 +438,39 @@ class StreamingSpec extends SparkSpec {
       .select("p_id", "c_id").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
     assert(got == Seq((2L, 1L), (3L, -1L))) // purchase 3 survives with null click
+  }
+
+  test("stream-stream FULL OUTER join emits BOTH null sides after watermark") {
+    // KStream.outerJoin analog: an unmatched purchase AND an unmatched
+    // click must each surface null-padded once the watermark passes
+    // their join window.
+    val events = Seq(
+      (1L, 1L, ts(0), "click"),      // joins purchase 2
+      (2L, 1L, ts(30), "purchase"),  // matched pair (2, 1)
+      (3L, 2L, ts(40), "purchase"),  // user 2 never clicked → null click side
+      (4L, 3L, ts(5), "click"),      // user 3 never purchased → null purchase side
+      // flush rows: BOTH branches' event-time stats must advance (the join
+      // watermark is the min over the two withWatermark branches)
+      (9L, 9L, ts(10000), "click"), (10L, 9L, ts(20000), "click"))
+    val ms = MemoryStream[(Long, Long, Timestamp, String)]
+    val df = ms.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val q = StreamingSessions.purchaseClickOuterJoin(df)
+      .writeStream.format("memory").queryName("stream_full")
+      .outputMode("append").start()
+    try {
+      ms.addData(events.take(4))
+      q.processAllAvailable()
+      ms.addData(events.drop(4)) // click-side watermark jump
+      q.processAllAvailable()
+      ms.addData(Seq((11L, 9L, ts(30000), "purchase"))) // purchase-side jump
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_full")
+      .filter(coalesce(col("p_user"), col("c_user")) < 9)
+      .select("p_id", "c_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    assert(got == Seq((-1L, 4L), (2L, 1L), (3L, -1L)), s"got $got")
   }
 
   test("state store is queryable offline via the state data source (KS interactive queries)") {
