@@ -269,7 +269,16 @@ object DedupOps {
     * already-checkpointed label frames — one small job, no replay. The
     * label-decrease invariant (labels are component ids, monotonically
     * non-increasing, bounded below by the component minimum) guarantees
-    * termination; `maxRounds` is a pure safety net. */
+    * termination; `maxRounds` is a pure safety net.
+    *
+    * Block hygiene: `localCheckpoint` pins its RDD blocks outside the
+    * CacheManager, so `Dataset.unpersist` cannot reach them and freeing
+    * would otherwise wait on driver GC + ContextCleaner — during a long
+    * convergence run that grows executor storage by two checkpointed
+    * frames per round. Each checkpoint's new block ids are therefore
+    * tracked via `getPersistentRDDs` diffs and the superseded frames are
+    * unpersisted explicitly once the round's convergence count has
+    * consumed them; only the returned frame's blocks stay pinned. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.select("d1", "d2").persist()
@@ -277,33 +286,56 @@ object DedupOps {
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
       .repartition(parts, col("d2")).persist()
-    var labels = edges.select(col("d1").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    var (labels, labelsIds) = checkpointTracked(
+      edges.select(col("d1").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id")))
     p.unpersist()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       val nb = edges.join(labels, col("d2") === col("doc_id"))
         .groupBy(col("d1")).agg(min("lbl").as("nlbl"))
-      val prop = labels.join(nb, labels("doc_id") === nb("d1"), "left")
-        .select(labels("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val (prop, propIds) = checkpointTracked(
+        labels.join(nb, labels("doc_id") === nb("d1"), "left")
+          .select(labels("doc_id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
       // pointer jump: label := label-of-label (both references hit the
       // checkpointed `prop`, so the self-join costs one small stage)
       val ptr = prop.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
-      val next = prop.join(ptr, prop("lbl") === ptr("p_id"), "left")
-        .select(prop("doc_id"),
-          least(prop("lbl"), coalesce(col("p_lbl"), prop("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        prop.join(ptr, prop("lbl") === ptr("p_id"), "left")
+          .select(prop("doc_id"),
+            least(prop("lbl"), coalesce(col("p_lbl"), prop("lbl"))).as("lbl")))
       changed = next.join(
           labels.select(col("doc_id"), col("lbl").as("old_lbl")), "doc_id")
         .filter(col("lbl") =!= col("old_lbl")).count()
+      // `next` is materialized and the convergence count has consumed the
+      // old labels — free this round's scratch frames deterministically.
+      freeRddBlocks(spark, propIds ++ labelsIds)
       labels = next
+      labelsIds = nextIds
       round += 1
     }
     edges.unpersist()
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Eagerly localCheckpoint `df` and report which RDD block ids the
+    * checkpoint pinned (diff of `getPersistentRDDs` around the call —
+    * sound here because the propagation loop is single-threaded on the
+    * driver), so callers can free superseded frames without waiting for
+    * GC. */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+  }
+
+  private def freeRddBlocks(spark: org.apache.spark.sql.SparkSession,
+      ids: Set[Int]): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   /** MinHash signatures (array of 64 lane-minima) + LSH band hashes

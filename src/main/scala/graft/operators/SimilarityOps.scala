@@ -261,16 +261,24 @@ object SimilarityOps {
   }
 
   /** Search a disk-persisted IVF index (see [[ivfIndexSave]]) without
-    * touching the source corpus. The probed cell ids are collected to the
-    * driver — bounded by K × |queries|, both small by construction — and
-    * pushed as a LITERAL `isin` filter so the bucketed scan prunes to the
-    * probed buckets (a join would defeat bucket pruning). */
+    * touching the source corpus. The probe set is collected to the driver
+    * ONCE — bounded by nprobe × |queries|, both small by construction —
+    * and re-used twice from those rows: the distinct cell ids become a
+    * LITERAL `isin` filter so the bucketed scan prunes to the probed
+    * buckets (a join would defeat bucket pruning), and the probes
+    * themselves re-enter the plan as a LocalRelation (broadcast side of
+    * the rank join). Collecting once instead of referencing the lazy
+    * probe frame twice halves the query-side work: the query scan,
+    * centroid crossJoin, and row_number window used to execute once for
+    * the cell collect and again inside [[ivfRank]]. */
   def ivfSearchTable(spark: org.apache.spark.sql.SparkSession, q: DataFrame,
       name: String, nprobe: Int, topK: Int): DataFrame = {
     val cent = spark.table(s"${name}_centroids")
-    val probes = ivfProbes(q, cent, nprobe)
-    val cells = probes.select("cell_id").distinct()
-      .collect().map(_.getLong(0)).sorted
+    val probeFrame = ivfProbes(q, cent, nprobe)
+    val probeRows = probeFrame.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeFrame.schema)
+    val cells = probeRows.map(_.getAs[Long]("cell_id")).distinct.sorted
     val index = spark.table(name).filter(col("cell_id").isin(cells: _*))
     ivfRank(probes, index, topK)
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,29 +108,16 @@ object TextOps {
     //
     // Hot-shingle policy (inherited from dedup_ngram_jaccard's measured
     // crossover, DedupOps): the expansion stays linear while per-shingle
-    // doc-frequency is bounded — here the per-shingle id sets also bound
-    // the aggregation buffers. For corpora with ultra-hot boilerplate
-    // shingles, drop shingles above a document-frequency ceiling before
-    // the pair explode (they carry no contamination signal: every fold
-    // shares them) or move to the prefix-filter variant.
+    // doc-frequency is bounded — enforced by [[contamination]]'s
+    // document-frequency ceiling, which drops ultra-hot boilerplate
+    // shingles before the group-collect (they carry no contamination
+    // signal: every fold shares them) so no aggregation buffer ever
+    // holds more than the ceiling's worth of ids.
     "text_contamination" -> ((s, dir) => {
       val h = md5(concat(lit("split42:"), col("doc_id")))
       val docs = t(s, dir, "documents")
         .withColumn("fold", when(substring(h, 1, 2) < "cc", "train").otherwise("test"))
-      val sh = docs.select(col("doc_id"), col("fold"),
-        explode(array_distinct(shingles(col("text")))).as("shingle"))
-      val bySh = sh.groupBy("shingle").agg(
-          collect_set(when(col("fold") === "test", col("doc_id"))).as("te"),
-          collect_set(when(col("fold") === "train", col("doc_id"))).as("tr"))
-        .filter(size(col("te")) > 0 && size(col("tr")) > 0)
-      bySh
-        .select(explode(col("te")).as("test_id"), col("tr"))
-        .select(col("test_id"), explode(col("tr")).as("train_id"))
-        .groupBy("test_id", "train_id").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 3)
-        .groupBy("test_id")
-        .agg(count(lit(1)).as("n_train_matches"), max("shared").as("max_shared"))
-        .orderBy("test_id")
+      contamination(docs)
     }),
 
     "text_tfidf" -> ((s, dir) => {
@@ -244,6 +231,45 @@ object TextOps {
         .orderBy("doc_id")),
   )
 
+  /** Document-frequency ceiling for contamination shingles. A shingle in
+    * more documents than this is fold-agnostic boilerplate — it carries
+    * no contamination signal and would otherwise collect an unbounded
+    * per-shingle id buffer (10k ids × 8 B ≈ 80 KB bounds each buffer
+    * side). Mirrored literally in the DuckDB oracle so the semantics are
+    * pinned, not an implementation detail. */
+  val ContaminationDfCeiling = 10000
+
+  /** Train/test contamination pairs over `docs(doc_id, fold, text)` —
+    * the body of the `text_contamination` query, parameterized on the
+    * df ceiling so the guard is testable with a small ceiling.
+    *
+    * The df count rides a window over the SAME shingle partitioning the
+    * group-collect needs, so the guard costs zero extra shuffles: one
+    * exchange on `shingle` feeds window-count → filter → collect (pinned
+    * in PlanSpec). The window buffers a hot shingle's rows via Spark's
+    * spilling row buffer — disk pressure, never an OOM — and every
+    * shingle that survives the filter collects ≤ `dfCeiling` ids. */
+  def contamination(docs: DataFrame,
+      dfCeiling: Int = ContaminationDfCeiling): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("fold"),
+      explode(array_distinct(shingles(col("text")))).as("shingle"))
+    val bySh = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= dfCeiling)
+      .groupBy("shingle").agg(
+        collect_set(when(col("fold") === "test", col("doc_id"))).as("te"),
+        collect_set(when(col("fold") === "train", col("doc_id"))).as("tr"))
+      .filter(size(col("te")) > 0 && size(col("tr")) > 0)
+    bySh
+      .select(explode(col("te")).as("test_id"), col("tr"))
+      .select(col("test_id"), explode(col("tr")).as("train_id"))
+      .groupBy("test_id", "train_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .groupBy("test_id")
+      .agg(count(lit(1)).as("n_train_matches"), max("shared").as("max_shared"))
+      .orderBy("test_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "text_wordcount" ->
       """SELECT word, count(*) AS cnt
@@ -282,9 +308,11 @@ object TextOps {
         | s AS (SELECT DISTINCT doc_id, fold, array_to_string(toks[i:i+2], ' ') AS shingle
         |   FROM (SELECT doc_id, fold, toks,
         |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        | ok AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 10000),
         | pairs AS (SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
         |     count(*) AS shared
         |   FROM s te JOIN s tr ON te.shingle = tr.shingle
+        |   JOIN ok ON te.shingle = ok.shingle
         |   WHERE te.fold = 'test' AND tr.fold = 'train'
         |   GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT test_id, count(*) AS n_train_matches, max(shared) AS max_shared

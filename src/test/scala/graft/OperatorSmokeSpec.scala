@@ -36,6 +36,28 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(m("chars").asInstanceOf[Long] > 0L, m)
   }
 
+  test("contamination df ceiling drops boilerplate shingles, keeps real pairs") {
+    import spark.implicits._
+    // 12 docs all share one boilerplate sentence (df = 12 > ceiling 8);
+    // docs 1 (test) and 2 (train) additionally share 3 genuine shingles.
+    val boiler = "this page is auto generated"
+    val real = "quick brown fox jumps high"
+    val docs = (1L to 12L).map { i =>
+      val fold = if (i % 2 == 1) "test" else "train"
+      val text = if (i <= 2) s"$boiler $real" else s"$boiler unique$i"
+      (i, fold, text)
+    }.toDF("doc_id", "fold", "text")
+    val guarded = operators.TextOps.contamination(docs, dfCeiling = 8).collect()
+    // Only the (1, 2) pair survives: every shingle of the boilerplate
+    // sentence occurs in all 12 docs and is dropped by the ceiling; the
+    // `real` suffix contributes the >= 3 shared shingles for docs 1 and 2.
+    assert(guarded.map(_.getLong(0)).toSeq == Seq(1L), guarded.mkString(","))
+    // Sanity: without the ceiling the boilerplate links every test doc to
+    // every train doc (6 x 6 pairs -> 6 test rows).
+    val unguarded = operators.TextOps.contamination(docs).collect()
+    assert(unguarded.length == 6, unguarded.mkString(","))
+  }
+
   test("every oracleSql key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

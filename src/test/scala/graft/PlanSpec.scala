@@ -216,6 +216,11 @@ class PlanSpec extends SparkSpec {
     assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
     assert(p.linesIterator.count(l =>
       l.contains("explode(array_distinct(UDF")) == 1, p)
+    // The df-ceiling guard (window count over shingle) must ride the
+    // group-collect's own exchange: a Window node present, but still only
+    // the 3 hash exchanges of the unguarded plan (shingle, pair, test_id).
+    assert(p.contains("Window"), p)
+    assert(hashExchanges("text_contamination") == 3)
   }
 
   test("tpch_q6 pushes its whole WHERE clause into the parquet scan") {
