@@ -248,17 +248,21 @@ object DedupOps {
     math.min(maxParallelism.toLong,
       directedEdges / EdgesPerPartition + 1).toInt
 
-  /** Connected components over an undirected pair set `pairs(d1, d2)`:
-    * min-label propagation with pointer jumping, iterated to a MEASURED
-    * fixpoint. Returns (doc_id, cluster_id = smallest id reachable).
+  /** Connected components over an undirected pair set `pairs(d1, d2)`.
+    * Returns (doc_id, cluster_id = smallest id reachable). Two regimes,
+    * picked by measured |edges| (see body): single-task union-find below
+    * [[EdgesPerPartition]], distributed min-label propagation with
+    * pointer jumping above it.
     *
-    * Each round does one neighbor-min propagation (equi-join + min agg)
-    * followed by one pointer jump (label := label's label), which doubles
-    * the reachable-min horizon — O(log D) rounds for diameter-D
-    * components instead of the O(D) of plain propagation. The loop exits
-    * when a round changes zero labels, so components of ANY diameter
-    * merge fully (the fixed-round variant silently under-merges anything
-    * wider than its round count — pinned by the diameter-8 test).
+    * Iterative-regime algorithm ([[ccIterative]]): each round does one
+    * neighbor-min propagation (equi-join + min agg) followed by one
+    * pointer jump (label := label's label), which doubles the
+    * reachable-min horizon — O(log D) rounds for diameter-D components
+    * instead of the O(D) of plain propagation. The loop exits when a
+    * round changes zero labels, so components of ANY diameter merge
+    * fully (the fixed-round variant silently under-merges anything wider
+    * than its round count — pinned by the diameter-8 test, which runs
+    * BOTH regimes).
     *
     * Engineering: the pair graph is the leaf of every round's join —
     * persisted, or each round replays the whole upstream mining chain
@@ -284,12 +288,65 @@ object DedupOps {
     val p = pairs.select("d1", "d2").persist()
     val parts = edgePartitions(2L * p.count(),
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // Dual regime, branched on the MEASURED edge count (same pattern as
+    // the `allPairs` size guard): a graph that fits one 64 MB task gets
+    // exact single-pass union-find — the iterative path's per-round job
+    // scheduling (≈3 blocking micro-jobs × observed 8 rounds at sf0.1)
+    // costs ~20× the actual work at this size (measured 7.0 s → 0.3 s).
+    // Past the threshold, distributed pointer-jumping iterates to the
+    // convergence fixpoint.
+    val out =
+      if (parts == 1) ccSinglePartition(p).localCheckpoint()
+      else ccIterative(p, parts, maxRounds)
+    p.unpersist()
+    out
+  }
+
+  /** Exact connected components for a pair set that fits ONE task (the
+    * planted-dup regime: |directed edges| ≤ [[EdgesPerPartition]]):
+    * classic union-find with path compression in a single `mapPartitions`
+    * pass. Union always attaches the larger root beneath the smaller, so
+    * every root IS its component's minimum id — the same representative
+    * the iterative path converges to, for any diameter, in one job. */
+  private[graft] def ccSinglePartition(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    p.select(col("d1"), col("d2")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keys.toArray.iterator.map(k => (k, find(k)))
+      }
+      .toDF("doc_id", "cluster_id")
+  }
+
+  /** Distributed min-label propagation + pointer jumping to a measured
+    * fixpoint — the multi-partition regime of [[connectedComponents]].
+    * Expects `p(d1, d2)` already persisted by the caller (it is the leaf
+    * of every round's join; an uncached lineage replays the upstream
+    * mining chain per round). */
+  private[graft] def ccIterative(p: DataFrame, parts: Int,
+      maxRounds: Int = 64): DataFrame = {
+    val spark = p.sparkSession
     val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
       .repartition(parts, col("d2")).persist()
     var (labels, labelsIds) = checkpointTracked(
       edges.select(col("d1").as("doc_id")).distinct()
         .withColumn("lbl", col("doc_id")))
-    p.unpersist()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {

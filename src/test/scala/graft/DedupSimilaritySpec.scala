@@ -128,6 +128,18 @@ class DedupSimilaritySpec extends SparkSpec {
     val cc = DedupOps.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == (0L to 8L).map(_ -> 0L).toMap, s"got $cc")
+
+    // Both regimes must merge the full path: the public entry routes this
+    // tiny graph to single-task union-find, so pin the distributed
+    // pointer-jumping path explicitly at parts=2 as well.
+    val pp = pairs.persist()
+    val iter = DedupOps.ccIterative(pp, parts = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pp.unpersist()
+    assert(iter == (0L to 8L).map(_ -> 0L).toMap, s"iterative got $iter")
+    val uf = DedupOps.ccSinglePartition(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == (0L to 8L).map(_ -> 0L).toMap, s"union-find got $uf")
   }
 
   test("connectedComponents handles multiple components and isolated self-structure") {

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale-point generator (test scope, like the profiler — not
+  * part of the shipped library): expands the driver's sf0.1 testdata to an
+  * sf1-equivalent corpus so SCALE.md's pair-expansion claims can be
+  * MEASURED above sf0.1 instead of argued in prose.
+  *
+  * Faithfulness matters more than realism here: the driver's own
+  * generator draws from a FIXED vocabulary, so per-shingle document
+  * frequency grows ~linearly with corpus size and the inverted-index pair
+  * expansion Σ c·(c−1)/2 grows ~quadratically (measured on the driver's
+  * own points: 14.9k pairs @ 500 docs → 1.27M @ 5k docs, ≈85× for 10×).
+  * Cloning documents with perturbed tokens would freeze df and silently
+  * linearize exactly the cost curve we want to observe. Instead each new
+  * document is assembled from 8-token CHUNKS of the real corpus, chosen by
+  * `xxhash64(rep, doc, slot)` — deterministic, same vocabulary, same
+  * doc-length/lang/source distributions, df keeps the driver's growth law.
+  *
+  * Usage: sbt "Test/runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  */
+object ScaleGen {
+  private val ChunkLen = 8
+
+  private val chunkUdf = udf((text: String) => {
+    val toks = text.split(' ')
+    toks.grouped(ChunkLen).map(_.mkString(" ")).toArray
+  })
+
+  def main(args: Array[String]): Unit = {
+    val Array(in, out, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- documents: rep 0 = originals; reps 1..f-1 are chunk-assembled.
+    val docs = spark.read.parquet(s"$in/documents.parquet")
+    val idOffset = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val chunks = docs
+      .select(col("doc_id"), posexplode(chunkUdf(col("text"))).as(Seq("pos", "chunk")))
+      .withColumn("cid",
+        row_number().over(Window.orderBy("doc_id", "pos")).cast("long") - 1)
+      .select("cid", "chunk")
+    val nChunks = chunks.count()
+    val slots = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        greatest(lit(1), ceil(size(split(col("text"), " ")) / lit(ChunkLen)))
+          .cast("int").as("n_slots"))
+      .crossJoin(spark.range(1, factor).select(col("id").as("rep")))
+      .select(col("rep"), col("doc_id"), col("lang"), col("source"),
+        explode(sequence(lit(0), col("n_slots") - 1)).as("slot"))
+      .withColumn("cid",
+        pmod(xxhash64(col("rep"), col("doc_id"), col("slot")), lit(nChunks)))
+    val synth = slots.join(chunks, "cid")
+      .groupBy("rep", "doc_id", "lang", "source")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("slot"), col("chunk")))),
+        e => e.getField("chunk")), " ").as("text"))
+      .select((col("rep") * idOffset + col("doc_id")).as("doc_id"),
+        col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").union(synth)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // ---- embeddings: per-rep jitter (±0.005) keeps the planted cluster
+    // structure so LSH/IVF recall paths stay meaningful at 10x.
+    val emb = spark.read.parquet(s"$in/embeddings.parquet")
+    val vecOffset = emb.agg(max("vec_id")).head.getLong(0) + 1
+    emb.crossJoin(spark.range(0, factor).select(col("id").as("rep")))
+      .select((col("rep") * vecOffset + col("vec_id")).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(1000))
+              - 500).cast("float") / 100000.0f))
+            .cast("array<float>")).as("embedding"),
+        col("label"))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // ---- events: replicate users (the sessionization key), timestamps
+    // unchanged — session count and shuffle volume scale linearly, the
+    // claim under test. `ts` stays raw int64 nanos (Tables.events reads
+    // bigint the same way it reads the driver's timestamp[ns]).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$in/events.parquet")
+    val userOffset = 1000000L
+    val evOffset = ev.agg(max("event_id")).head.getLong(0) + 1
+    ev.crossJoin(spark.range(0, factor).select(col("id").as("rep")))
+      .select((col("rep") * evOffset + col("event_id")).as("event_id"),
+        col("ts"), (col("rep") * userOffset + col("user_id")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"[scalegen] wrote ${factor}x of $in to $out")
+    spark.stop()
+  }
+}
