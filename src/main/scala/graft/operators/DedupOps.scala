@@ -243,10 +243,21 @@ object DedupOps {
     * orders of magnitude smaller than the corpus, so they land on ONE
     * partition (32-task micro-stages cost more in scheduling than they
     * save — measured in round 2); a pathological 100 TB edge set spreads
-    * at ~64 MB/task instead of landing on one. */
-  def edgePartitions(directedEdges: Long, maxParallelism: Int): Int =
+    * at ~64 MB/task instead of landing on one. `edgesPerTask` is
+    * overridable so the routing branch can be pinned by tests with tiny
+    * graphs; production callers always use the measured default. */
+  def edgePartitions(directedEdges: Long, maxParallelism: Int,
+      edgesPerTask: Long = EdgesPerPartition): Int =
     math.min(maxParallelism.toLong,
-      directedEdges / EdgesPerPartition + 1).toInt
+      directedEdges / edgesPerTask + 1).toInt
+
+  /** Test-only observability for the [[connectedComponents]] regime
+    * router: records which branch the last call took
+    * ("single-partition" | "iterative"). The routing itself is driven
+    * purely by the measured edge count — this reference exists so the
+    * routing test can observe the branch without perturbing it. */
+  private[graft] val lastCcRegime =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
 
   /** Connected components over an undirected pair set `pairs(d1, d2)`.
     * Returns (doc_id, cluster_id = smallest id reachable). Two regimes,
@@ -279,27 +290,33 @@ object DedupOps {
     * CacheManager, so `Dataset.unpersist` cannot reach them and freeing
     * would otherwise wait on driver GC + ContextCleaner — during a long
     * convergence run that grows executor storage by two checkpointed
-    * frames per round. Each checkpoint's new block ids are therefore
-    * tracked via `getPersistentRDDs` diffs and the superseded frames are
+    * frames per round. Each checkpoint's pinned RDD id is therefore read
+    * off its own plan (`LogicalRDD` leaf) and the superseded frames are
     * unpersisted explicitly once the round's convergence count has
     * consumed them; only the returned frame's blocks stay pinned. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64,
+      edgesPerTask: Long = EdgesPerPartition): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.select("d1", "d2").persist()
     val parts = edgePartitions(2L * p.count(),
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, edgesPerTask)
     // Dual regime, branched on the MEASURED edge count (same pattern as
     // the `allPairs` size guard): a graph that fits one 64 MB task gets
     // exact single-pass union-find — the iterative path's per-round job
     // scheduling (≈3 blocking micro-jobs × observed 8 rounds at sf0.1)
     // costs ~20× the actual work at this size (measured 7.0 s → 0.3 s).
     // Past the threshold, distributed pointer-jumping iterates to the
-    // convergence fixpoint.
-    val out =
-      if (parts == 1) ccSinglePartition(p).localCheckpoint()
-      else ccIterative(p, parts, maxRounds)
-    p.unpersist()
-    out
+    // convergence fixpoint (which frees `p` itself once its own edges
+    // cache is materialized).
+    if (parts == 1) {
+      lastCcRegime.set("single-partition")
+      val out = ccSinglePartition(p).localCheckpoint()
+      p.unpersist()
+      out
+    } else {
+      lastCcRegime.set("iterative")
+      ccIterative(p, parts, maxRounds)
+    }
   }
 
   /** Exact connected components for a pair set that fits ONE task (the
@@ -347,6 +364,11 @@ object DedupOps {
     var (labels, labelsIds) = checkpointTracked(
       edges.select(col("d1").as("doc_id")).distinct()
         .withColumn("lbl", col("doc_id")))
+    // The eager checkpoint above scanned `edges` fully, so its cache is
+    // now populated and the caller's `p` cache is redundant — free it
+    // before the convergence loop instead of holding both for the whole
+    // run (round-5 ADVICE: avoidable executor-storage growth).
+    p.unpersist()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -378,15 +400,20 @@ object DedupOps {
   }
 
   /** Eagerly localCheckpoint `df` and report which RDD block ids the
-    * checkpoint pinned (diff of `getPersistentRDDs` around the call —
-    * sound here because the propagation loop is single-threaded on the
-    * driver), so callers can free superseded frames without waiting for
-    * GC. */
+    * checkpoint pinned, so callers can free superseded frames without
+    * waiting for GC. The ids are read off the checkpointed plan itself —
+    * its `LogicalRDD` leaf holds exactly the block-pinned RDD — not from
+    * a session-global `getPersistentRDDs` diff, so a frame persisted
+    * concurrently by another thread in the same session can never be
+    * captured and force-freed by mistake (round-5 ADVICE). */
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint()
-    (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    val ids = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    require(ids.nonEmpty,
+      "localCheckpoint left no LogicalRDD leaf to track — cannot free blocks deterministically")
+    (out, ids)
   }
 
   private def freeRddBlocks(spark: org.apache.spark.sql.SparkSession,

@@ -2,9 +2,10 @@ package graft.operators
 
 import graft.Tables._
 import graft.functions.VecFunctions.vecDot
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Similarity search over the embedding column (north-star set).
   *
@@ -262,24 +263,49 @@ object SimilarityOps {
 
   /** Search a disk-persisted IVF index (see [[ivfIndexSave]]) without
     * touching the source corpus. The probe set is collected to the driver
-    * ONCE — bounded by nprobe × |queries|, both small by construction —
-    * and re-used twice from those rows: the distinct cell ids become a
-    * LITERAL `isin` filter so the bucketed scan prunes to the probed
-    * buckets (a join would defeat bucket pruning), and the probes
-    * themselves re-enter the plan as a LocalRelation (broadcast side of
-    * the rank join). Collecting once instead of referencing the lazy
-    * probe frame twice halves the query-side work: the query scan,
-    * centroid crossJoin, and row_number window used to execute once for
-    * the cell collect and again inside [[ivfRank]]. */
+    * ONCE, grouped per query so each query embedding crosses the wire a
+    * single time (nprobe cell ids per query, NOT nprobe replicated copies
+    * of the vector — the flat collect grew driver memory by
+    * |queries|×nprobe×dim floats, round-5 ADVICE). The collected rows are
+    * re-used twice: the distinct cell ids become a LITERAL `isin` filter
+    * so the bucketed scan prunes to the probed buckets (a join would
+    * defeat bucket pruning), and the (q_id, cell_id) pairs re-enter the
+    * plan as a LocalRelation that re-joins the once-per-query embeddings
+    * — the ×nprobe replication happens on executors, never the driver.
+    * Collecting once instead of referencing the lazy probe frame twice
+    * halves the query-side work: the query scan, centroid crossJoin, and
+    * row_number window used to execute once for the cell collect and
+    * again inside [[ivfRank]].
+    *
+    * `maxDriverProbeRows` is a driver-memory tripwire: this single-collect
+    * fast path is for interactive query batches; a corpus-sized query
+    * frame must use the distributed [[ivfSearch]] instead of silently
+    * growing the driver collect. */
   def ivfSearchTable(spark: org.apache.spark.sql.SparkSession, q: DataFrame,
-      name: String, nprobe: Int, topK: Int): DataFrame = {
+      name: String, nprobe: Int, topK: Int,
+      maxDriverProbeRows: Long = 1000000L): DataFrame = {
     val cent = spark.table(s"${name}_centroids")
-    val probeFrame = ivfProbes(q, cent, nprobe)
-    val probeRows = probeFrame.collect()
-    val probes = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probeFrame.schema)
-    val cells = probeRows.map(_.getAs[Long]("cell_id")).distinct.sorted
+    val grouped = ivfProbes(q, cent, nprobe)
+      .groupBy("q_id")
+      .agg(first(col("q_emb")).as("q_emb"),
+        collect_list(col("cell_id")).as("cells"))
+    val qRows = grouped.collect()
+    require(qRows.length.toLong * nprobe <= maxDriverProbeRows,
+      s"ivfSearchTable collected ${qRows.length} queries × nprobe=$nprobe probe rows, " +
+        s"over maxDriverProbeRows=$maxDriverProbeRows — " +
+        "use ivfSearch (distributed probes) for large query batches")
+    val qEmb = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.map(r => Row(r.get(0), r.get(1))): _*),
+      StructType(grouped.schema.take(2)))
+    val pairRows = qRows.flatMap(r => r.getSeq[Long](2).map(c => Row(r.get(0), c)))
+    val slim = spark.createDataFrame(
+      java.util.Arrays.asList(pairRows: _*),
+      StructType(Seq(grouped.schema.head,
+        StructField("cell_id", LongType, nullable = false))))
+    val cells = pairRows.map(_.getLong(1)).distinct.sorted
     val index = spark.table(name).filter(col("cell_id").isin(cells: _*))
+    val probes = slim.join(broadcast(qEmb), "q_id")
+      .select(col("q_id"), col("q_emb"), col("cell_id"))
     ivfRank(probes, index, topK)
   }
 

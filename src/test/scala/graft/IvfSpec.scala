@@ -127,6 +127,25 @@ class IvfSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_idx_centroids")
   }
 
+  test("ivfSearchTable enforces its driver probe-row bound") {
+    spark.sql("DROP TABLE IF EXISTS ivf_guard_idx")
+    spark.sql("DROP TABLE IF EXISTS ivf_guard_idx_centroids")
+    val v = clusteredVecs()
+    SimilarityOps.ivfIndexSave(v, k = 4, "ivf_guard_idx", nBuckets = 4)
+    val q = v.filter(col("vec_id") % 25 === 0) // 4 queries × nprobe 2 = 8 probe rows
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.ivfSearchTable(spark, q, "ivf_guard_idx", nprobe = 2,
+        topK = 5, maxDriverProbeRows = 7L)
+    }
+    assert(ex.getMessage.contains("maxDriverProbeRows"))
+    // exactly at the bound the collect proceeds and the search works
+    val ok = SimilarityOps.ivfSearchTable(spark, q, "ivf_guard_idx", nprobe = 2,
+      topK = 5, maxDriverProbeRows = 8L)
+    assert(ok.count() == 4 * 5)
+    spark.sql("DROP TABLE IF EXISTS ivf_guard_idx")
+    spark.sql("DROP TABLE IF EXISTS ivf_guard_idx_centroids")
+  }
+
   test("IVF recall beats the random-probe floor on the real table") {
     val v = Tables.t(spark, sfDir, "embeddings")
     val truth = SparkEntry.queries("sim_knn_per_query")(spark, sfDir)
