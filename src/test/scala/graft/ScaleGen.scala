@@ -44,6 +44,11 @@ object ScaleGen {
     val idOffset = docs.agg(max("doc_id")).head.getLong(0) + 1
     val chunks = docs
       .select(col("doc_id"), posexplode(chunkUdf(col("text"))).as(Seq("pos", "chunk")))
+      // DEV-ONLY: an unpartitioned Window.orderBy is a single-task global
+      // sort — fine for this generator's one-off 40k-chunk frame, but it
+      // must NOT be copied into a shipped operator (it serializes the
+      // whole dataset through one task; operators use monotonically
+      // increasing / zipWithIndex-style ids or partitioned windows).
       .withColumn("cid",
         row_number().over(Window.orderBy("doc_id", "pos")).cast("long") - 1)
       .select("cid", "chunk")
