@@ -245,7 +245,17 @@ object DedupOps {
     * save — measured in round 2); a pathological 100 TB edge set spreads
     * at ~64 MB/task instead of landing on one. `edgesPerTask` is
     * overridable so the routing branch can be pinned by tests with tiny
-    * graphs; production callers always use the measured default. */
+    * graphs; production callers always use the measured default.
+    *
+    * Measured crossover evidence (ProfileJac `cc_regimes`, sf0.1 + the
+    * ScaleGen'd 10× point, SCALE.md §9): on the real simhash pair graph
+    * union-find beats the forced iterative path 11× at 1,925 edges
+    * (0.53 s vs 5.8 s) and still 5–9× at 166,342 edges (1.0–1.7 s vs
+    * 8.7–17.4 s) — per-round job scheduling dominates far beyond the
+    * point where the graph stops being tiny. Edges grew 86× for 10×
+    * docs, so one more decade (~14M undirected / 28M directed) crosses
+    * this 4M boundary — exactly where a single 64 MB-bounded task stops
+    * being safe and the iterative regime must take over. */
   def edgePartitions(directedEdges: Long, maxParallelism: Int,
       edgesPerTask: Long = EdgesPerPartition): Int =
     math.min(maxParallelism.toLong,
