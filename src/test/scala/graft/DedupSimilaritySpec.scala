@@ -188,6 +188,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(DedupOps.edgePartitions(DedupOps.EdgesPerPartition, 32) == 2)
   }
 
+  test("connectedComponents frees every scratch block; only the result checkpoint stays pinned") {
+    // The iterative regime checkpoints 2 frames per round and must free
+    // them deterministically (plus the caller's pair cache and the edges
+    // cache) — after the run, the ONLY surviving persistent RDD beyond
+    // the pre-existing set is the returned labels checkpoint. Pins the
+    // LogicalRDD-based id tracking: a tracking bug would either leak
+    // per-round frames (diff grows with rounds) or free a foreign frame.
+    val foreign = spark.range(10).toDF("x").persist()
+    foreign.count()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val out = DedupOps.connectedComponents(pairs, edgesPerTask = 1L) // force iterative
+    assert(out.count() == 9)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size == 1, s"expected only the result checkpoint pinned, got $leaked")
+    // the concurrently-persisted foreign frame must survive untouched
+    assert(spark.sparkContext.getPersistentRDDs.keySet.intersect(before).nonEmpty)
+    assert(foreign.storageLevel.useMemory, "foreign cached frame was force-freed")
+    foreign.unpersist()
+
+    val out2 = DedupOps.connectedComponents(pairs) // union-find branch
+    assert(out2.count() == 9)
+    val leaked2 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked2.size <= 2, s"single-partition branch leaked: $leaked2")
+  }
+
   test("allPairs size guard: broadcast below ceiling, blocked shuffle join above") {
     import graft.operators.SimilarityOps
     val v = graft.Tables.t(spark, sfDir, "embeddings")
