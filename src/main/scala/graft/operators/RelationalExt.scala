@@ -185,6 +185,43 @@ object RelationalExt {
       ).orderBy("doc_id")
     }),
 
+    // Leakage-safe split: the fold is keyed by the near-dup CLUSTER id
+    // (simhash hamming≤3 connected components), so near-duplicate
+    // documents can never straddle train/test — the contamination vector
+    // a doc-keyed split leaves open (text_contamination then measures
+    // residual shingle overlap, not self-inflicted duplicate leakage).
+    // Same salt as train_test_split, so singletons (docs with no
+    // near-dup, cluster_id = own id) land in the same fold either way.
+    // Scale: one broadcast-joinable labels frame (clusters are a small
+    // fraction of the corpus); the md5 fold stays a pure projection.
+    "train_test_split_grouped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = DedupOps.clusterLabels(docs)
+      val gid = coalesce(col("cluster_id"), col("doc_id"))
+      val h = md5(concat(lit("split42:"), gid))
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), gid.as("group_id"),
+          when(substring(h, 1, 2) < "cc", "train").otherwise("test").as("fold"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact stratified split: rank within each language stratum by
+    // md5(salt || key) and fold round-robin — every stratum splits 80/20
+    // exactly (±1 doc), where the hash-threshold fold only hits the ratio
+    // in expectation (±√n noise, material for small strata / eval sets).
+    // Scale: one shuffle on the stratum key + per-stratum sort (spillable);
+    // for corpus-sized strata the hash-threshold split stays the default —
+    // this is the bounded eval-set curation tool.
+    "train_test_split_stratified" -> ((s, dir) => {
+      val h = md5(concat(lit("strat42:"), col("doc_id")))
+      val w = Window.partitionBy("lang").orderBy(h, col("doc_id"))
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        when((row_number().over(w) - lit(1)) % 5 < 4, "train")
+          .otherwise("test").as("fold"))
+        .orderBy("doc_id")
+    }),
+
     // Histogram binning via width_bucket → two-phase count agg.
     "agg_histogram" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -587,6 +624,21 @@ object RelationalExt {
     "train_test_split" ->
       """SELECT doc_id,
         | CASE WHEN substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |   THEN 'train' ELSE 'test' END AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "train_test_split_grouped" ->
+      ("WITH " + DedupOps.clusterLabelsSql("documents") + """
+        |SELECT d.doc_id,
+        | COALESCE(l.cluster_id, d.doc_id) AS group_id,
+        | CASE WHEN substring(md5('split42:' ||
+        |     CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) < 'cc'
+        |   THEN 'train' ELSE 'test' END AS fold
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        |ORDER BY d.doc_id""").stripMargin,
+    "train_test_split_stratified" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN (row_number() OVER (PARTITION BY lang
+        |     ORDER BY md5('strat42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 < 4
         |   THEN 'train' ELSE 'test' END AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
     "agg_histogram" ->

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Every query must be run-to-run deterministic — the driver adjudicates
   * correctness by hashing result values, so any nondeterminism (float
   * summation order, unstable sort ties, time-dependent expressions) fails
@@ -28,5 +30,27 @@ class DeterminismSpec extends SparkSpec {
     val train = folds.getOrElse("train", 0L).toDouble
     // 'cc'/'100' hex prefix threshold = 204/256 ≈ 0.797 expected train share
     assert(math.abs(train / n - 0.797) < 0.15, s"train fraction ${train / n}")
+  }
+
+  test("grouped split is leakage-safe; stratified split is exact per stratum") {
+    // leakage-safety: every near-dup cluster lands wholly in ONE fold —
+    // the property that makes the grouped split contamination-proof
+    val g = SparkEntry.queries("train_test_split_grouped")(spark, sfDir)
+    val mixed = g.groupBy("group_id")
+      .agg(countDistinct(col("fold")).as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(mixed == 0, s"$mixed near-dup clusters straddle train/test")
+
+    // exact stratification: each lang stratum splits train = n − ⌊n/5⌋
+    // precisely (round-robin over the md5 rank), never ±√n hash noise
+    val st = SparkEntry.queries("train_test_split_stratified")(spark, sfDir)
+    st.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        count(when(col("fold") === "train", 1)).as("tr"))
+      .collect().foreach { r =>
+        val n = r.getLong(1); val tr = r.getLong(2)
+        assert(tr == n - n / 5,
+          s"lang ${r.getString(0)}: $tr train of $n, expected ${n - n / 5}")
+      }
   }
 }
