@@ -24,7 +24,7 @@ object StatefulSessionizer {
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, sum_value: Double)
 
-  private def us(ts: Timestamp): Long =
+  private[streaming] def us(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
 
   private def toTs(usVal: Long): Timestamp = {
@@ -33,18 +33,21 @@ object StatefulSessionizer {
     t
   }
 
-  private def emit(userId: Long, s: OpenSession, gapUs: Long): SessionOut =
+  private[streaming] def emit(userId: Long, s: OpenSession, gapUs: Long): SessionOut =
     SessionOut(userId, toTs(s.startUs), toTs(s.lastUs + gapUs), s.n, s.sum)
 
-  /** The gap-merge fold shared by both timeout flavors: close sessions
-    * broken by the gap, leave the tail open in `state`, and return the
-    * closed ones. The caller decides how the open tail eventually emits
-    * (event-time watermark vs wall-clock idle). */
-  private def mergeEvents(gapUs: Long, userId: Long, events: Iterator[Event],
-      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+  /** The pure gap-merge fold — the single source of session semantics for
+    * BOTH custom-state operators (`flatMapGroupsWithState` here and
+    * [[TwsSessionizer]]'s `transformWithState` processor): fold the
+    * batch's events (event-time order, id tiebreak) into the open
+    * session, closing a session whenever the gap is exceeded. Returns
+    * (closed sessions, the still-open tail). */
+  private[streaming] def foldEvents(gapUs: Long, userId: Long,
+      init: Option[OpenSession],
+      events: Iterator[Event]): (Vector[SessionOut], Option[OpenSession]) = {
     val sorted = events.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id))
     val closed = Vector.newBuilder[SessionOut]
-    var cur = state.getOption
+    var cur = init
     sorted.foreach { e =>
       val tUs = us(e.ts)
       cur match {
@@ -57,8 +60,18 @@ object StatefulSessionizer {
           cur = Some(OpenSession(tUs, tUs, 1, e.value))
       }
     }
+    (closed.result(), cur)
+  }
+
+  /** [[foldEvents]] applied to a `GroupState` (the fmgws flavors): close
+    * sessions broken by the gap, leave the tail open in `state`, and
+    * return the closed ones. The caller decides how the open tail
+    * eventually emits (event-time watermark vs wall-clock idle). */
+  private def mergeEvents(gapUs: Long, userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    val (closed, cur) = foldEvents(gapUs, userId, state.getOption, events)
     cur.foreach(state.update)
-    closed.result().iterator
+    closed.iterator
   }
 
   /** The per-group state transition (event-time timeouts). Public for

@@ -103,6 +103,90 @@ class StreamingSpec extends SparkSpec {
     assert(canon(out) == canon(batch))
   }
 
+  /** Run `body` with the RocksDB state-store provider (required by
+    * transformWithState), restoring prior conf afterwards. */
+  private def withRocksDb[A](body: => A): A = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("transformWithState sessionizer ≡ session_window (4-way parity closes)") {
+    withRocksDb {
+      val data = Seq(
+        ev(1, 1, 0, 2.0), ev(2, 1, 10, 3.0), ev(3, 1, 90, 1.0),
+        ev(4, 2, 0, 5.0), ev(5, 2, 29, 1.0), ev(6, 2, 59, 1.0), // chained session
+        ev(7, 3, 0, 1.0))
+      val flush = Seq(ev(99, 9, 10000), ev(100, 9, 20000))
+      val ms = MemoryStream[Event]
+      val out = runToMemory(
+        graft.streaming.TwsSessionizer.sessionize(ms.toDS()).toDF(),
+        "tws_sessions", ms, Seq(data, flush, Seq.empty))
+        .filter(col("user_id") < 9)
+      val batch = Sessionization.nativeSessions(data.toDF())
+      val canon = (df: DataFrame) => df
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 6))
+        .collect().map(_.toSeq).toSet
+      assert(canon(out) == canon(batch))
+    }
+  }
+
+  test("transformWithState timers re-arm as cross-batch events extend a session") {
+    withRocksDb {
+      // Each batch extends user 1's open session by 10 min (< 30-min gap),
+      // so the event-time timer must be deleted and re-registered per
+      // batch; a stale timer firing early would split the session. The
+      // final watermark flush emits exactly ONE 3-event session.
+      val ms = MemoryStream[Event]
+      val out = runToMemory(
+        graft.streaming.TwsSessionizer.sessionize(ms.toDS()).toDF(),
+        "tws_rearm", ms,
+        Seq(Seq(ev(1, 1, 0, 1.0)), Seq(ev(2, 1, 10, 2.0)),
+          Seq(ev(3, 1, 20, 3.0)),
+          Seq(ev(99, 9, 10000), ev(100, 9, 20000)), Seq.empty))
+        .filter(col("user_id") < 9)
+      val rows = out.select("user_id", "n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq((1L, 3L, 6.0)), rows.toString)
+    }
+  }
+
+  test("checkpoint restart recovers transformWithState timers and value state") {
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("graft_ckpt_tws").toString
+      val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val batch1 = Seq(ev(1, 1, 0, 2.0), ev(2, 1, 10, 3.0), ev(3, 2, 5, 5.0))
+      val batch2 = Seq(ev(4, 1, 60, 1.0), ev(99, 9, 10000), ev(100, 9, 20000))
+      val schema = batch1.toDF().schema
+      def write(events: Seq[Event]): Unit =
+        events.toDF().coalesce(1).write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(src).as[Event]
+        val q = graft.streaming.TwsSessionizer.sessionize(stream).toDF()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      write(batch1); runOnce() // sessions live only in ValueState + timers now
+      write(batch2); runOnce() // restart must restore both and then flush
+      val canon = (df: DataFrame) => df
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 6))
+        .collect().map(_.toSeq).toSet
+      val got = spark.read.parquet(out).filter(col("user_id") < 9)
+      val batch = Sessionization.nativeSessions((batch1 ++ batch2).toDF())
+        .filter(col("user_id") < 9)
+      assert(canon(got) == canon(batch))
+      assert(got.count() == 3)
+    }
+  }
+
   test("bootstrap state: streaming continues sessions opened by a batch backfill") {
     import StatefulSessionizer.OpenSession
     // history ended with user 1's session open: 2 events, last at t-10min
