@@ -119,15 +119,13 @@ object DedupOps {
     "dedup_near_minhash" -> ((s, dir) => {
       val sigs = minhashSignatures(docShingles(t(s, dir, "documents")))
       // Candidates carry only the id pair through the band join + distinct
-      // (signatures are wide — rejoin them afterwards via broadcast).
+      // (signatures are wide — rejoin them afterwards via broadcast). The
+      // band join runs through [[cappedBandPairs]]: buckets above
+      // [[HotBucketCap]] members star-expand instead of all-pairs, so a
+      // mass-duplicated document can never mine c² candidates.
       val bands = sigs.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_id", "band_hash")))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id")
-            && col("x.band_hash") === col("y.band_hash")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
+      val cand = cappedBandPairs(bands, "doc_id", Seq("band_id", "band_hash"))
       val sigOnly = sigs.select(col("doc_id"), col("sig"))
       cand
         .join(broadcast(sigOnly.select(col("doc_id").as("d1"), col("sig").as("sig1"))), "d1")
@@ -141,6 +139,78 @@ object DedupOps {
         .limit(50)
     }),
   )
+
+  /** The minhash band frame (doc_id, band_id, band_hash) for `dir`'s
+    * documents — exposed for the dev bucket profiler (ProfileBuckets). */
+  private[graft] def minhashBands(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    minhashSignatures(docShingles(t(s, dir, "documents")))
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+
+  /** Hot-bucket ceiling for sketch-path band joins ([[cappedBandPairs]]).
+    * A bucket of c members mines c·(c−1)/2 candidate pairs; buckets only
+    * get hot when their members are near-identical (that is what hashing
+    * to one bucket means), so past this size the all-pairs enumeration is
+    * pure redundancy — star expansion keeps every member reachable from
+    * the bucket representative at O(c) pairs. 512 is ~2× the largest
+    * bucket observed on the measured corpora at the 10× (sf1) point (see
+    * the Scaladoc on [[cappedBandPairs]]), so the ceiling never bites
+    * real data at test scale and only engages on pathological mass
+    * duplication. */
+  val HotBucketCap: Int = 512
+
+  /** Candidate (d1, d2) pairs from a banded sketch frame, with a
+    * hot-bucket ceiling — the scale guard for the LSH band joins
+    * (`dedup_near_minhash`, `sim_ann_lsh`).
+    *
+    * Semantics per bucket (the group of rows sharing `bucketCols`):
+    *   - ≤ `cap` members: exact all-pairs (`d1 < d2`), as before;
+    *   - >  `cap` members: star expansion — every member pairs with the
+    *     bucket's minimum id only, O(c) pairs instead of O(c²).
+    *
+    * Why the star is the right degradation: a bucket is hot only under
+    * mass near-duplication (a sketch bucket IS a similarity bucket), and
+    * downstream consumers verify candidates then cluster them — for
+    * clustering, connectivity through the representative is what matters,
+    * and the planted-cluster spec pins exactly that (bounded pair count,
+    * unchanged cluster membership). Exact-recall miners (simhashPairs and
+    * the Jaccard inverted index) deliberately do NOT route through this —
+    * their oracles promise every qualifying pair.
+    *
+    * Cost shape: one hash shuffle of the ids-only banded frame for the
+    * window (count + min per bucket) whose partitioning the small-bucket
+    * self-join then reuses (same keys), and the hot side emits O(c) rows
+    * with no join at all. Measured bucket maxima that informed the
+    * default cap (ProfileBuckets): minhash 16×4 bands — 4 (sf0.1) /
+    * 9 (sf1, 10×); size-adaptive LSH — 122 (sf0.1, 5×5-bit) /
+    * 223 (sf1, 14×9-bit). The cap sits ~2× above the largest observed
+    * bucket at 10× test scale. */
+  def cappedBandPairs(banded: DataFrame, idCol: String,
+      bucketCols: Seq[String], cap: Int = HotBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val ann = banded.select(col(idCol) +: bucketCols.map(col): _*)
+      .withColumn("bkt_n", count(lit(1)).over(w))
+      .withColumn("bkt_min", min(col(idCol)).over(w))
+    // One equi-join, pair-emitting side ("d1") pre-filtered to the bucket
+    // REPRESENTATIVES: every member of a small bucket, only the pivot
+    // (min id) of a hot one. Small buckets then emit exact all-pairs
+    // (d1 < d2 picks each unordered pair once); hot buckets emit only
+    // (pivot, member) — and because the hot side of the join carries one
+    // row per bucket, the join's work is proportional to its OUTPUT, not
+    // to the c² combinations a residual-filtered self-join would stream.
+    // Both join inputs are the same window subtree, so AQE executes the
+    // bucket-stats shuffle once (stage reuse); the window's partitioning
+    // is the join's key, so the join itself adds no exchange.
+    val reps = ann.filter(col("bkt_n") <= cap || col(idCol) === col("bkt_min"))
+    ann.select(bucketCols.map(col) :+ col(idCol).as("d2"): _*)
+      .join(reps.select(bucketCols.map(col) :+ col(idCol).as("d1"): _*),
+        bucketCols)
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+  }
 
   /** Per-doc token counts and per-WORD hash-bit lanes: md5 + the hex-digit
     * bit tests run once per distinct vocabulary word, not once per token

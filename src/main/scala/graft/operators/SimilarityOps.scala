@@ -23,11 +23,62 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object SimilarityOps {
 
-  /** Deterministic random-hyperplane set: 16 planes × 64 dims, seed 42. */
-  private lazy val planes: Seq[Seq[Float]] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(16)(Seq.fill(64)(rng.nextGaussian().toFloat))
+  /** Deterministic random-hyperplane planes (64 dims, seed 42), memoized
+    * per requested count. Sequential generation from one seeded RNG means
+    * `planesFor(m)` is always a prefix of `planesFor(n)` for m ≤ n, so
+    * growing the parameterization never changes the signatures an
+    * existing (bits, bands) layout produces. */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, IndexedSeq[Seq[Float]]]
+  private def planesFor(n: Int): IndexedSeq[Seq[Float]] =
+    planeCache.getOrElseUpdate(n, {
+      val rng = new scala.util.Random(42)
+      IndexedSeq.fill(n)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    })
+
+  /** LSH shape chosen from corpus size — the reason the band miner's pair
+    * volume stays LINEAR in N instead of quadratic. Bucket count per band
+    * is 2^bits; with the fixed round-2 shape (4 bits = 16 buckets) bucket
+    * occupancy grows ∝ N and measured candidate pairs grew ~100× for 10×
+    * vectors (ProfileBuckets, sf0.1 → sf1). Here:
+    *
+    *   - `bits = log2(N / 64)` (floor 4, cap 16) keeps expected occupancy
+    *     ~64 as N grows → per-band pair work ~32·N;
+    *   - `bands` = smallest L with banding recall 1−(1−p^bits)^L ≥ 0.85
+    *     for pairs at the near-dup target sim 0.8 (p = 1 − θ/π per bit),
+    *     floor 4, cap 16 — past the cap recall at fixed sim erodes
+    *     slowly; multiprobe is the next rung if that matters.
+    *
+    * At test scale (N ≤ 1024) this resolves to exactly the round-2
+    * (4, 4) shape, so small-SF outputs are unchanged by construction. */
+  def lshParams(n: Long): (Int, Int) = {
+    val bits = math.min(16,
+      math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt))
+    val p = 1.0 - math.acos(0.8) / math.Pi
+    val pb = math.pow(p, bits)
+    val bands = math.min(16,
+      math.max(4, math.ceil(math.log(0.15) / math.log1p(-pb)).toInt))
+    (bits, bands)
   }
+
+  /** The banded LSH frame (vec_id, band_id, bucket) with size-adaptive
+    * shape ([[lshParams]]) — the candidate substrate of `sim_ann_lsh`,
+    * exposed for the dev bucket profiler (ProfileBuckets). One metadata
+    * count() picks the shape; signatures are sign bits of plane dots. */
+  private[graft] def lshBands(v: DataFrame): DataFrame = {
+    val (bits, bands) = lshParams(v.count())
+    val ps = planesFor(bits * bands)
+    def sig(b: Int) = (0 until bits).map { p =>
+      when(vecDot(col("embedding"), typedlit(ps(b * bits + p))) > 0,
+        lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    v.withColumn("bands", array((0 until bands).map(sig): _*))
+      .select(col("vec_id"),
+        posexplode(col("bands")).as(Seq("band_id", "bucket")))
+  }
+
+  private[graft] def lshBands(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = lshBands(t(s, dir, "embeddings"))
 
   private val oracleDot =
     "list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE))," +
@@ -126,24 +177,15 @@ object SimilarityOps {
     }),
 
     "sim_ann_lsh" -> ((s, dir) => {
-      def bandSig(band: Int) = (0 until 4).map { p =>
-        when(vecDot(col("embedding"), typedlit(planes(band * 4 + p))) > 0,
-          lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val v = t(s, dir, "embeddings")
-        .withColumn("bands", array((0 until 4).map(bandSig): _*))
-      // Ids-only through the band self-join — the 256B vector ×4 bands on
-      // both sides would multiply shuffle payload ~8×. Embeddings re-attach
-      // to the (bounded) candidate set by broadcast, exactly like
-      // dedup_near_minhash.
-      val e = v.select(col("vec_id"),
-        posexplode(col("bands")).as(Seq("band_id", "bucket")))
-      val cand = e.as("x").join(e.as("y"),
-          col("x.band_id") === col("y.band_id")
-            && col("x.bucket") === col("y.bucket")
-            && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
-        .distinct()
+      // Ids-only through the band self-join — the 256B vector ×bands on
+      // both sides would multiply shuffle payload ~2·bands×. Embeddings
+      // re-attach to the (bounded) candidate set by broadcast, exactly
+      // like dedup_near_minhash. Scale guards, in order: [[lshParams]]
+      // keeps bucket occupancy ~constant as N grows (linear pair volume),
+      // and [[DedupOps.cappedBandPairs]] star-expands any residual hot
+      // bucket (mass near-duplicate vectors) instead of mining c².
+      val cand = DedupOps.cappedBandPairs(
+        lshBands(t(s, dir, "embeddings")), "vec_id", Seq("band_id", "bucket"))
       val emb = t(s, dir, "embeddings")
       cand
         .join(broadcast(emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))), "d1")

@@ -214,6 +214,74 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(leaked2.size <= 2, s"single-partition branch leaked: $leaked2")
   }
 
+  test("cappedBandPairs: exact below the cap, star expansion above, clustering preserved") {
+    // Bucket (0,100): 6 members — hot at cap 4 → star around min id 1.
+    // Bucket (1,200): 3 members — small → exact all-pairs.
+    val banded = (Seq(1L, 2L, 3L, 4L, 5L, 6L).map((_, 0, 100L)) ++
+      Seq(7L, 8L, 9L).map((_, 1, 200L))).toDF("id", "band_id", "bucket")
+    def pairs(cap: Int) =
+      DedupOps.cappedBandPairs(banded, "id", Seq("band_id", "bucket"), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val smallB = Set((7L, 8L), (7L, 9L), (8L, 9L))
+    val exact = pairs(100)
+    assert(exact == (for { a <- 1L to 6L; b <- 1L to 6L if a < b }
+      yield (a, b)).toSet ++ smallB, s"got $exact")
+    val capped = pairs(4)
+    assert(capped == (2L to 6L).map((1L, _)).toSet ++ smallB, s"got $capped")
+    // The degradation contract: star pairs keep every member reachable
+    // from the representative, so clustering over the capped pair set
+    // yields the same components as over the exact one.
+    def cc(p: Set[(Long, Long)]) = DedupOps.connectedComponents(
+        p.toSeq.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(capped) == cc(exact))
+  }
+
+  test("lshParams: (4,4) at test scale, log-growing bits, bounded bands") {
+    import graft.operators.SimilarityOps.lshParams
+    // At N ≤ 1024 the adaptive shape IS the round-2 fixed shape — small-SF
+    // outputs unchanged by construction.
+    assert(lshParams(500) == (4, 4) && lshParams(1024) == (4, 4))
+    // Bits track log2(N/64): bucket occupancy ~64, pair volume linear in N.
+    assert(lshParams(20000)._1 == 9)
+    assert(lshParams(1L << 40)._1 == 16) // capped
+    // Bands stay within [4,16] and never shrink as bits rise.
+    val shapes = Seq(1000L, 10000L, 100000L, 1000000L, 1000000000L).map(lshParams)
+    shapes.foreach { case (b, l) =>
+      assert(b >= 4 && b <= 16 && l >= 4 && l <= 16, s"($b,$l)") }
+    assert(shapes == shapes.sorted, s"non-monotone: $shapes")
+  }
+
+  test("adaptive LSH banding recalls planted near-duplicate vectors") {
+    import graft.operators.SimilarityOps
+    import graft.functions.VecFunctions.vecDot
+    // The real table has no high-cosine pairs at this SF (max ~0.5), so
+    // plant the near-dup regime the miner exists for: 40 random unit
+    // vectors, 12 of them re-emitted with small noise (cosine ≥ ~0.95).
+    val rng = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val raw = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    val bases = Seq.fill(40)(unit())
+    val noisy = bases.take(12).map(_.map(x => x + rng.nextGaussian().toFloat * 0.05f))
+    val v = (bases ++ noisy).zipWithIndex
+      .map { case (e, i) => (i.toLong, e) }.toDF("vec_id", "embedding")
+    val truth = SimilarityOps.allPairs(v)
+      .withColumn("sim", vecDot(col("e1"), col("e2")))
+      .filter(col("sim") >= 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 10, s"expected the 12 planted pairs, got ${truth.size}")
+    val cand = DedupOps.cappedBandPairs(
+        SimilarityOps.lshBands(v), "vec_id", Seq("band_id", "bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & cand).size.toDouble / truth.size
+    // (4,4) banding recalls a sim-0.95 pair w.p. ~0.985 per band set;
+    // 0.8 leaves head-room for the noise draw.
+    assert(recall >= 0.8, s"recall=$recall over ${truth.size} true pairs")
+  }
+
   test("allPairs size guard: broadcast below ceiling, blocked shuffle join above") {
     import graft.operators.SimilarityOps
     val v = graft.Tables.t(spark, sfDir, "embeddings")

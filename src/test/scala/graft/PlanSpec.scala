@@ -124,8 +124,12 @@ class PlanSpec extends SparkSpec {
       "dedup_ngram_jaccard" -> 3,  // index join + pair-count agg + size attach
       "dedup_simhash" -> 3,        // token count + vocab dedup + per-doc sums
       "dedup_simhash_pairs" -> 6,  // simhash64 chain + band self-join + dedup
-      "dedup_near_minhash" -> 4,   // shingle sigs + band join + candidate dedup
-      "sim_ann_lsh" -> 1,          // ids-only band join; vectors broadcast back
+      "dedup_near_minhash" -> 5,   // shingle sigs + band join + candidate dedup
+                                   // (+1 round 6: hot-bucket stats window on
+                                   // the band keys; one runtime stage — AQE
+                                   // reuses it across both join inputs)
+      "sim_ann_lsh" -> 2,          // ids-only band join; vectors broadcast back
+                                   // (+1 round 6: same hot-bucket stats window)
       "sim_ivf_knn" -> 11,         // seed pick + 2 Lloyd assigns + probe ranks
       "text_tfidf" -> 4,           // tf agg + df agg + idf attach
       "text_edit_distance" -> 0,   // blocked pairs broadcast-joined
