@@ -138,7 +138,70 @@ object DedupOps {
         .orderBy(col("est_jaccard").desc, col("d1"), col("d2"))
         .limit(50)
     }),
+
+    // Exact-substring span dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): a doc position is
+    // duplicated if its 30-char window occurs verbatim in ≥2 distinct
+    // docs. Per-doc coverage = the fraction of positions that are
+    // duplicated — the signal used to drop or trim mass-copied spans.
+    // Linear by construction: window extraction is a projection, the
+    // cross-doc df is an agg (never a pair join), so boilerplate can't
+    // go quadratic here. 3 bounded shuffles: (win,doc) agg → df window
+    // riding the win partitioning → per-doc agg.
+    "dedup_substring" -> ((s, dir) => {
+      val pd = perDocWindows(t(s, dir, "documents"), SubstringWindowLen)
+        .groupBy("win", "doc_id").agg(count(lit(1)).as("pos_cnt"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("win")))
+      pd.groupBy("doc_id").agg(
+          sum("pos_cnt").as("n_windows"),
+          sum(when(col("df") >= 2, col("pos_cnt")).otherwise(0L)).as("dup_windows"))
+        .withColumn("dup_bp",
+          floor(col("dup_windows") * 10000 / col("n_windows")))
+        .orderBy("doc_id")
+    }),
+
+    // Doc pairs ranked by the number of distinct 30-char windows they
+    // share. The df ceiling (window in > SubstringPairDfCeiling docs =
+    // boilerplate) bounds the per-window pair fan-out at ceiling² — the
+    // same guard text_contamination uses, mirrored in the oracle — and
+    // rides the same win-partitioned exchange as the df count.
+    "dedup_substring_pairs" -> ((s, dir) => {
+      val pd = perDocWindows(t(s, dir, "documents"), SubstringWindowLen)
+        .select("win", "doc_id").distinct()
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("win")))
+        .filter(col("df") >= 2 && col("df") <= SubstringPairDfCeiling)
+      pd.select(col("win"), col("doc_id").as("d1"))
+        .join(pd.select(col("win"), col("doc_id").as("d2")), "win")
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("d1"), col("d2"))
+        .limit(100)
+    }),
   )
+
+  /** Character-window length for the exact-substring dedup keys — long
+    * enough that a verbatim match is copying rather than coincidence on
+    * this vocabulary (≈6 words), short enough that real copied spans
+    * contain many matching positions. Lee et al. use 50 BPE tokens; the
+    * unit here is characters because the operator is tokenizer-agnostic. */
+  val SubstringWindowLen: Int = 30
+
+  /** A window present in more documents than this is boilerplate: it
+    * identifies no specific copy relationship, and pair fan-out per
+    * window is bounded at ceiling² instead of |docs|². Mirrored
+    * literally in the DuckDB oracle (semantics, not implementation). */
+  val SubstringPairDfCeiling: Int = 100
+
+  /** All (doc_id, win) character windows of length `len` — one row per
+    * POSITION (repeats within a doc preserved), docs shorter than the
+    * window excluded. Pure projection: no shuffle. */
+  private def perDocWindows(docs: DataFrame, len: Int): DataFrame =
+    docs.filter(length(col("text")) >= len)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (len - 1))).as("i"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(len)).as("win"))
 
   /** The minhash band frame (doc_id, band_id, band_hash) for `dir`'s
     * documents — exposed for the dev bucket profiler (ProfileBuckets). */
@@ -552,6 +615,31 @@ object DedupOps {
          |WHERE bit_count(xor(a.sh_lo, b.sh_lo))
          |   + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id, substr(text, i, $SubstringWindowLen) AS win
+         |   FROM (SELECT doc_id, text,
+         |     unnest(generate_series(1, length(text) - ${SubstringWindowLen - 1})) AS i
+         |    FROM documents WHERE length(text) >= $SubstringWindowLen)),
+         | pd AS (SELECT win, doc_id, count(*) AS pos_cnt FROM w GROUP BY 1, 2),
+         | wd AS (SELECT win, count(*) AS df FROM pd GROUP BY 1)
+         |SELECT doc_id, CAST(sum(pos_cnt) AS BIGINT) AS n_windows,
+         | CAST(sum(CASE WHEN df >= 2 THEN pos_cnt ELSE 0 END) AS BIGINT) AS dup_windows,
+         | CAST(floor(sum(CASE WHEN df >= 2 THEN pos_cnt ELSE 0 END) * 10000
+         |   / sum(pos_cnt)) AS BIGINT) AS dup_bp
+         |FROM pd JOIN wd USING (win) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_substring_pairs" ->
+      s"""WITH w AS (SELECT doc_id, substr(text, i, $SubstringWindowLen) AS win
+         |   FROM (SELECT doc_id, text,
+         |     unnest(generate_series(1, length(text) - ${SubstringWindowLen - 1})) AS i
+         |    FROM documents WHERE length(text) >= $SubstringWindowLen)),
+         | pd AS (SELECT DISTINCT win, doc_id FROM w),
+         | ok AS (SELECT win FROM pd GROUP BY win
+         |   HAVING count(*) >= 2 AND count(*) <= $SubstringPairDfCeiling)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |FROM pd a JOIN pd b ON a.win = b.win AND a.doc_id < b.doc_id
+         |JOIN ok ON a.win = ok.win
+         |GROUP BY 1, 2
+         |ORDER BY n_shared DESC, d1, d2 LIMIT 100""".stripMargin,
   )
 
   /** Shared DuckDB CTE list computing `sim64(doc_id, sh_lo, sh_hi)` — the

@@ -214,6 +214,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(leaked2.size <= 2, s"single-partition branch leaked: $leaked2")
   }
 
+  test("exact-substring dedup: full coverage on exact dups, zero on unique docs") {
+    import graft.operators.DedupOps.{SubstringWindowLen => L}
+    // doc 0 ≡ doc 1 (exact copy), doc 2 shares a long prefix with 0/1,
+    // doc 3 is unique, doc 4 is shorter than the window (excluded).
+    val copied = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    val shared = copied.take(L + 9) + " entirely different tail content here"
+    val unique = "nothing in this document repeats anywhere else at all ok"
+    val docs = Seq((0L, copied), (1L, copied), (2L, shared),
+      (3L, unique), (4L, "tiny")).toDF("doc_id", "text")
+    val pd = docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(L)).as("win"))
+      .groupBy("win", "doc_id").agg(count(lit(1)).as("pos_cnt"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("win")))
+    val cov = pd.groupBy("doc_id").agg(
+        sum("pos_cnt").as("n_windows"),
+        sum(when(col("df") >= 2, col("pos_cnt")).otherwise(0L)).as("dup_windows"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact copies: every position duplicated
+    assert(cov(0L)._1 == cov(0L)._2 && cov(1L)._1 == cov(1L)._2,
+      s"exact dup pair must be fully covered: $cov")
+    // the prefix-sharer: windows 1..10 sit inside the copied L+9 prefix;
+    // window 11 also matches because the first tail char is a space,
+    // exactly as in the source ("…the lazy |dog"/"…the lazy | entirely").
+    assert(cov(2L)._2 == 11, s"doc 2 expected 11 dup windows: ${cov(2L)}")
+    assert(cov(3L)._2 == 0, s"unique doc must have zero dup windows: ${cov(3L)}")
+    assert(!cov.contains(4L), "sub-window doc must be excluded")
+  }
+
   test("cappedBandPairs: exact below the cap, star expansion above, clustering preserved") {
     // Bucket (0,100): 6 members — hot at cap 4 → star around min id 1.
     // Bucket (1,200): 3 members — small → exact all-pairs.
