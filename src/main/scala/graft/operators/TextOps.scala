@@ -40,6 +40,35 @@ object TextOps {
 
   private val stopwords = Seq("the", "a")
 
+  /** The 100 TB form of `pipeline_quality_gate`: per-language thresholds
+    * from `approx_percentile` (a tiny two-phase agg — no within-language
+    * sort, memory bounded by the sketch accuracy) broadcast back onto
+    * the corpus. Differs from the exact ntile gate only at the quartile
+    * boundary (sketch error + value ties vs count-exact cut); the parity
+    * property in the unit suite bounds that divergence. */
+  def qualityGateApprox(docs: DataFrame, quantile: Double = 0.75,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"),
+      qualityScore(col("text")).as("quality"))
+    val thr = scored.groupBy("lang")
+      .agg(expr(s"approx_percentile(quality, $quantile, $accuracy)").as("thr"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col("quality") >= col("thr"))
+      .select("doc_id", "lang", "quality")
+  }
+
+  /** The composite quality score (uniqueness + non-stopword + length
+    * saturation, rounded to 6 dp) — shared by `text_quality_score` and
+    * the per-language gate so the two keys can never drift apart. */
+  private def qualityScore(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks)
+    val stopRatio = size(filter(toks, w => w.isin(stopwords: _*))) / nTok
+    val uniqRatio = size(array_distinct(toks)) / nTok
+    round(lit(0.3) * uniqRatio + lit(0.4) * (lit(1.0) - stopRatio)
+      + lit(0.3) * least(lit(1.0), nTok / lit(100.0)), 6)
+  }
+
   val queries: Map[String, Q] = Map(
     "text_wordcount" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -190,9 +219,30 @@ object TextOps {
         round(stopRatio, 6).as("stop_ratio"),
         round(uniqRatio, 6).as("uniq_ratio"),
         round(longRatio, 6).as("long_word_ratio"),
-        round(lit(0.3) * uniqRatio + lit(0.4) * (lit(1.0) - stopRatio)
-          + lit(0.3) * least(lit(1.0), nTok / lit(100.0)), 6).as("quality"),
+        qualityScore(col("text")).as("quality"),
       ).orderBy("doc_id")
+    }),
+
+    // Per-language quality gate: keep each language's top quality
+    // quartile — the standard corpus-cleaning step between scoring and
+    // dedup (filtering on a GLOBAL threshold would simply drop
+    // low-resource languages whose score distribution sits lower).
+    // ntile(4) makes the cut integer-exact in both engines (no float
+    // threshold boundary), with doc_id as the deterministic tiebreak.
+    // One shuffle on lang. Scale note: the within-language window sorts
+    // each language on few tasks; at 100 TB swap the exact rank for
+    // approx_percentile per-language thresholds (tiny agg, broadcast
+    // back) — same gate, bounded memory, approximate only at the
+    // quartile boundary. The exact-rank form is the oracle-checkable
+    // contract the approx variant is tested against.
+    "pipeline_quality_gate" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality"))
+        .withColumn("tile", ntile(4).over(w))
+        .filter(col("tile") === 1).drop("tile")
+        .orderBy("doc_id")
     }),
 
     // Deterministic marker-token language-ID heuristic (vote per language
@@ -368,6 +418,17 @@ object TextOps {
         |       / len(string_split(text,' ')))
         |   + 0.3 * least(1.0, len(string_split(text,' ')) / 100.0), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_quality_gate" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  round(0.3 * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')))
+        |   + 0.4 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a')))
+        |       / len(string_split(text,' ')))
+        |   + 0.3 * least(1.0, len(string_split(text,' ')) / 100.0), 6) AS quality
+        |  FROM documents),
+        | r AS (SELECT doc_id, lang, quality,
+        |   ntile(4) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS tile
+        |  FROM q)
+        |SELECT doc_id, lang, quality FROM r WHERE tile = 1 ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
         | sc AS (SELECT doc_id,

@@ -334,6 +334,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(l == r, s"regimes disagree: broadcast=${l.size} blocked=${r.size}")
   }
 
+  test("approx quality gate tracks the exact ntile gate per language") {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val exact = SparkEntry.queries("pipeline_quality_gate")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val approx = TextOps.qualityGateApprox(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // Same gate up to the quartile boundary: sketch error + value ties
+    // there can move a handful of docs either way, nothing else.
+    val overlap = (exact & approx).size.toDouble / (exact | approx).size
+    assert(overlap >= 0.85, s"overlap=$overlap exact=${exact.size} approx=${approx.size}")
+    // the kept fraction stays a quartile, not a degenerate all/none
+    val n = docs.count().toDouble
+    assert(approx.size >= n * 0.1 && approx.size <= n * 0.5,
+      s"approx gate kept ${approx.size} of $n")
+  }
+
   test("multimodal decode stub + frame sampling") {
     import graft.operators.MultimodalOps.MediaPipeline
     val payload = "hello spark world".getBytes("UTF-8")
