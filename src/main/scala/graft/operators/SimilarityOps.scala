@@ -206,30 +206,106 @@ object SimilarityOps {
       val (index, cent) = ivfIndex(v, k = 16)
       ivfSearch(v.filter(col("vec_id") < 10), index, cent, nprobe = 2, topK = 5)
     }),
+    // Spherical k-means training trace: 4 Lloyd iterations over the
+    // embedding table, one row per iteration with the Σ-max-dot
+    // objective (decimal-accumulated → bit-deterministic) and the
+    // surviving cell count. No SQL oracle (iterative trainer); the
+    // monotone-objective Lloyd invariant and planted-cluster recovery
+    // are property-tested in IvfSpec. The table is cached for the
+    // duration: each iteration is one corpus pass by design.
+    "sim_kmeans_train" -> ((s, dir) => {
+      import s.implicits._
+      val v = t(s, dir, "embeddings").persist()
+      try {
+        val (cent, objs) = sphericalKmeans(v, k = 16, iters = 4)
+        val n = cent.count()
+        cent.unpersist()
+        objs.zipWithIndex
+          .map { case (o, i) => (i + 1L, o, n) }
+          .toDF("iter", "objective", "n_cells")
+          .orderBy("iter")
+      } finally v.unpersist()
+    }),
   )
 
   /** Nearest-cell assignment: one narrow shuffle of N×K (vec, cell) dots,
     * map-side-combined max_by. Centroids ride in as a broadcast (bounded:
     * K rows), so the vector table itself never reshuffles. */
-  private def assignCells(v: DataFrame, cent: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cent))
+  private[graft] def assignCells(v: DataFrame, cent: DataFrame,
+      keepDot: Boolean = false): DataFrame = {
+    val base = v.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell_id"),
         vecDot(col("embedding"), col("c_emb")).as("d"))
       .groupBy("vec_id")
-      .agg(max_by(col("cell_id"), struct(col("d"), (-col("cell_id")).as("tb")))
+    val aggs = Seq(
+      max_by(col("cell_id"), struct(col("d"), (-col("cell_id")).as("tb")))
         .as("cell_id"),
-        first(col("embedding")).as("embedding"))
+      first(col("embedding")).as("embedding")) ++
+      (if (keepDot) Seq(max(col("d")).as("d")) else Nil)
+    base.agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Deterministic centroid means: per-dimension DECIMAL accumulation
-    * (partition-order-independent), arrays rebuilt in dimension order. */
-  private def refineCentroids(assigned: DataFrame): DataFrame =
-    assigned.select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    * (partition-order-independent), arrays rebuilt in dimension order.
+    * With `normalize` the mean is projected back to the unit sphere —
+    * the spherical-k-means update, which is the Σ-dot maximizer for a
+    * fixed assignment and hence what makes Lloyd monotone under max-dot
+    * assignment ([[sphericalKmeans]]). Cells whose mean cancels to zero
+    * norm are dropped (no vector preferred them strongly anyway). */
+  private def refineCentroids(assigned: DataFrame,
+      normalize: Boolean = false): DataFrame = {
+    val mean = assigned
+      .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("cell_id", "pos")
       .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
         .cast("double").as("cv"))
       .groupBy("cell_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        e => e.getField("cv")).cast("array<float>").as("c_emb"))
+        e => e.getField("cv")).as("m"))
+    val out =
+      if (!normalize) mean.select(col("cell_id"), col("m"))
+      else mean
+        .withColumn("nrm", sqrt(aggregate(col("m"), lit(0.0d), (a, x) => a + x * x)))
+        .filter(col("nrm") > 0)
+        .select(col("cell_id"), transform(col("m"), x => x / col("nrm")).as("m"))
+    out.select(col("cell_id"), col("m").cast("array<float>").as("c_emb"))
+  }
+
+  /** Spherical k-means (Lloyd on the unit sphere): max-dot assignment +
+    * normalized-mean update, `iters` full corpus passes from the same
+    * deterministic seeds [[ivfIndex]] uses. Returns the final centroids
+    * and the per-iteration objective Σ_v max_c ⟨v, c⟩ — the sequence is
+    * PROVABLY non-decreasing (each half-step maximizes the objective for
+    * the other half fixed), which the unit suite pins as the training
+    * invariant. Objectives are DECIMAL-accumulated: deterministic across
+    * partitionings, so the trace is reproducible run to run.
+    *
+    * Scale: per iteration one broadcast of K centroids + one narrow
+    * N×K dot/argmax shuffle + one K×dim mean agg — no corpus reshuffle;
+    * `v` should be cached (or a bucketed table) since each iteration
+    * rescans it, exactly like any multi-pass trainer. */
+  def sphericalKmeans(v: DataFrame, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
+    require(iters >= 1, "at least one Lloyd iteration")
+    val seeds = v.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    var cent = refineCentroids(assignCells(v, seeds), normalize = true)
+      .persist()
+    val objs = Seq.newBuilder[Double]
+    var last: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(v, cent, keepDot = true).persist()
+      objs += assigned.agg(
+        sum(col("d").cast("decimal(28,12)")).cast("double")).head().getDouble(0)
+      val next = refineCentroids(assigned, normalize = true).persist()
+      next.count() // materialize before freeing what it was built from
+      assigned.unpersist()
+      if (last != null) last.unpersist()
+      last = cent
+      cent = next
+    }
+    if (last != null) last.unpersist()
+    (cent, objs.result())
+  }
 
   /** Build the IVF index over `v(vec_id, embedding)`: k pseudo-random but
     * deterministic seeds (smallest `xxhash64(vec_id)` — spreads across the

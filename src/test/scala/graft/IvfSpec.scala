@@ -57,6 +57,47 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("spherical k-means: objective is monotone non-decreasing (Lloyd invariant)") {
+    val v = clusteredVecs().persist()
+    try {
+      val (cent, objs) = SimilarityOps.sphericalKmeans(v, k = 4, iters = 5)
+      assert(objs.length == 5)
+      objs.zip(objs.tail).foreach { case (a, b) =>
+        assert(b >= a - 1e-9, s"objective decreased: $objs") }
+      // 4 tight unit clusters, 4 centroids → near-perfect fit: each
+      // vector's dot with its centroid approaches 1, so Σ ≈ 100.
+      assert(objs.last > 90, s"converged objective too low: ${objs.last}")
+      assert(cent.count() <= 4)
+    } finally v.unpersist()
+  }
+
+  test("spherical k-means recovers planted clusters intact") {
+    val v = clusteredVecs().persist()
+    try {
+      val (cent, _) = SimilarityOps.sphericalKmeans(v, k = 4, iters = 5)
+      // assign with the trained centroids: every planted cluster must
+      // land wholly in one cell (converged Lloyd on well-separated data)
+      val assigned = SimilarityOps.assignCells(v, cent)
+      val byCluster = assigned.collect()
+        .map(r => (r.getAs[Long]("vec_id") / 25, r.getAs[Long]("cell_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+      byCluster.foreach { case (c, cells) =>
+        assert(cells.size == 1, s"planted cluster $c split across cells $cells") }
+      // and distinct clusters occupy distinct cells
+      assert(byCluster.values.flatten.toSet.size == 4, s"$byCluster")
+    } finally v.unpersist()
+  }
+
+  test("sim_kmeans_train emits a deterministic per-iteration trace") {
+    val r1 = SparkEntry.queries("sim_kmeans_train")(spark, sfDir).collect()
+    val r2 = SparkEntry.queries("sim_kmeans_train")(spark, sfDir).collect()
+    assert(r1.sameElements(r2), "training trace must be reproducible")
+    assert(r1.length == 4)
+    val objs = r1.map(_.getDouble(1)).toSeq
+    objs.zip(objs.tail).foreach { case (a, b) =>
+      assert(b >= a - 1e-9, s"objective decreased on real table: $objs") }
+  }
+
   test("sim_ivf_knn is deterministic and returns exact dot products") {
     val r1 = SparkEntry.queries("sim_ivf_knn")(spark, sfDir).collect()
     val r2 = SparkEntry.queries("sim_ivf_knn")(spark, sfDir).collect()
