@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object RelationalExt {
 
+  /** Token budget per packed training sequence
+    * (`pipeline_pack_sequences`) — mirrored in the DuckDB oracle. */
+  val PackTokenBudget: Int = 256
+
   val queries: Map[String, Q] = Map(
     // MapType surface: construction, lookup (hit + miss), key listing.
     // Output is all scalars — the oracle harness hashes pandas values.
@@ -404,6 +408,32 @@ object RelationalExt {
         .limit(10)
     }),
 
+    // Sequence packing — the pretraining batching step: concatenate each
+    // source's docs in doc_id order and cut every PackTokenBudget
+    // whitespace tokens; a doc belongs to the sequence its FIRST token
+    // falls in (concat-and-chunk with doc-granularity assignment; true
+    // greedy reset-packing is inherently sequential and not
+    // window-expressible). One window cumsum + one agg, both on the
+    // source partitioning. Scale: `source` is the shard unit — packing
+    // is per-shard by design (as in real pipelines), so the window never
+    // needs a global order; a giant source would be pre-split into
+    // (source, shard) files upstream. Output: one row per packed
+    // sequence with its doc span and token fill.
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("pre", coalesce(
+          sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("seq_id", floor(col("pre") / PackTokenBudget))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "seq_id")
+    }),
+
     // The end-to-end training-data story in one query: quality filter →
     // exact dedup (keep smallest doc_id per text) → near-dup removal
     // (drop non-canonical cluster members, via DedupOps.clusterLabels) →
@@ -525,6 +555,18 @@ object RelationalExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_pack_sequences" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         | c AS (SELECT source, doc_id, n_tokens,
+         |   coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM d)
+         |SELECT source, CAST(floor(pre / $PackTokenBudget) AS BIGINT) AS seq_id,
+         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin,
     "fn_map" ->
       """SELECT o_orderkey, o_totalprice AS m_price,
         | CAST(NULL AS DOUBLE) AS m_miss, CAST(2 AS INT) AS n_keys,

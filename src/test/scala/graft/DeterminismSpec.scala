@@ -53,4 +53,27 @@ class DeterminismSpec extends SparkSpec {
           s"lang ${r.getString(0)}: $tr train of $n, expected ${n - n / 5}")
       }
   }
+
+  test("sequence packing conserves tokens and keeps doc spans disjoint") {
+    val packed = SparkEntry.queries("pipeline_pack_sequences")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(packed.nonEmpty)
+    // conservation: packing moves every token of every source, loses none
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .groupBy("source").agg(sum(size(split(col("text"), " "))).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySrc = packed.groupBy(_._1)
+    assert(bySrc.keySet == docs.keySet)
+    bySrc.foreach { case (src, seqs) =>
+      assert(seqs.map(_._4).sum == docs(src), s"$src token leak")
+      // doc spans are disjoint and ordered: a doc belongs to exactly one
+      // sequence, and later sequences hold strictly later docs
+      val ordered = seqs.sortBy(_._2)
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a._6 < b._5, s"$src: span overlap between seq ${a._2} and ${b._2}") }
+      // every sequence is non-trivially filled (first doc crosses its cut)
+      ordered.foreach { s => assert(s._3 >= 1 && s._4 >= 1) }
+    }
+  }
 }
