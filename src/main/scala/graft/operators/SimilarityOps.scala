@@ -64,17 +64,18 @@ object SimilarityOps {
   /** The banded LSH frame (vec_id, band_id, bucket) with size-adaptive
     * shape ([[lshParams]]) — the candidate substrate of `sim_ann_lsh`,
     * exposed for the dev bucket profiler (ProfileBuckets). One metadata
-    * count() picks the shape; signatures are sign bits of plane dots. */
+    * count() picks the shape; all band signatures come from ONE codegen'd
+    * [[graft.functions.FloatLshBands]] pass (the compositional bits×bands
+    * column form fell out of codegen at the 10× shape — 13 s warm where
+    * this is milliseconds; signature bits are identical by construction
+    * and pinned by the equivalence spec). */
   private[graft] def lshBands(v: DataFrame): DataFrame = {
     val (bits, bands) = lshParams(v.count())
     val ps = planesFor(bits * bands)
-    def sig(b: Int) = (0 until bits).map { p =>
-      when(vecDot(col("embedding"), typedlit(ps(b * bits + p))) > 0,
-        lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
-    v.withColumn("bands", array((0 until bands).map(sig): _*))
-      .select(col("vec_id"),
-        posexplode(col("bands")).as(Seq("band_id", "bucket")))
+    v.select(col("vec_id"),
+        posexplode(graft.functions.FloatLshBands.lshBands(
+          col("embedding"), ps, bits, bands, dim = 64))
+          .as(Seq("band_id", "bucket")))
   }
 
   private[graft] def lshBands(s: org.apache.spark.sql.SparkSession,

@@ -24,6 +24,29 @@ class VecDotSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w) } // bit-exact
   }
 
+  test("lsh_bands equals the compositional vec_dot sign form bit for bit") {
+    import graft.functions.FloatLshBands
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val planes = Seq.fill(9 * 14)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    val vecs = Seq.fill(40)(Array.fill(64)((rng.nextFloat() - 0.5f) * 2))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    for ((bits, bands) <- Seq((4, 4), (9, 14))) {
+      val ps = planes.take(bits * bands)
+      val fused = vecs.select(col("vec_id"),
+          FloatLshBands.lshBands(col("embedding"), ps, bits, bands, 64).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      def sig(b: Int) = (0 until bits).map { p =>
+        when(vecDot(col("embedding"), typedlit(ps(b * bits + p))) > 0,
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val composed = vecs.select(col("vec_id"),
+          array((0 until bands).map(sig): _*).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(fused == composed, s"shape ($bits,$bands) diverged")
+    }
+  }
+
   test("vec_dot handles nulls and works in interpreted mode too") {
     import spark.implicits._
     val d = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
