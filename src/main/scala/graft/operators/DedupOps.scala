@@ -162,18 +162,22 @@ object DedupOps {
     }),
 
     // Doc pairs ranked by the number of distinct 30-char windows they
-    // share. The df ceiling (window in > SubstringPairDfCeiling docs =
-    // boilerplate) bounds the per-window pair fan-out at ceiling² — the
-    // same guard text_contamination uses, mirrored in the oracle — and
-    // rides the same win-partitioned exchange as the df count.
+    // share — the text_contamination plan shape: the df count rides a
+    // window over the SAME win partitioning the group-collect needs, the
+    // df ceiling (window in > SubstringPairDfCeiling docs = boilerplate)
+    // filters BEFORE collect_set so every id buffer is ≤ ceiling ids,
+    // and pairs explode from the collected sets (fan-out ≤ ceiling² per
+    // window) instead of a self-join that would evaluate the whole
+    // window-extraction chain twice. Ceiling mirrored in the oracle.
     "dedup_substring_pairs" -> ((s, dir) => {
-      val pd = perDocWindows(t(s, dir, "documents"), SubstringWindowLen)
+      perDocWindows(t(s, dir, "documents"), SubstringWindowLen)
         .select("win", "doc_id").distinct()
         .withColumn("df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("win")))
         .filter(col("df") >= 2 && col("df") <= SubstringPairDfCeiling)
-      pd.select(col("win"), col("doc_id").as("d1"))
-        .join(pd.select(col("win"), col("doc_id").as("d2")), "win")
+        .groupBy("win").agg(collect_set(col("doc_id")).as("ds"))
+        .select(explode(col("ds")).as("d1"), col("ds"))
+        .select(col("d1"), explode(col("ds")).as("d2"))
         .filter(col("d1") < col("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
         .orderBy(col("n_shared").desc, col("d1"), col("d2"))
