@@ -43,6 +43,10 @@ object Scans {
     "scan_csv_roundtrip" -> ((s, dir) => roundTrip(s, dir, "csv")),
 
     "scan_json_roundtrip" -> ((s, dir) => roundTrip(s, dir, "json")),
+
+    // ORC round-trip — the second columnar format (same pushdown/pruning
+    // machinery as parquet via the vectorized ORC reader).
+    "scan_orc_roundtrip" -> ((s, dir) => roundTrip(s, dir, "orc")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -59,6 +63,10 @@ object Scans {
         | o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scan_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scan_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,

@@ -166,6 +166,34 @@ object TextOps {
         .orderBy("doc_id", "rk")
     }),
 
+    // Statistical bigram-LM quality score — the CCNet/KenLM-style
+    // perplexity signal: train an add-one-smoothed bigram model on the
+    // corpus itself (P(w2|w1) = (c(w1w2)+1)/(c(w1·)+V)), score each doc
+    // by its mean log-probability per bigram instance. Low scorers are
+    // the statistically-unusual docs a cleaning pipeline reviews or
+    // drops. Model tables are vocab-bounded (≤V² rows) and broadcast;
+    // the per-doc mean rides one hash agg with DECIMAL accumulation
+    // (order-independent, engine-exact under the 6-dp per-term cast).
+    "text_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val db = docs.select(col("doc_id"),
+        explode(bigramUdf(col("text"))).as("bigram"))
+      val c2 = db.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      val c1 = c2.withColumn("w1", split(col("bigram"), " ")(0))
+        .groupBy("w1").agg(sum("c2").as("c1"))
+      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      db.withColumn("w1", split(col("bigram"), " ")(0))
+        .join(broadcast(c2), "bigram")
+        .join(broadcast(c1), "w1")
+        .crossJoin(broadcast(vocab))
+        .withColumn("ll", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(graft.Tables.dsum6(col("ll")) / count(lit(1)), 6).as("avg_ll"))
+        .orderBy("doc_id")
+    }),
+
     "text_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy("lang", "source")
@@ -418,6 +446,24 @@ object TextOps {
         |       / len(string_split(text,' ')))
         |   + 0.3 * least(1.0, len(string_split(text,' ')) / 100.0), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | b AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        |   FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        | c2 AS (SELECT bigram, count(*) AS c2 FROM b GROUP BY 1),
+        | c1 AS (SELECT string_split(bigram,' ')[1] AS w1, sum(c2) AS c1
+        |   FROM c2 GROUP BY 1),
+        | v AS (SELECT count(DISTINCT w) AS v
+        |   FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)),
+        | s AS (SELECT doc_id,
+        |     CAST(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS DECIMAL(18,6)) AS ll
+        |   FROM b
+        |   JOIN c2 USING (bigram)
+        |   JOIN c1 ON string_split(b.bigram,' ')[1] = c1.w1
+        |   CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(CAST(sum(ll) AS DOUBLE) / count(*), 6) AS avg_ll
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pipeline_quality_gate" ->
       """WITH q AS (SELECT doc_id, lang,
         |  round(0.3 * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')))

@@ -98,7 +98,9 @@ class PlanSpec extends SparkSpec {
         if (p.contains("BroadcastNestedLoopJoin"))
           assert(Seq("join_range_interval", "join_asof", "sim_knn_per_query",
             "text_fingerprint", "text_tfidf", "dedup_embed_cosine",
-            "sim_cosine_topk", "sim_ivf_knn").contains(key), p)
+            "sim_cosine_topk", "sim_ivf_knn",
+            "text_lm_score" // 1-row vocab-size aggregate cross join (as text_tfidf)
+          ).contains(key), p)
       }
     }
   }
