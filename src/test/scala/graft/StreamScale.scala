@@ -19,13 +19,16 @@ import org.apache.spark.sql.functions._
   *     (sessions newer than the final watermark are legitimately held
   *     back — reported, not counted as loss).
   *
-  * Usage: sbt "Test/runMain graft.StreamScale /tmp/graft_sf1 [maxFilesPerTrigger]"
+  * Usage: sbt "Test/runMain graft.StreamScale /tmp/graft_sf1 [maxFilesPerTrigger] [native|tws]"
+  * — `tws` drives [[graft.streaming.TwsSessionizer]] (ValueState +
+  * explicit timers) through the same kill/restart/parity protocol.
   * Results are recorded in SCALE.md §5.
   */
 object StreamScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
     val mft = args.lift(1).getOrElse("4")
+    val flavor = args.lift(2).getOrElse("native")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -63,12 +66,21 @@ object StreamScale {
     val rawSchema = spark.read.parquet(ordered).schema
     // eventsStream twin with bounded-rate replay (maxFilesPerTrigger) so
     // the run produces several micro-batches to kill between.
-    def start() = StreamingSessions.sessionize(
-        spark.readStream.schema(rawSchema).option("maxFilesPerTrigger", mft)
-          .parquet(ordered)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-      .writeStream.format("parquet").option("path", out)
-      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def start() = {
+      val src = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", mft).parquet(ordered)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sessions = flavor match {
+        case "tws" =>
+          import spark.implicits._
+          graft.streaming.TwsSessionizer.sessionize(
+            src.select(col("event_id"), col("user_id"), col("ts"),
+              col("value")).as[graft.streaming.StatefulSessionizer.Event]).toDF()
+        case _ => StreamingSessions.sessionize(src)
+      }
+      sessions.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
 
     def fmt(p: org.apache.spark.sql.streaming.StreamingQueryProgress): String = {
       val so = p.stateOperators.head
