@@ -132,6 +132,13 @@ class PlanSpec extends SparkSpec {
                                    // reuses it across both join inputs)
       "sim_ann_lsh" -> 2,          // ids-only band join; vectors broadcast back
                                    // (+1 round 6: same hot-bucket stats window)
+      // round-6 additions (measured at their initial plan shapes):
+      "dedup_substring" -> 3,      // (win,doc) agg + df window + per-doc agg
+      "dedup_substring_pairs" -> 3, // (win,doc) distinct + df window-collect + pair agg
+      "pipeline_quality_gate" -> 1, // one lang-partitioned ntile window
+      "pipeline_pack_sequences" -> 1, // one source-partitioned cumsum window + agg reuse
+      "text_lm_score" -> 5,        // bigram agg + head agg + doc re-agg; LM broadcast
+      "scan_orc_roundtrip" -> 0,   // pure scan
       "sim_ivf_knn" -> 11,         // seed pick + 2 Lloyd assigns + probe ranks
       "text_tfidf" -> 4,           // tf agg + df agg + idf attach
       "text_edit_distance" -> 0,   // blocked pairs broadcast-joined
