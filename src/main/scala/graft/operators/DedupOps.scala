@@ -215,6 +215,57 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_id", "band_hash")))
 
+  /** Persist the corpus MinHash band index as bucketed tables — the
+    * ingestion-time analog of [[SimilarityOps.ivfIndexSave]]: `name`
+    * holds (doc_id, band_id, band_hash) bucketed on the band keys (so a
+    * band-keyed join can co-locate without shuffling the index), and
+    * `name_sigs` the 64-lane signatures for verification. Incremental
+    * dedup then probes these tables without re-mining the corpus. */
+  def minhashIndexSave(docs: DataFrame, name: String, nBuckets: Int = 16): Unit = {
+    val sigs = minhashSignatures(docShingles(docs)).persist()
+    sigs.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+      .write.bucketBy(nBuckets, "band_id", "band_hash")
+      .mode("overwrite").saveAsTable(name)
+    sigs.select("doc_id", "sig").write.mode("overwrite")
+      .saveAsTable(s"${name}_sigs")
+    sigs.unpersist()
+  }
+
+  /** Dedup an INCOMING batch against a disk-persisted corpus index (see
+    * [[minhashIndexSave]]) — the production ingest pattern: the corpus is
+    * never re-shingled and never shuffles. The new batch's bands and
+    * signatures broadcast (ingest batches are small by definition — for
+    * a corpus-sized "batch" run the full symmetric miner instead), so
+    * both the band probe and the signature verification are broadcast
+    * joins streaming over the index tables; the candidate set is bounded
+    * by real band collisions. Returns (new_id, corpus_id, est_jaccard ≥
+    * `minEstJaccard`), deterministic order. */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, name: String,
+      minEstJaccard: Double = 0.2): DataFrame = {
+    val nsigs = minhashSignatures(docShingles(newDocs))
+    val nbands = nsigs.select(col("doc_id").as("new_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    val cand = spark.table(name)
+      .join(broadcast(nbands), Seq("band_id", "band_hash"))
+      .select(col("new_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+    val probe = cand.join(
+      broadcast(nsigs.select(col("doc_id").as("new_id"), col("sig").as("nsig"))),
+      "new_id")
+    spark.table(s"${name}_sigs")
+      .select(col("doc_id").as("corpus_id"), col("sig").as("csig"))
+      .join(broadcast(probe), "corpus_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("nsig"), col("csig"), (a, b) => a === b),
+          x => x)) / lit(64.0))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Hot-bucket ceiling for sketch-path band joins ([[cappedBandPairs]]).
     * A bucket of c members mines c·(c−1)/2 candidate pairs; buckets only
     * get hot when their members are near-identical (that is what hashing

@@ -334,6 +334,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(l == r, s"regimes disagree: broadcast=${l.size} blocked=${r.size}")
   }
 
+  test("incremental dedup probes the on-disk minhash index without shuffling the corpus") {
+    val corpus = mkDocs()
+    DedupOps.minhashIndexSave(corpus, "mh_test_idx")
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // new batch: an exact copy of doc 3, a 1-word mutation of doc 4, a novel doc
+    val mutated = { val w = texts(4L).split(" "); w(11) = "FRESHWORD"; w.mkString(" ") }
+    val novelRng = new scala.util.Random(99)
+    val novel = Seq.fill(40)("zzz" + novelRng.nextInt(7)).mkString(" ")
+    val batch = Seq((100L, texts(3L)), (101L, mutated), (102L, novel))
+      .toDF("doc_id", "text")
+    val res = DedupOps.dedupAgainstIndex(spark, batch, "mh_test_idx")
+    val hits = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the exact copy must match doc 3 at estimated Jaccard 1.0
+    assert(hits.exists { case (n, c, j) => n == 100L && c == 3L && j == 1.0 },
+      s"exact copy not found: ${hits.toSeq}")
+    // the near-dup must match doc 4 with high estimate
+    assert(hits.exists { case (n, c, j) => n == 101L && c == 4L && j >= 0.5 },
+      s"near-dup not found: ${hits.toSeq}")
+    // the novel doc matches nothing
+    assert(!hits.exists(_._1 == 102L), s"novel doc false positive: ${hits.toSeq}")
+    // ingest-plan contract: every join is broadcast — the corpus-side
+    // tables are scanned, never shuffled or sort-merge joined
+    val plan = DedupOps.dedupAgainstIndex(spark, batch, "mh_test_idx")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle:\n$plan")
+  }
+
   test("approx quality gate tracks the exact ntile gate per language") {
     val docs = graft.Tables.t(spark, sfDir, "documents")
     val exact = SparkEntry.queries("pipeline_quality_gate")(spark, sfDir)
