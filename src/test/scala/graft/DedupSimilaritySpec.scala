@@ -335,6 +335,19 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("incremental dedup probes the on-disk minhash index without shuffling the corpus") {
+    for (t <- Seq("mh_test_idx", "mh_test_idx_sigs")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a crashed JVM leaves the managed location without a catalog
+      // entry; clear it or saveAsTable fails with LOCATION_ALREADY_EXISTS
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     val corpus = mkDocs()
     DedupOps.minhashIndexSave(corpus, "mh_test_idx")
     val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -361,6 +374,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus side must not shuffle:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS mh_test_idx")
+    spark.sql("DROP TABLE IF EXISTS mh_test_idx_sigs")
   }
 
   test("approx quality gate tracks the exact ntile gate per language") {
