@@ -67,6 +67,32 @@ object AnalyticsExt {
         .orderBy("user_id")
     }),
 
+    // Ordered conversion funnel view → click → purchase: per user, the
+    // first view, the first click strictly AFTER it, the first purchase
+    // strictly after that — the chained-first-occurrence relational
+    // funnel (Spark has no MATCH_RECOGNIZE; this is the standard
+    // formulation). Every join and agg is keyed on user_id, so at 100 TB
+    // all three stages ride one hash partitioning (pre-bucketing events
+    // by user makes them co-located scans); step frames only ever carry
+    // (user_id, micros). Time-to-convert sums exact integer micros —
+    // engine-identical division at the end.
+    "funnel_steps" -> ((s, dir) => {
+      val e = events(s, dir).select("user_id", "ts", "event_type")
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("t1").as("t1"), min("ts").as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("t1").as("t1"), min("ts").as("t3"))
+      t1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(t2.agg(count(lit(1)).as("n_click_after_view")))
+        .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after_click"),
+          round(sum(unix_micros(col("t3")) - unix_micros(col("t1")))
+            / count(lit(1)) / lit(1000000.0), 6).as("avg_view_to_purchase_s")))
+    }),
+
     // Z-order (Morton) key: interleave the low 16 bits of two join/filter
     // columns via the classic mask-and-shift spread — pure integer bit
     // ops, codegen-friendly, and bit-identical in any engine. Sorting a
@@ -108,6 +134,21 @@ object AnalyticsExt {
   }
 
   val oracle: Map[String, String] = Map(
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        | t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |   WHERE event_type = 'view' GROUP BY 1),
+        | t2 AS (SELECT e.user_id, min(t1.t1) AS t1, min(e.ts) AS t2
+        |   FROM e JOIN t1 USING (user_id)
+        |   WHERE event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        | t3 AS (SELECT e.user_id, min(t2.t1) AS t1, min(e.ts) AS t3
+        |   FROM e JOIN t2 USING (user_id)
+        |   WHERE event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM t1) AS n_view,
+        | (SELECT count(*) FROM t2) AS n_click_after_view,
+        | (SELECT count(*) FROM t3) AS n_purchase_after_click,
+        | (SELECT round(sum(epoch_us(t3) - epoch_us(t1)) / count(*) / 1000000.0, 6)
+        |  FROM t3) AS avg_view_to_purchase_s""".stripMargin,
     "fn_zorder" ->
       s"""SELECT o_orderkey, o_custkey,
          | ${zorderSql("o_orderkey", "o_custkey")} AS zkey

@@ -21,6 +21,11 @@ object RelationalExt {
     * (`pipeline_pack_sequences`) — mirrored in the DuckDB oracle. */
   val PackTokenBudget: Int = 256
 
+  /** Chunk size / overlap (tokens) for `pipeline_chunk_docs` — mirrored
+    * in the DuckDB oracle. */
+  val ChunkTokens: Int = 64
+  val ChunkOverlap: Int = 16
+
   val queries: Map[String, Q] = Map(
     // MapType surface: construction, lookup (hit + miss), key listing.
     // Output is all scalars — the oracle harness hashes pandas values.
@@ -408,6 +413,25 @@ object RelationalExt {
         .limit(10)
     }),
 
+    // Overlapping document chunking — the retrieval-prep step (RAG):
+    // each doc's tokens cut into 64-token chunks advancing by 48 (16
+    // tokens of overlap so no span straddles a boundary unseen). Pure
+    // projection — sequence(1, n, stride) + posexplode + slice — zero
+    // shuffles, embarrassingly parallel at any scale.
+    "pipeline_chunk_docs" -> ((s, dir) => {
+      val (chunk, stride) = (ChunkTokens, ChunkTokens - ChunkOverlap)
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          posexplode(sequence(lit(1), size(col("toks")), lit(stride)))
+            .as(Seq("chunk_id", "start")),
+          col("toks"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(slice(col("toks"), col("start"), lit(chunk))).cast("long").as("n_tokens"),
+          array_join(slice(col("toks"), col("start"), lit(chunk)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Sequence packing — the pretraining batching step: concatenate each
     // source's docs in doc_id order and cut every PackTokenBudget
     // whitespace tokens; a doc belongs to the sequence its FIRST token
@@ -555,6 +579,16 @@ object RelationalExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         | c AS (SELECT doc_id, toks,
+         |   unnest(generate_series(1, len(toks), ${ChunkTokens - ChunkOverlap})) AS start
+         |  FROM t)
+         |SELECT doc_id,
+         | CAST((start - 1) // ${ChunkTokens - ChunkOverlap} AS BIGINT) AS chunk_id,
+         | CAST(len(toks[start:start + ${ChunkTokens - 1}]) AS BIGINT) AS n_tokens,
+         | array_to_string(toks[start:start + ${ChunkTokens - 1}], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "pipeline_pack_sequences" ->
       s"""WITH d AS (SELECT source, doc_id,
          |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -99,7 +99,8 @@ class PlanSpec extends SparkSpec {
           assert(Seq("join_range_interval", "join_asof", "sim_knn_per_query",
             "text_fingerprint", "text_tfidf", "dedup_embed_cosine",
             "sim_cosine_topk", "sim_ivf_knn",
-            "text_lm_score" // 1-row vocab-size aggregate cross join (as text_tfidf)
+            "text_lm_score", // 1-row vocab-size aggregate cross join (as text_tfidf)
+            "funnel_steps"   // three 1-row step-count aggregates cross-joined
           ).contains(key), p)
       }
     }
@@ -139,6 +140,8 @@ class PlanSpec extends SparkSpec {
       "pipeline_pack_sequences" -> 1, // one source-partitioned cumsum window + agg reuse
       "text_lm_score" -> 5,        // bigram agg + head agg + doc re-agg; LM broadcast
       "scan_orc_roundtrip" -> 0,   // pure scan
+      "funnel_steps" -> 5,         // three user_id-keyed step stages + tiny counts
+      "pipeline_chunk_docs" -> 0,  // pure projection (sequence + slice)
       "sim_ivf_knn" -> 11,         // seed pick + 2 Lloyd assigns + probe ranks
       "text_tfidf" -> 4,           // tf agg + df agg + idf attach
       "text_edit_distance" -> 0,   // blocked pairs broadcast-joined
