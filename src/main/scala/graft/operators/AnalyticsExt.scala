@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-2 third-wave analytics: exact linear regression aggregates and
@@ -93,6 +94,49 @@ object AnalyticsExt {
             / count(lit(1)) / lit(1000000.0), 6).as("avg_view_to_purchase_s")))
     }),
 
+    // OHLC downsampling: open/high/low/close of `value` per user per
+    // 1-hour tumbling window — the classic time-series compaction
+    // (candlesticks, metric rollups) that turns an unbounded event feed
+    // into fixed-width rows. open/close pick by event time via
+    // min_by/max_by; (user_id, ts) is unique in this feed so the pick is
+    // deterministic (a feed with ts ties would tie-break on a sequence
+    // id, as cdc_merge_upsert does). One two-phase hash agg: every
+    // accumulator — min/max/count and the (value, ts) pairs min_by and
+    // max_by carry — folds map-side to constant state per (user, window)
+    // regardless of window population, so the single exchange moves one
+    // partial row per (user, window, map task), never raw events.
+    "window_ohlc" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+        .agg(min_by(col("value"), col("ts")).as("open_value"),
+          max(col("value")).as("high_value"),
+          min(col("value")).as("low_value"),
+          max_by(col("value"), col("ts")).as("close_value"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("w_start"),
+          col("open_value"), col("high_value"), col("low_value"),
+          col("close_value"), col("n_events"))
+        .orderBy("user_id", "w_start")),
+
+    // Modal value per key (most frequent event_type per user) with a
+    // deterministic lexicographic tie-break — the built-in `mode()` keeps
+    // an arbitrary tied winner, which is engine- and partitioning-
+    // unstable, so the portable form is a (user, type) count plus a
+    // 1-row-per-group window pick. Scale: the first exchange carries
+    // map-side PARTIAL counts (≤ |types| rows per map task per user, not
+    // events); the window's exchange re-keys the finished aggregate —
+    // |users|·|types| rows — so nothing corpus-sized moves twice.
+    "agg_mode" -> ((s, dir) => {
+      val counts = events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("cnt").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("cnt"))
+        .orderBy("user_id")
+    }),
+
     // Z-order (Morton) key: interleave the low 16 bits of two join/filter
     // columns via the classic mask-and-shift spread — pure integer bit
     // ops, codegen-friendly, and bit-identical in any engine. Sorting a
@@ -149,6 +193,19 @@ object AnalyticsExt {
         | (SELECT count(*) FROM t3) AS n_purchase_after_click,
         | (SELECT round(sum(epoch_us(t3) - epoch_us(t1)) / count(*) / 1000000.0, 6)
         |  FROM t3) AS avg_view_to_purchase_s""".stripMargin,
+    "window_ohlc" ->
+      """SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        | arg_min(value, ts) AS open_value, max(value) AS high_value,
+        | min(value) AS low_value, arg_max(value, ts) AS close_value,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_mode" ->
+      """SELECT user_id, event_type AS mode_type, cnt FROM (
+        | SELECT user_id, event_type, count(*) AS cnt,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY count(*) DESC, event_type) AS rn
+        | FROM events GROUP BY 1, 2)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "fn_zorder" ->
       s"""SELECT o_orderkey, o_custkey,
          | ${zorderSql("o_orderkey", "o_custkey")} AS zkey

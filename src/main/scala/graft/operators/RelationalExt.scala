@@ -231,6 +231,31 @@ object RelationalExt {
         .orderBy("doc_id")
     }),
 
+    // Deterministic domain-mix resampling: rebalance the corpus toward a
+    // target per-source sampling rate (even-indexed sources kept at 75%,
+    // odd at 25% — the per-domain up/down-weighting a pretraining mix
+    // applies). The keep decision thresholds the first byte of a salted
+    // md5 (rate quantized to /256, rendered as a 2-hex-char cutoff), so
+    // membership is engine/partition/run-stable and monotone in the rate:
+    // lowering a source's rate later keeps an exact subset of the docs
+    // kept today — reproducible mixes across corpus versions. Scale: the
+    // mix spec is a tiny per-source table (derived here; supplied by the
+    // mix config in general) broadcast onto the corpus — the corpus side
+    // is a zero-shuffle scan→filter projection; the only exchange is the
+    // spec's own distinct-sources agg.
+    "pipeline_domain_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spec = docs.select("source").distinct()
+        .withColumn("cutoff",
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 0, lit("c0"))
+            .otherwise(lit("40")))
+      docs.join(broadcast(spec), "source")
+        .filter(substring(md5(concat(lit("mix42:"), col("doc_id"))), 1, 2)
+          < col("cutoff"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Histogram binning via width_bucket → two-phase count agg.
     "agg_histogram" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -717,6 +742,12 @@ object RelationalExt {
         |     ORDER BY md5('strat42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 < 4
         |   THEN 'train' ELSE 'test' END AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_domain_mix" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE substring(md5('mix42:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |    THEN 'c0' ELSE '40' END
+        |ORDER BY doc_id""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 600000.0 * 12) AS BIGINT) + 1 AS bucket,
         | count(*) AS cnt

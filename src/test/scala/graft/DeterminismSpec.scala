@@ -54,6 +54,31 @@ class DeterminismSpec extends SparkSpec {
       }
   }
 
+  test("domain mix keeps per-source rates and is monotone in the rate") {
+    // the shipped key: even-index sources at the 'c0' (0.75) cutoff, odd
+    // at '40' (0.25) — per-source keep fraction must track its target
+    val docs = Tables.t(spark, sfDir, "documents")
+    val kept = SparkEntry.queries("pipeline_domain_mix")(spark, sfDir)
+    val tot = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.groupBy("source").count().collect().foreach { r =>
+      val src = r.getString(0)
+      val rate = if (src.stripPrefix("src").toInt % 2 == 0) 0.75 else 0.25
+      val frac = r.getLong(1).toDouble / tot(src)
+      assert(math.abs(frac - rate) < 0.2, s"$src keep fraction $frac vs $rate")
+    }
+    // monotonicity: the doc set kept at a LOWER cutoff is an exact subset
+    // of the set kept at a higher one (same salt ⇒ nested thresholds) —
+    // what makes later down-weighting reproducible instead of a resample
+    def keptAt(cutoff: String) = docs
+      .filter(substring(md5(concat(lit("mix42:"), col("doc_id"))), 1, 2)
+        < lit(cutoff))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lo = keptAt("40"); val hi = keptAt("c0")
+    assert(lo.subsetOf(hi), s"${(lo -- hi).size} docs kept at 0.25 but not 0.75")
+    assert(lo.nonEmpty && hi.size > lo.size)
+  }
+
   test("sequence packing conserves tokens and keeps doc spans disjoint") {
     val packed = SparkEntry.queries("pipeline_pack_sequences")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

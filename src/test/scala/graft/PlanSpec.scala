@@ -174,6 +174,10 @@ class PlanSpec extends SparkSpec {
       "tpch_q21" -> 3,             // ONE fact SMJ (2) + s_name agg; per-(order,
                                    // supp) agg + window reuse the orderkey hash
       "tpch_q22" -> 1,             // anti join + one group-by shuffle
+      // round-6 analytics additions:
+      "window_ohlc" -> 1,          // one two-phase agg; min_by/max_by fold map-side
+      "agg_mode" -> 2,             // partial-count exchange + aggregate-sized window re-key
+      "pipeline_domain_mix" -> 1,  // spec distinct only; corpus side is scan→filter
       // third-wave additions:
       "agg_regression" -> 1,       // one two-phase agg carries all 5 moments
       "cdc_merge_upsert" -> 2,     // two latest-per-key aggs; join reuses their partitioning
