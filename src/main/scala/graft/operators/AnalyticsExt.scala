@@ -137,6 +137,52 @@ object AnalyticsExt {
         .orderBy("user_id")
     }),
 
+    // Cohort retention triangle: users cohorted by the ISO week of their
+    // first event; each later active week counts them once at its offset
+    // — the table every product-analytics retention chart is drawn from.
+    // first-seen rides a min-over-user window (no self-join back onto
+    // the feed), and week arithmetic is integer day-diffs (floor(Δd/7))
+    // so offsets are bit-identical in any engine. Scale: one raw-event
+    // exchange for the user window; the distinct-user rollup then
+    // two-phases over (cohort, offset, user) — map-side dedup means the
+    // agg exchanges carry at most one row per user-week, not events.
+    "cohort_retention" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+      val w = Window.partitionBy("user_id")
+      ev.withColumn("first_d", min(col("d")).over(w))
+        .select(
+          to_date(date_trunc("week", col("first_d"))).as("cohort_week"),
+          floor(datediff(col("d"), col("first_d")) / 7).cast("int")
+            .as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Longest consecutive-day purchase streak per user — the classic
+    // gaps-and-islands shape (gamified streaks, SLA uptime runs,
+    // consecutive-day actives). Island id = day-number minus the row
+    // number of that day within the user's ordered distinct days: pure
+    // integer arithmetic, so the grouping key is engine-portable with no
+    // interval/timezone semantics in play. Scale: the distinct collapses
+    // the feed to ≤ one row per (user, day) BEFORE the window (map-side
+    // partial distinct), and the two follow-up aggs reuse the window's
+    // user_id hash partitioning — day-rows shuffle once, events never do.
+    "ts_activity_streak" -> ((s, dir) => {
+      val days = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("dn"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("dn")
+      days.withColumn("anchor", col("dn") - row_number().over(w))
+        .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("max_streak_days"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     // Z-order (Morton) key: interleave the low 16 bits of two join/filter
     // columns via the classic mask-and-shift spread — pure integer bit
     // ops, codegen-friendly, and bit-identical in any engine. Sorting a
@@ -206,6 +252,28 @@ object AnalyticsExt {
         |    ORDER BY count(*) DESC, event_type) AS rn
         | FROM events GROUP BY 1, 2)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "cohort_retention" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(ts AS DATE) AS d,
+        |  min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_d
+        | FROM events)
+        |SELECT CAST(date_trunc('week', first_d) AS DATE) AS cohort_week,
+        | CAST(floor(datediff('day', first_d, d) / 7) AS INT) AS week_offset,
+        | count(DISTINCT user_id) AS n_active
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_activity_streak" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id,
+        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+        | FROM events WHERE event_type = 'purchase'),
+        |isl AS (
+        | SELECT user_id,
+        |  dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS anchor
+        | FROM days),
+        |runs AS (
+        | SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS max_streak_days, count(*) AS n_streaks
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
     "fn_zorder" ->
       s"""SELECT o_orderkey, o_custkey,
          | ${zorderSql("o_orderkey", "o_custkey")} AS zkey
