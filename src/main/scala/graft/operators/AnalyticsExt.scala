@@ -137,6 +137,39 @@ object AnalyticsExt {
         .orderBy("user_id")
     }),
 
+    // Last-touch attribution: each purchase credits the most recent click
+    // strictly before it (in (ts, event_id) order — the id tiebreak makes
+    // same-microsecond ordering deterministic) and within a 7-day
+    // lookback. The Spark-first shape is NOT a self-join: tag the two
+    // event kinds in one pass and take last(click_ts, ignoreNulls) over
+    // an UNBOUNDED..-1 row frame per user — one raw-event exchange on
+    // user_id, no join, no second scan. The lag is exact integer
+    // microseconds (no per-row float division → no cross-engine rounding
+    // edge). Scale: the running last-click state is O(1) per row and the
+    // window never buffers the frame (last over a growing frame is
+    // incremental), so per-user timeline length doesn't change memory.
+    "funnel_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("lag_us",
+          unix_micros(col("ts")) - unix_micros(col("last_click_ts")))
+        .withColumn("attributed",
+          col("last_click_ts").isNotNull &&
+            col("lag_us") <= lit(7L * 24 * 3600 * 1000000L))
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+          when(col("attributed"), col("last_click_ts")).as("click_ts"),
+          col("attributed"),
+          when(col("attributed"), col("lag_us")).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
     // Cohort retention triangle: users cohorted by the ISO week of their
     // first event; each later active week counts them once at its offset
     // — the table every product-analytics retention chart is drawn from.
@@ -252,6 +285,26 @@ object AnalyticsExt {
         |    ORDER BY count(*) DESC, event_type) AS rn
         | FROM events GROUP BY 1, 2)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "funnel_attribution" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        | FROM events WHERE event_type IN ('click', 'purchase')),
+        |a AS (
+        | SELECT event_id, user_id, ts, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   AS last_click_ts
+        | FROM e),
+        |b AS (
+        | SELECT *, epoch_us(ts) - epoch_us(last_click_ts) AS raw_lag,
+        |  last_click_ts IS NOT NULL AND
+        |   epoch_us(ts) - epoch_us(last_click_ts) <= 604800000000 AS attributed
+        | FROM a WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ts AS purchase_ts,
+        | CASE WHEN attributed THEN last_click_ts END AS click_ts, attributed,
+        | CASE WHEN attributed THEN raw_lag END AS lag_us
+        |FROM b ORDER BY event_id""".stripMargin,
     "cohort_retention" ->
       """WITH ev AS (
         | SELECT user_id, CAST(ts AS DATE) AS d,

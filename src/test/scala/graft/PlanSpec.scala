@@ -178,6 +178,7 @@ class PlanSpec extends SparkSpec {
       "window_ohlc" -> 1,          // one two-phase agg; min_by/max_by fold map-side
       "agg_mode" -> 2,             // partial-count exchange + aggregate-sized window re-key
       "pipeline_domain_mix" -> 1,  // spec distinct only; corpus side is scan→filter
+      "funnel_attribution" -> 1,   // tagged union + user window; no self-join
       "cohort_retention" -> 2,     // user window + distinct-user rollup
       "ts_activity_streak" -> 2,   // (user,day) distinct + user window; both
                                    // follow-up aggs reuse the user_id hash
