@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // ParallelGC, measured against default G1 on the 150+-query bench sweep:
+  // G1@8g GC-starves the churn-heavy composites (pipeline_corpus_clean
+  // 4.2-10.6s in sweep context vs its 2.0s steady state), while raising
+  // the heap to 16g regresses the collect-heavy trainer instead
+  // (sim_kmeans_train 4.8-5.4s -> 5.9-11.5s, same shape under G1 or
+  // ParallelGC — heap size, not collector). ParallelGC@8g is the only
+  // measured point where BOTH hold their steady state (corpus_clean
+  // 1.6-1.9s in-sweep, kmeans 4.4-5.4s): a throughput collector fits a
+  // batch engine; nothing here has a pause-time SLA.
+  "-XX:+UseParallelGC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
