@@ -50,6 +50,25 @@ object StreamingSessions {
       .select(col("user_id"), col("w.start").as("w_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming OHLC downsampling (the batch `window_ohlc` key as a
+    * watermarked tumbling agg): open/close pick by event time via
+    * min_by/max_by — declarative aggs, so state per (user, window) is the
+    * same constant handful of accumulators as in batch and the window
+    * finalizes once the watermark passes (Append-compatible). */
+  def ohlc(events: DataFrame, width: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), width).as("w"))
+      .agg(min_by(col("value"), col("ts")).as("open_value"),
+        max(col("value")).as("high_value"),
+        min(col("value")).as("low_value"),
+        max_by(col("value"), col("ts")).as("close_value"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("open_value"), col("high_value"), col("low_value"),
+        col("close_value"), col("n_events"))
+
   /** Streaming exact dedup on event_id, state bounded by the watermark. */
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

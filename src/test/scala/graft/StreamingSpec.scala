@@ -273,6 +273,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 4) // user1: 2 windows; user2: 2 windows
   }
 
+  test("streaming OHLC ≡ batch window_ohlc (min_by/max_by state finalizes)") {
+    // distinct values per event so open/high/low/close are all distinct
+    // picks; two windows for user 1, one for user 2
+    val data = Seq(ev(1, 1, 0, 5.0), ev(2, 1, 20, 9.0), ev(3, 1, 40, 2.0),
+      ev(4, 1, 70, 7.0), ev(5, 2, 10, 4.0), ev(6, 2, 30, 1.0))
+    val flush = Seq(ev(99, 9, 10000), ev(100, 9, 20000))
+    val ms = MemoryStream[Event]
+    val out = runToMemory(
+      StreamingSessions.ohlc(ms.toDF(), "1 hour", "10 minutes"),
+      "stream_ohlc", ms, Seq(data, flush, Seq.empty))
+      .filter(col("user_id") < 9)
+    val batch = data.toDF()
+      .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .agg(min_by(col("value"), col("ts")).as("open_value"),
+        max(col("value")).as("high_value"),
+        min(col("value")).as("low_value"),
+        max_by(col("value"), col("ts")).as("close_value"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("open_value"), col("high_value"), col("low_value"),
+        col("close_value"), col("n_events"))
+    val canon = (df: DataFrame) => df.collect().map(_.toSeq).toSet
+    assert(canon(out) == canon(batch))
+    // user 1 window 0: open=5 (t+0), high=9, low=2, close=2 (t+40)
+    val r = out.filter(col("user_id") === 1 && col("n_events") === 3)
+      .select("open_value", "high_value", "low_value", "close_value")
+      .collect()(0).toSeq
+    assert(r == Seq(5.0, 9.0, 2.0, 2.0))
+  }
+
   test("streaming sliding window ≡ batch; each event in width/slide windows") {
     val data = Seq(ev(1, 1, 0), ev(2, 1, 20), ev(3, 2, 45))
     val flush = Seq(ev(99, 9, 10000), ev(100, 9, 20000))
