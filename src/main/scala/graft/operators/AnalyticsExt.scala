@@ -216,6 +216,53 @@ object AnalyticsExt {
         .orderBy("user_id")
     }),
 
+    // Linear interpolation over a dense hourly grid (time-series repair):
+    // sparse observed points (hourly purchase sums) are stretched onto the
+    // gap-filled grid, and every missing bucket gets the value on the
+    // straight line between its nearest observed neighbors. The bracketing
+    // neighbors come from two running windows (last/first IGNORE NULLS) —
+    // no self-join, no per-gap scan; the grid rides ONE user_id hash
+    // exchange shared by grid build + both windows. The interpolation
+    // fraction uses the grid row number (integer, timezone-free) rather
+    // than epoch arithmetic, and the double math mirrors the oracle
+    // op-for-op, so results hash-match bit-exactly. Rows outside the
+    // first/last observation (leading edge) stay NULL — interpolation
+    // never extrapolates.
+    "ts_interpolate" -> ((s, dir) => {
+      val obs = events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(dsum6(col("value")).as("v"))
+      val span = obs.groupBy("user_id")
+        .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+        .select(col("user_id"),
+          explode(sequence(col("b0"), col("b1"), expr("interval 1 hour")))
+            .as("bucket"))
+      val wrn = Window.partitionBy("user_id").orderBy("bucket")
+      val wp = wrn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = wrn.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsRn = when(col("v").isNotNull, col("rn"))
+      span.join(obs, Seq("user_id", "bucket"), "left")
+        .withColumn("rn", row_number().over(wrn).cast("double"))
+        .select(col("user_id"), col("bucket"), col("v"), col("rn"),
+          last(col("v"), ignoreNulls = true).over(wp).as("v0"),
+          last(obsRn, ignoreNulls = true).over(wp).as("rn0"),
+          first(col("v"), ignoreNulls = true).over(wn).as("v1"),
+          first(obsRn, ignoreNulls = true).over(wn).as("rn1"))
+        .select(col("user_id"), col("bucket"),
+          // explicit floor(x·1e6 + ½)/1e6 rounding, mirrored in the
+          // oracle: engine round() builtins disagree on exact .5 ties
+          // (BigDecimal HALF_UP vs double-multiply), and interpolating
+          // decimal(18,6)-exact points at small-rational fractions lands
+          // on such ties constantly.
+          (floor((when(col("v").isNotNull, col("v"))
+            .otherwise((col("v0") * (col("rn1") - col("rn")) +
+              col("v1") * (col("rn") - col("rn0"))) /
+              (col("rn1") - col("rn0"))))
+            * 1000000.0d + 0.5d) / 1000000.0d).as("value"),
+          col("v").isNotNull.as("observed"))
+        .orderBy("user_id", "bucket")
+    }),
+
     // Z-order (Morton) key: interleave the low 16 bits of two join/filter
     // columns via the classic mask-and-shift spread — pure integer bit
     // ops, codegen-friendly, and bit-identical in any engine. Sorting a
@@ -327,6 +374,41 @@ object AnalyticsExt {
         | SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY 1, 2)
         |SELECT user_id, max(len) AS max_streak_days, count(*) AS n_streaks
         |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_interpolate" ->
+      """WITH obs AS (
+        | SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |span AS (
+        | SELECT user_id,
+        |  unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+        | FROM obs GROUP BY user_id),
+        |g AS (
+        | SELECT span.user_id, span.bucket, obs.v
+        | FROM span LEFT JOIN obs
+        |  ON span.user_id = obs.user_id AND span.bucket = obs.bucket),
+        |r AS (
+        | SELECT *, CAST(row_number() OVER wr AS DOUBLE) AS rn FROM g
+        | WINDOW wr AS (PARTITION BY user_id ORDER BY bucket)),
+        |f AS (
+        | SELECT user_id, bucket, v, rn,
+        |  last_value(v IGNORE NULLS) OVER wp AS v0,
+        |  last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |    OVER wp AS rn0,
+        |  first_value(v IGNORE NULLS) OVER wn AS v1,
+        |  first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |    OVER wn AS rn1
+        | FROM r
+        | WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY bucket
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bucket,
+        | floor((CASE WHEN v IS NOT NULL THEN v
+        |   ELSE (v0 * (rn1 - rn) + v1 * (rn - rn0)) / (rn1 - rn0) END)
+        |  * 1000000.0 + 0.5) / 1000000.0 AS value,
+        | (v IS NOT NULL) AS observed
+        |FROM f ORDER BY user_id, bucket""".stripMargin,
     "fn_zorder" ->
       s"""SELECT o_orderkey, o_custkey,
          | ${zorderSql("o_orderkey", "o_custkey")} AS zkey

@@ -227,6 +227,35 @@ object SimilarityOps {
           .orderBy("iter")
       } finally v.unpersist()
     }),
+    // Product-quantization ANN (Jégou et al., TPAMI 2011): m=8 subspaces
+    // × k=16 L2 codewords each; the corpus is stored as 8 small ints per
+    // vector and queries score it via ADC lookup tables — the compressed-
+    // domain scale path (third next to LSH banding and IVF) that replaces
+    // a 100 TB float corpus with ~3 TB of codes at search time. No SQL
+    // oracle (trained quantizer); PqSpec pins the ADC ≡ ⟨q, reconstruction⟩
+    // invariant, planted-cluster recall, determinism across partitionings,
+    // and the codebook/code shape.
+    "sim_pq_knn" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings").persist()
+      val cb = pqTrain(v, dim = 64, m = 8, k = 16, iters = 2)
+      v.unpersist() // training materialized; encode/search rescan the source
+      val codes = pqEncode(v, cb, dim = 64, m = 8)
+      pqSearch(v.filter(col("vec_id") < 10), codes, cb,
+        dim = 64, m = 8, k = 16, topK = 5)
+    }),
+    // IVF-PQ: the composed production layout — coarse cells prune the
+    // corpus to nprobe/kCells, PQ codes compress what remains to m ints
+    // per vector. One packed (vec_id, cell_id, codes) table is the only
+    // corpus-sized search input. No SQL oracle; PqSpec pins score
+    // equality with flat PQ on surviving pairs + planted-cluster recall.
+    "sim_ivfpq_knn" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings").persist()
+      val (packed, cent, cb) =
+        ivfPqIndex(v, kCells = 16, dim = 64, m = 8, k = 16, iters = 2)
+      v.unpersist()
+      ivfPqSearch(v.filter(col("vec_id") < 10), packed, cent, cb,
+        nprobe = 2, dim = 64, m = 8, k = 16, topK = 5)
+    }),
   )
 
   /** Nearest-cell assignment: one narrow shuffle of N×K (vec, cell) dots,
@@ -426,6 +455,183 @@ object SimilarityOps {
     val probes = slim.join(broadcast(qEmb), "q_id")
       .select(col("q_id"), col("q_emb"), col("cell_id"))
     ivfRank(probes, index, topK)
+  }
+
+  // ─────────────────────── product quantization ───────────────────────
+  // Jégou et al., "Product Quantization for Nearest Neighbor Search"
+  // (TPAMI 2011). The dim-dim float vector splits into m subspaces of
+  // dim/m dims; each subspace trains its own k-codeword L2 codebook
+  // (Lloyd); a vector is then its m codeword ids — m small ints instead
+  // of dim floats (64-dim float32 at m=8 → 32× smaller). Search is ADC:
+  // one m×k partial-dot lookup table per query, then each corpus vector
+  // scores as m table lookups — no float math against the corpus.
+
+  /** Per-subspace slices of `v(vec_id, embedding)`: (vec_id, sub, sv).
+    * Pure projection + bounded ×m explode — runs in the scan stage. */
+  private def pqSubvecs(v: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val subs = (0 until m).map(sIdx => struct(lit(sIdx).as("sub"),
+      slice(col("embedding"), sIdx * dsub + 1, dsub).as("sv")))
+    v.select(col("vec_id"), explode(array(subs: _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+  }
+
+  /** Nearest codeword per (vec_id, sub) under L2: argmin ‖sv−cw‖² =
+    * argmax ⟨sv,cw⟩ − ‖cw‖²/2 (‖sv‖² is constant per row, so it never
+    * moves the argmin). The codebook broadcasts (≤ m·k rows); ties break
+    * to the smallest code id, so assignment is deterministic. */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val scored = cb.withColumn("cw2",
+      aggregate(col("cw"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")))
+    sv.join(broadcast(scored), "sub")
+      .select(col("vec_id"), col("sub"), col("sv"), col("code"),
+        (vecDot(col("sv"), col("cw")) - col("cw2") / 2).as("sc"))
+      .groupBy("vec_id", "sub")
+      .agg(max_by(col("code"), struct(col("sc"), (-col("code")).as("tb")))
+          .as("code"),
+        first(col("sv")).as("sv")) // all rows of a group share one sv
+  }
+
+  /** Codeword update: per-dimension DECIMAL-accumulated means of the
+    * assigned subvectors — partition-order invariant, the (sub, code)-
+    * keyed analog of [[refineCentroids]]. Codes that attracted no
+    * vectors drop out (the codebook only shrinks; surviving ids are
+    * unchanged, so codes stay valid across refinements). */
+  private def pqRefine(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub", "code", "pos")
+      .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("cv"))
+      .groupBy("sub", "code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        e => e.getField("cv")).cast("array<float>").as("cw"))
+
+  /** Train the PQ codebook: deterministic seeds (the k smallest
+    * xxhash64(vec_id) subvectors per subspace — a per-sub top-k, no
+    * global sort), then `iters` Lloyd rounds of L2 assignment +
+    * decimal-mean update. Each round is ONE pass over the subvector
+    * projection; every intermediate codebook is materialized and the
+    * previous one freed, so executor storage holds exactly one ≤ m·k-row
+    * codebook at a time. Returns (sub, code, cw), persisted — it is
+    * referenced from both the encode and the LUT side of the search. */
+  def pqTrain(v: DataFrame, dim: Int = 64, m: Int = 8, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sv = pqSubvecs(v, m, dim / m)
+    val ws = Window.partitionBy("sub")
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var cb = sv.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= k)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
+        col("sv").as("cw"))
+      .persist()
+    cb.count()
+    for (_ <- 1 to iters) {
+      val next = pqRefine(pqAssign(sv, cb)).persist()
+      next.count() // materialize before freeing what it was built from
+      cb.unpersist()
+      cb = next
+    }
+    cb
+  }
+
+  /** Encode the corpus against a trained codebook: (vec_id, codes) with
+    * codes(sub) = the vector's codeword id in subspace `sub` — the
+    * m-int representation the ADC scan reads instead of raw floats. */
+  def pqEncode(v: DataFrame, cb: DataFrame, dim: Int = 64, m: Int = 8)
+      : DataFrame =
+    pqAssign(pqSubvecs(v, m, dim / m), cb)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        e => e.getField("code")).as("codes"))
+
+  /** ADC search (asymmetric distance computation): one m×k partial-dot
+    * lookup table per query — built against the FLOAT codebook, so the
+    * query side stays exact — then every corpus vector scores as m map
+    * lookups over its codes: score(q,v) = Σ_sub LUT[q][sub→codes(sub)],
+    * which is EXACTLY ⟨q, reconstruction(v)⟩ (PqSpec pins it). The LUT
+    * keys are sub·k+code, so dropped codewords leave holes instead of
+    * shifting positions.
+    *
+    * Scale: the LUT frame is |queries| rows of m·k doubles (~1 KB each
+    * at 8×16) and broadcasts; the codes table is the ONLY corpus-sized
+    * input — sequential m-int reads + m lookups per vector, never the
+    * embeddings. Top-k ranks per query, same output shape as
+    * [[ivfSearch]]. */
+  def pqSearch(q: DataFrame, codes: DataFrame, cb: DataFrame,
+      dim: Int = 64, m: Int = 8, k: Int = 16, topK: Int = 5): DataFrame =
+    adcRank(codes.select(col("vec_id").as("c_id"), col("codes"))
+        .crossJoin(broadcast(pqLut(q, cb, dim / m, k))),
+      m, k, topK)
+
+  /** The per-query ADC lookup table: one row per query holding the m×k
+    * partial dots against the float codebook as a sub·k+code → double
+    * map (dropped codewords leave holes instead of shifting positions).
+    * ~1 KB per query at 8×16 — always broadcastable. */
+  private def pqLut(q: DataFrame, cb: DataFrame, dsub: Int, k: Int): DataFrame =
+    q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cb))
+      .select(col("q_id"), (col("sub") * k + col("code")).as("key"),
+        vecDot(slice(col("q_emb"), col("sub") * dsub + 1, lit(dsub)),
+          col("cw")).as("pd"))
+      .groupBy("q_id")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("key"), col("pd"))))).as("lut"))
+
+  /** Score candidates (q_id, c_id, codes, lut) by m map lookups and
+    * rank the top `topK` per query — the shared back half of
+    * [[pqSearch]] and [[ivfPqSearch]]. */
+  private def adcRank(cands: DataFrame, m: Int, k: Int, topK: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    cands
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(
+          zip_with(sequence(lit(0), lit(m - 1)), col("codes"),
+            (s2, c) => s2 * k + c),
+          lit(0.0d), (acc, key) => acc + element_at(col("lut"), key))
+          .as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** The composed IVF-PQ index — the production ANN layout: vectors
+    * assigned to kCells coarse cells (IVF) AND compressed to m codeword
+    * ids (PQ), packed as one (vec_id, cell_id, codes) table. At 100 TB
+    * this table — written bucketed by cell_id like [[ivfIndexSave]] —
+    * is the ONLY corpus-sized search input: the probe prunes to
+    * nprobe/kCells of it and the scan reads m ints per vector.
+    * Returns (packed, centroids, codebook); `packed` is persisted — the
+    * search references it once per query batch. */
+  def ivfPqIndex(v: DataFrame, kCells: Int = 16, dim: Int = 64,
+      m: Int = 8, k: Int = 16, iters: Int = 2)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (index, cent) = ivfIndex(v, kCells)
+    val cb = pqTrain(v, dim, m, k, iters)
+    val packed = index.select(col("vec_id"), col("cell_id"))
+      .join(pqEncode(v, cb, dim, m), "vec_id").persist()
+    (packed, cent, cb)
+  }
+
+  /** IVF-PQ search: probe the nprobe nearest cells per query (broadcast
+    * centroids, like [[ivfSearch]]), then ADC-score ONLY the probed
+    * cells' codes — per-query cost O(N·nprobe/kCells) scans of m-int
+    * codes, the multiplicative composition of both scale paths. The
+    * probe→candidate join is an equi-join on cell_id (bucket-prunable
+    * against a disk-persisted packed table); scores are identical to
+    * [[pqSearch]]'s for every surviving pair (PqSpec pins it). */
+  def ivfPqSearch(q: DataFrame, packed: DataFrame, cent: DataFrame,
+      cb: DataFrame, nprobe: Int, dim: Int = 64, m: Int = 8, k: Int = 16,
+      topK: Int = 5): DataFrame = {
+    val luts = pqLut(q, cb, dim / m, k)
+    val cands = ivfProbes(q, cent, nprobe).select("q_id", "cell_id")
+      .join(packed.select(col("vec_id").as("c_id"), col("cell_id"),
+        col("codes")), "cell_id")
+      .join(broadcast(luts), "q_id")
+    adcRank(cands, m, k, topK)
   }
 
   val oracle: Map[String, String] = Map(

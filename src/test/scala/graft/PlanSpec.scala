@@ -99,6 +99,9 @@ class PlanSpec extends SparkSpec {
           assert(Seq("join_range_interval", "join_asof", "sim_knn_per_query",
             "text_fingerprint", "text_tfidf", "dedup_embed_cosine",
             "sim_cosine_topk", "sim_ivf_knn",
+            "sim_pq_knn",    // both cross joins broadcast bounded sides:
+                             // the ≤m·k-row codebook and the query LUT frame
+            "sim_ivfpq_knn", // same bounded sides + the ≤kCells centroid set
             "text_lm_score", // 1-row vocab-size aggregate cross join (as text_tfidf)
             "funnel_steps"   // three 1-row step-count aggregates cross-joined
           ).contains(key), p)
@@ -143,6 +146,17 @@ class PlanSpec extends SparkSpec {
       "funnel_steps" -> 5,         // three user_id-keyed step stages + tiny counts
       "pipeline_chunk_docs" -> 0,  // pure projection (sequence + slice)
       "sim_ivf_knn" -> 11,         // seed pick + 2 Lloyd assigns + probe ranks
+      "sim_pq_knn" -> 56,          // STATIC count: the persisted codebook's
+                                   // nested Lloyd lineage re-prints at every
+                                   // cache reference (encode + LUT sides).
+                                   // At runtime the cache hits, so only the
+                                   // ~5 search-side exchanges execute —
+                                   // PqSpec's determinism run exercises that.
+      "sim_ivfpq_knn" -> 66,       // STATIC count, same cache-lineage inflation
+                                   // (IVF index + codebook both persisted);
+                                   // runtime = probe + packed-join + rank
+      "ts_interpolate" -> 2,       // obs agg + grid join; rn/prev/next windows
+                                   // all reuse the user_id sort order
       "text_tfidf" -> 4,           // tf agg + df agg + idf attach
       "text_edit_distance" -> 0,   // blocked pairs broadcast-joined
       // round-2 pipelines (measured at their round-2 plan shapes):
