@@ -562,14 +562,19 @@ object SimilarityOps {
   def pqSearch(q: DataFrame, codes: DataFrame, cb: DataFrame,
       dim: Int = 64, m: Int = 8, k: Int = 16, topK: Int = 5): DataFrame =
     adcRank(codes.select(col("vec_id").as("c_id"), col("codes"))
-        .crossJoin(broadcast(pqLut(q, cb, dim / m, k))),
+        .crossJoin(broadcast(pqLut(q, cb, dim / m, m, k))),
       m, k, topK)
 
   /** The per-query ADC lookup table: one row per query holding the m×k
-    * partial dots against the float codebook as a sub·k+code → double
-    * map (dropped codewords leave holes instead of shifting positions).
-    * ~1 KB per query at 8×16 — always broadcastable. */
-  private def pqLut(q: DataFrame, cb: DataFrame, dsub: Int, k: Int): DataFrame =
+    * partial dots against the float codebook, FLATTENED to a dense
+    * array<double> indexed by sub·k+code (dropped codewords leave
+    * zero-filled holes that no produced code ever indexes — positions
+    * never shift). ~1 KB per query at 8×16 — always broadcastable. The
+    * flat layout is what lets the scan-side score stay a codegen'd
+    * array lookup ([[graft.functions.PqAdcScore]]) instead of a map
+    * probe. */
+  private def pqLut(q: DataFrame, cb: DataFrame, dsub: Int, m: Int,
+      k: Int): DataFrame =
     q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cb))
       .select(col("q_id"), (col("sub") * k + col("code")).as("key"),
@@ -577,20 +582,26 @@ object SimilarityOps {
           col("cw")).as("pd"))
       .groupBy("q_id")
       .agg(map_from_entries(
-        array_sort(collect_list(struct(col("key"), col("pd"))))).as("lut"))
+        array_sort(collect_list(struct(col("key"), col("pd"))))).as("lutm"))
+      .select(col("q_id"),
+        transform(sequence(lit(0), lit(m * k - 1)),
+          i => coalesce(element_at(col("lutm"), i), lit(0.0d))).as("lut"))
 
-  /** Score candidates (q_id, c_id, codes, lut) by m map lookups and
-    * rank the top `topK` per query — the shared back half of
-    * [[pqSearch]] and [[ivfPqSearch]]. */
+  /** Score candidates (q_id, c_id, codes, lut) and rank the top `topK`
+    * per query — the shared back half of [[pqSearch]] and
+    * [[ivfPqSearch]]. The score is ONE codegen'd expression
+    * ([[graft.functions.PqAdcScore]]): m array lookups per (query,
+    * vector) inside whole-stage codegen — the HOF formulation
+    * (aggregate + element_at over a map) fell out of codegen exactly
+    * like the LSH signature projection did (SCALE.md §10), and this is
+    * the once-per-corpus-vector inner loop. Accumulation order is
+    * unchanged, so scores are bit-identical to the HOF form. */
   private def adcRank(cands: DataFrame, m: Int, k: Int, topK: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     cands
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        aggregate(
-          zip_with(sequence(lit(0), lit(m - 1)), col("codes"),
-            (s2, c) => s2 * k + c),
-          lit(0.0d), (acc, key) => acc + element_at(col("lut"), key))
+        graft.functions.PqAdcScore.adcScore(col("codes"), col("lut"), k)
           .as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
@@ -626,7 +637,7 @@ object SimilarityOps {
   def ivfPqSearch(q: DataFrame, packed: DataFrame, cent: DataFrame,
       cb: DataFrame, nprobe: Int, dim: Int = 64, m: Int = 8, k: Int = 16,
       topK: Int = 5): DataFrame = {
-    val luts = pqLut(q, cb, dim / m, k)
+    val luts = pqLut(q, cb, dim / m, m, k)
     val cands = ivfProbes(q, cent, nprobe).select("q_id", "cell_id")
       .join(packed.select(col("vec_id").as("c_id"), col("cell_id"),
         col("codes")), "cell_id")

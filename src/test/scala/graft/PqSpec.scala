@@ -115,6 +115,25 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("the ADC scoring stage stays inside whole-stage codegen") {
+    // the score runs once per (query, corpus vector) — if it falls out of
+    // codegen (as the HOF aggregate+element_at form does), the corpus scan
+    // goes interpreted, the cliff SCALE.md §10 documents for LSH bands
+    val v = clusteredVecs()
+    val cb = SimilarityOps.pqTrain(v, dim = 8, m = 4, k = 8, iters = 1)
+    val codes = SimilarityOps.pqEncode(v, cb, dim = 8, m = 4)
+    val df = SimilarityOps.pqSearch(v.filter(col("vec_id") < 3), codes, cb,
+      dim = 8, m = 4, k = 8, topK = 5)
+    df.collect() // AQE: codegen spans only exist in the final executed plan
+    val p = df.queryExecution.executedPlan.toString
+    // the Project carrying pqadcscore must sit inside a `*(n)` span —
+    // a bare "Project" line would mean the scoring scan went interpreted
+    val scoreLine = p.linesIterator.find(_.contains("pqadcscore"))
+    assert(scoreLine.isDefined, "ADC expression missing from the plan:\n" + p.take(800))
+    assert(scoreLine.get.contains("*("),
+      "pqadcscore fell out of whole-stage codegen:\n" + scoreLine.get)
+  }
+
   test("codebook and codes have the claimed compression shape") {
     val v = clusteredVecs()
     val cb = SimilarityOps.pqTrain(v, dim = 8, m = 4, k = 8, iters = 2)
