@@ -138,6 +138,26 @@ object Aggregates {
         .orderBy("o_custkey", "rk")
     }),
 
+    // Count-min point-frequency estimates (Cormode–Muthukrishnan): the
+    // mergeable frequency sketch — each partition's partial is a fixed
+    // w×d count grid, union is cellwise add, estimate = min over the d
+    // hash rows. The 100 TB shape: per-key frequency estimates with NO
+    // corpus-keyed shuffle — only bounded sketch partials move, never
+    // the keys. Seeded → deterministic; ≥ exact by construction, ≤
+    // exact + ε·N with the configured confidence — both bounds pinned
+    // in OperatorSmokeSpec against exact counts.
+    "agg_count_min" -> ((s, dir) => {
+      import s.implicits._
+      val sk = events(s, dir)
+        .agg(expr("count_min_sketch(event_type, 0.0001d, 0.99d, 42)"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sk))
+      Seq("click", "error", "purchase", "signup", "view")
+        .map(t2 => (t2, cms.estimateCount(t2)))
+        .toDF("event_type", "est_count").orderBy("event_type")
+    }),
+
     // Heavy hitters via the approx_top_k frequent-items sketch — the
     // mergeable answer to "top-k words over 100 TB" (exact top-k needs a
     // full groupBy; the sketch is one bounded-size partial per partition).

@@ -80,6 +80,20 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(sessions.agg(sum("n_events")).head.getLong(0) == 1000L)
   }
 
+  test("pinned: count-min estimates bound exact counts within eps*N") {
+    val est = SparkEntry.queries("agg_count_min")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    val n = exact.values.sum
+    exact.foreach { case (k, e) =>
+      assert(est(k) >= e, s"$k: CMS underestimated ${est(k)} < $e")
+      assert(est(k) <= e + (0.0001 * n).ceil.toLong + 1,
+        s"$k: CMS over the eps*N bound: ${est(k)} vs exact $e (N=$n)")
+    }
+  }
+
   test("pinned: approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
       .head.getLong(0).toDouble
