@@ -44,12 +44,8 @@ object DedupOps {
         .select("keep_id", "dup_cnt", "text")
         .orderBy("keep_id")),
 
-    // Exact 3-gram-shingle Jaccard pairs ≥ 0.6 via the inverted index:
-    // |A∩B| for every co-occurring pair comes from one shingle-equi-join +
-    // one hash agg on (d1,d2) — every operator is codegen'd, no arrays or
-    // UDFs in flight. Sizes (n1, n2) attach afterwards; with AQE on, those
-    // two joins broadcast at this scale and fall back to shuffle joins when
-    // the doc-count table outgrows the broadcast threshold — no hint needed.
+    // Exact 3-gram-shingle Jaccard pairs ≥ 0.6 via the inverted index
+    // ([[jaccardPairs]] — shared with the GraphOps near-dup graph).
     //
     // Scale ledger (measured sf0.1, 5k docs / 260k index rows): pair
     // expansion is Σ_sh c·(c−1)/2 = 1.27M rows — linear in corpus size as
@@ -63,27 +59,11 @@ object DedupOps {
     // this shingle-frequency distribution. The group-count plan wins
     // whenever the expansion is near-linear; switch to prefix+verify only
     // when hot shingles make the expansion super-linear.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val tau = 0.6
-      // Distinct (doc_id, shingle) built map-side: array_distinct inside
-      // the projection, so no dedup shuffle for the index itself.
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(TextOps.shingles(col("text")))).as("shingle"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("d1"), col("shingle"))
-        .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      inter
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= tau)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(t(s, dir, "documents"), tau = 0.6)
         .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
           round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("d1", "d2")
-    }),
+        .orderBy("d1", "d2")),
 
     // 32-bit SimHash from the per-nibble high bit of each token's MD5:
     // bit_j = sign of Σ_tokens (±1). Engine-portable (no platform hash).
@@ -264,6 +244,32 @@ object DedupOps {
       .select(col("new_id"), col("corpus_id"),
         round(col("est_jaccard"), 6).as("est_jaccard"))
       .orderBy("new_id", "corpus_id")
+  }
+
+  /** Exact 3-gram-shingle Jaccard near-dup pairs at threshold `tau` — the
+    * shared pair miner behind `dedup_ngram_jaccard` and the [[GraphOps]]
+    * near-dup graph. |A∩B| for every co-occurring pair comes from one
+    * shingle-equi-join + one hash agg on (d1,d2) — every operator is
+    * codegen'd, no arrays or UDFs in flight; sizes (n1,n2) attach
+    * afterwards (AQE broadcasts those joins at test scale and falls back
+    * to shuffle joins when the doc-count table outgrows the threshold).
+    * Returns (d1, d2, inter, n1, n2, jaccard), unrounded and unsorted —
+    * the caller picks presentation. The distinct (doc_id, shingle) index
+    * is deduped map-side (array_distinct before explode), so building it
+    * costs no shuffle. See the `dedup_ngram_jaccard` query entry for the
+    * measured pair-expansion ledger and the profiled-and-rejected
+    * prefix-filter alternative. */
+  def jaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val sh = docShingles(docs)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.select(col("doc_id").as("d1"), col("shingle"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= tau)
   }
 
   /** Hot-bucket ceiling for sketch-path band joins ([[cappedBandPairs]]).
@@ -604,7 +610,7 @@ object DedupOps {
     * a session-global `getPersistentRDDs` diff, so a frame persisted
     * concurrently by another thread in the same session can never be
     * captured and force-freed by mistake (round-5 ADVICE). */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+  private[graft] def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
     val out = df.localCheckpoint()
     val ids = out.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
@@ -614,7 +620,7 @@ object DedupOps {
     (out, ids)
   }
 
-  private def freeRddBlocks(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def freeRddBlocks(spark: org.apache.spark.sql.SparkSession,
       ids: Set[Int]): Unit = {
     val live = spark.sparkContext.getPersistentRDDs
     ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))

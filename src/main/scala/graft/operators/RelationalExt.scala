@@ -361,6 +361,40 @@ object RelationalExt {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    // each doc draws u ~ U(0,1) from a salted md5 (engine/partition/
+    // run-stable, like every sampler here) and the top-k per stratum
+    // under the key ln(u)/weight is exactly a weighted sample without
+    // replacement — inclusion probability increasing in weight. Weight =
+    // n_chars (prefer substantial documents); u = (hex₁₋₈ + 0.5)/2³² is
+    // strictly inside (0,1), so ln never sees 0. Scale: strata are FEW
+    // (5 langs), so one lang-partitioned window would shuffle the whole
+    // corpus into 5 skewed tasks; instead top-k runs two-phase — a
+    // (lang, md5-bucket) window spreads the corpus over 32 even buckets
+    // and prunes to ≤ 32·k rows per lang, then the tiny survivor set
+    // takes the exact global top-k. Selection is identical either way
+    // (global top-k ⊆ union of bucket top-ks); the oracle replays the
+    // single-window form.
+    "sample_weighted" -> ((s, dir) => {
+      val k = 10
+      val h = md5(concat(lit("wsamp42:"), col("doc_id")))
+      val u = (conv(substring(h, 1, 8), 16, 10).cast("long") + lit(0.5)) /
+        lit(4294967296.0)
+      val keyed = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          (log(u) / col("n_chars")).as("es_key"),
+          (conv(substring(h, 9, 2), 16, 10).cast("int") % 32).as("bkt"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "bkt").orderBy(desc("es_key"), col("doc_id"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("es_key"), col("doc_id"))
+      keyed.withColumn("brk", row_number().over(wb)).filter(col("brk") <= k)
+        .withColumn("rk", row_number().over(wl)).filter(col("rk") <= k)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+          round(col("es_key"), 6).as("es_key"))
+        .orderBy("lang", "rk")
+    }),
+
     // regexp_extract_all (array-returning regex) — output stringified for
     // the scalar-only oracle harness.
     "fn_regexp_extract_all" -> ((s, dir) => {
@@ -727,6 +761,29 @@ object RelationalExt {
         | CASE WHEN substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
         |   THEN 'train' ELSE 'test' END AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // hex₁₋₈ of the salted md5 decoded positionally (DuckDB has no
+    // base-conv builtin); all digit terms go through BIGINT so no int32
+    // overflow. Same u and es_key formulas as the Spark side.
+    "sample_weighted" ->
+      """WITH h AS (SELECT lang, doc_id, n_chars,
+        |     md5('wsamp42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        | u AS (SELECT lang, doc_id, n_chars,
+        |     (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) * 268435456
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 2, 1)) AS BIGINT) - 1) * 16777216
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 3, 1)) AS BIGINT) - 1) * 1048576
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 4, 1)) AS BIGINT) - 1) * 65536
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 5, 1)) AS BIGINT) - 1) * 4096
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 6, 1)) AS BIGINT) - 1) * 256
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 7, 1)) AS BIGINT) - 1) * 16
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 8, 1)) AS BIGINT) - 1) AS v
+        |   FROM h),
+        | r AS (SELECT lang, doc_id, n_chars,
+        |     ln((v + 0.5) / 4294967296.0) / n_chars AS es_key,
+        |     row_number() OVER (PARTITION BY lang
+        |       ORDER BY ln((v + 0.5) / 4294967296.0) / n_chars DESC, doc_id) AS rk
+        |   FROM u)
+        |SELECT lang, rk, doc_id, n_chars, round(es_key, 6) AS es_key
+        |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
     "train_test_split_grouped" ->
       ("WITH " + DedupOps.clusterLabelsSql("documents") + """
         |SELECT d.doc_id,

@@ -203,6 +203,41 @@ object TextOps {
           round(avg(col("n_chars")), 6).as("avg_chars"))
         .orderBy("lang", "source")),
 
+    // Data-mix diagnostics: per-source token-distribution entropy and
+    // KL(source ‖ corpus) — the two numbers a pretraining-mix curator
+    // reads before re-weighting sources (low entropy = repetitive/
+    // boilerplate source; high KL = source is unlike the rest of the
+    // corpus). Natural-log units. No smoothing needed: the corpus
+    // distribution marginalizes the SAME per-(source, word) counts, so
+    // q(w) > 0 wherever p(w) > 0 by construction. One token explode +
+    // three reuses of the same (source, word) count frame; per-term
+    // doubles ride the decimal accumulator (dsum6) so the Σ is
+    // partition-order-independent and engine-portable (the lm-score
+    // pattern). Scale: everything keys on (source, word) or word — two
+    // hash aggs and two broadcastable dimension joins; the corpus total
+    // is a 1-row broadcast. No all-corpus shuffle of anything wider than
+    // (word, count).
+    "text_entropy_kl" -> ((s, dir) => {
+      val sc = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val st = sc.groupBy("source").agg(sum("c").as("tot"))
+      val cw = sc.groupBy("w").agg(sum("c").as("cw"))
+      val ct = sc.agg(sum("c").as("ctot"))
+      val p = col("c") / col("tot")
+      val q = col("cw") / col("ctot")
+      sc.join(st, "source").join(cw, "w").crossJoin(broadcast(ct))
+        .select(col("source"),
+          (p * log(p)).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("ph"),
+          (p * log(p / q)).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("pk"),
+          col("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"),
+          round(-sum(col("ph")).cast("double"), 6).as("entropy"),
+          round(sum(col("pk")).cast("double"), 6).as("kl"))
+        .orderBy("source")
+    }),
+
     // Fuzzy pair-matching with blocking: same brand + same head noun, then
     // levenshtein <= 3. Blocking keeps the candidate set linear-ish at scale.
     "text_edit_distance" -> ((s, dir) => {
@@ -464,6 +499,20 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_bigrams,
         | round(CAST(sum(ll) AS DOUBLE) / count(*), 6) AS avg_ll
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_entropy_kl" ->
+      """WITH sc AS (SELECT source, w, count(*) AS c
+        |   FROM (SELECT source, unnest(string_split(text,' ')) AS w FROM documents)
+        |   GROUP BY 1, 2),
+        | st AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM sc GROUP BY 1),
+        | cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sc GROUP BY 1),
+        | ct AS (SELECT CAST(sum(c) AS BIGINT) AS ctot FROM sc)
+        |SELECT sc.source, CAST(sum(sc.c) AS BIGINT) AS n_tokens,
+        | round(-CAST(sum(CAST((sc.c / st.tot) * ln(sc.c / st.tot)
+        |   AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy,
+        | round(CAST(sum(CAST((sc.c / st.tot) * ln((sc.c / st.tot) / (cw.cw / ct.ctot))
+        |   AS DECIMAL(18,6))) AS DOUBLE), 6) AS kl
+        |FROM sc JOIN st USING (source) JOIN cw USING (w) CROSS JOIN ct
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_quality_gate" ->
       """WITH q AS (SELECT doc_id, lang,
         |  round(0.3 * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')))

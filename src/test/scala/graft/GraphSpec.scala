@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+/** PageRank properties: exact parity with a driver-side reference
+  * implementation of the same integer recurrence (any graph), bit parity
+  * between the fixed-K and convergence paths, mass conservation, hub
+  * dominance, and contraction-bounded round counts.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side replay of the exact integer recurrence — the oracle for
+    * the distributed path on arbitrary graphs. */
+  private def refPageRank(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val outdeg = sym.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val n = outdeg.size.toLong
+    val teleport = GraphOps.Scale * (GraphOps.DampDen - GraphOps.DampNum) /
+      GraphOps.DampDen / n
+    var pr = outdeg.map { case (k, _) => k -> (GraphOps.Scale / n) }
+    for (_ <- 1 to iters) {
+      val s = scala.collection.mutable.LongMap.empty[Long]
+      sym.foreach { case (u, v) =>
+        s(v) = s.getOrElse(v, 0L) + pr(u) / outdeg(u)
+      }
+      pr = outdeg.map { case (k, _) =>
+        k -> (teleport + GraphOps.DampNum * s.getOrElse(k, 0L) / GraphOps.DampDen)
+      }
+    }
+    pr
+  }
+
+  /** A deterministic irregular graph: ring + skip links + one hub. */
+  private def testPairs: Seq[(Long, Long)] = {
+    val ring = (0L until 60L).map(i => i -> ((i + 1) % 60))
+    val skips = (0L until 60L by 3).map(i => i -> ((i * 7 + 13) % 60)).filter { case (a, b) => a != b }
+    val hub = (1L until 60L by 2).map(i => 60L -> i)
+    (ring ++ skips ++ hub).map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.filter { case (a, b) => a != b }
+  }
+
+  private def prOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank matches the driver-side integer recurrence exactly") {
+    val pairs = testPairs.toDF("d1", "d2")
+    for (k <- Seq(1, 3, 5)) {
+      val dist = prOf(GraphOps.pageRank(pairs, k))
+      val ref = refPageRank(testPairs, k)
+      assert(dist == ref, s"iter=$k: distributed != reference")
+    }
+  }
+
+  test("pageRankConverged is bit-identical to pageRank at the same round count") {
+    val pairs = testPairs.toDF("d1", "d2")
+    // tol = -1 forces exactly maxRounds rounds (delta is never negative)
+    val conv = prOf(GraphOps.pageRankConverged(pairs, tolMicro = -1L, maxRounds = 4))
+    assert(GraphOps.lastPrRounds.get == 4)
+    assert(conv == prOf(GraphOps.pageRank(pairs, 4)))
+  }
+
+  test("mass conservation: total rank stays within bounded floor loss") {
+    val pairs = testPairs.toDF("d1", "d2")
+    val nNodes = 61L
+    val nDirected = 2L * testPairs.size
+    for (k <- Seq(1, 4)) {
+      val mass = GraphOps.pageRank(pairs, k).agg(sum("pr")).head.getLong(0)
+      assert(mass <= GraphOps.Scale)
+      // each round floors once per directed edge, once per node (damping),
+      // plus the initial Scale/n and teleport floors lose < n each
+      val bound = k * (nDirected + nNodes) + 2 * nNodes
+      assert(mass >= GraphOps.Scale - bound,
+        s"iter=$k: mass $mass lost more than $bound micro-units")
+    }
+  }
+
+  test("hub dominance: star center outranks leaves, leaves tie") {
+    val star = (1L to 40L).map(i => 0L -> i).toDF("d1", "d2")
+    val pr = prOf(GraphOps.pageRank(star, 5))
+    val leaves = (1L to 40L).map(pr)
+    assert(pr(0L) > leaves.max, "hub must outrank every leaf")
+    assert(leaves.distinct.size == 1, "symmetric leaves must tie exactly")
+  }
+
+  test("contraction: rounds to tolerance follow the d^k law on an irregular graph") {
+    val pairs = testPairs.toDF("d1", "d2")
+    // L1 movement contracts by ≈ d = 0.85 per round: a 0.1%-of-mass
+    // tolerance must be reached in ≈ 1 + ln(Δ₁/1e9)/ln(1/0.85) ≲ 40
+    // rounds, and a 10× looser tolerance in ~14 fewer rounds.
+    val tol = GraphOps.Scale / 1000L
+    val fix = prOf(GraphOps.pageRankConverged(pairs, tolMicro = tol))
+    val rounds = GraphOps.lastPrRounds.get
+    assert(rounds > 2 && rounds < 45, s"took $rounds rounds")
+    GraphOps.pageRankConverged(pairs, tolMicro = 10L * tol)
+    val fewer = GraphOps.lastPrRounds.get
+    assert(fewer < rounds, s"looser tolerance took $fewer >= $rounds rounds")
+    // the stop point is a genuine tol-neighborhood of the fixpoint:
+    // one more fixed round moves at most tol mass
+    val more = prOf(GraphOps.pageRank(pairs, rounds + 1))
+    val drift = fix.keys.map(k => math.abs(fix(k) - more(k))).sum
+    assert(drift <= tol, s"fixpoint drift $drift > $tol")
+  }
+
+  test("clique graphs converge in a few rounds even at tight tolerance") {
+    // a union of cliques: the uniform start is the per-component
+    // fixpoint shape, so Δ collapses to floor noise immediately — this
+    // is the regime real near-dup graphs live in and why the query key
+    // can afford tolMicro = 1000
+    val cliques = for {
+      (base, size) <- Seq((0L, 4), (100L, 7), (200L, 3), (300L, 12))
+      i <- 0 until size; j <- (i + 1) until size
+    } yield (base + i, base + j)
+    GraphOps.pageRankConverged(cliques.toDF("d1", "d2"), tolMicro = 1000L)
+    val rounds = GraphOps.lastPrRounds.get
+    assert(rounds <= 4, s"clique graph took $rounds rounds")
+  }
+
+  test("graph_pagerank query runs on sf0.001 with full mass") {
+    val out = SparkEntry.queries("graph_pagerank")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // sorted by rank desc then id
+    val prs = rows.map(_.getLong(1))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b })
+    val mass = prs.sum
+    assert(mass <= GraphOps.Scale && mass >= GraphOps.Scale * 99 / 100)
+  }
+}

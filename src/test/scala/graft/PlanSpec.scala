@@ -103,7 +103,8 @@ class PlanSpec extends SparkSpec {
                              // the ≤m·k-row codebook and the query LUT frame
             "sim_ivfpq_knn", // same bounded sides + the ≤kCells centroid set
             "text_lm_score", // 1-row vocab-size aggregate cross join (as text_tfidf)
-            "funnel_steps"   // three 1-row step-count aggregates cross-joined
+            "funnel_steps",  // three 1-row step-count aggregates cross-joined
+            "text_entropy_kl" // 1-row corpus-total aggregate cross join (as text_tfidf)
           ).contains(key), p)
       }
     }
@@ -199,7 +200,17 @@ class PlanSpec extends SparkSpec {
       // third-wave additions:
       "agg_regression" -> 1,       // one two-phase agg carries all 5 moments
       "cdc_merge_upsert" -> 2,     // two latest-per-key aggs; join reuses their partitioning
-      "fn_zorder" -> 0)            // pure projection — bit ops codegen inline
+      "fn_zorder" -> 0,            // pure projection — bit ops codegen inline
+      // fourth-wave additions:
+      "graph_pagerank" -> 0,       // returns a checkpointed LogicalRDD leaf;
+                                   // the K rounds behind it are each one
+                                   // edges⋈ranks join + one map-side-combined sum
+      "graph_pagerank_converged" -> 0, // same — per-round frames checkpointed
+      "text_entropy_kl" -> 7,      // STATIC: (source,w) agg + 3 re-aggs + SMJ
+                                   // sides; at runtime AQE broadcasts the
+                                   // per-source/vocab dims onto the count frame
+      "sample_weighted" -> 2)      // (lang,bkt) spread window + lang top-k on
+                                   // the ≤32·k survivors
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
