@@ -65,6 +65,43 @@ object DedupOps {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("d1", "d2")),
 
+    // Asymmetric CONTAINMENT dedup: inter / min(n1, n2) — the metric
+    // that catches subset duplicates symmetric Jaccard misses (a short
+    // doc pasted whole into a long one scores containment 1.0 but
+    // Jaccard n1/n2 ≈ 0; boilerplate-wrapper dups are exactly this
+    // shape). Same inverted-index miner as dedup_ngram_jaccard (tau = 0
+    // keeps every co-occurring pair; the aggregation cost is identical —
+    // the jaccard threshold was applied after the pair agg anyway), so
+    // the scale ledger there applies unchanged.
+    "dedup_containment" -> ((s, dir) =>
+      jaccardPairs(t(s, dir, "documents"), tau = 0.0)
+        .withColumn("containment", col("inter") / least(col("n1"), col("n2")))
+        .filter(col("containment") >= 0.8)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("d1", "d2")),
+
+    // The dedup REPORT every cleaning run reads before committing: the
+    // cluster-size histogram (how much mass sits in how-big duplicate
+    // clusters), singletons included — un-clustered docs are size-1
+    // clusters, counted via one anti join, so corpus_docs =
+    // Σ size·n_clusters reconciles exactly (pinned in the spec). Scale:
+    // two id-only aggs over the CC labels + one anti join of ids; the
+    // histogram itself is at most |distinct sizes| rows.
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = clusterLabels(docs)
+      val hist = labels.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      val singles = docs.join(labels, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(1L).as("sz"), col("n_clusters"))
+      hist.union(singles)
+        .groupBy("sz").agg(sum("n_clusters").as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // 32-bit SimHash from the per-nibble high bit of each token's MD5:
     // bit_j = sign of Σ_tokens (±1). Engine-portable (no platform hash).
     "dedup_simhash" -> ((s, dir) =>
@@ -656,6 +693,19 @@ object DedupOps {
         |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
         |WHERE inter / (x.n + y.n - inter) >= 0.6
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        |   FROM (SELECT doc_id, toks,
+        |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        | n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |   FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, inter, x.n AS n1, y.n AS n2,
+        | round(inter / least(x.n, y.n), 6) AS containment
+        |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
+        |WHERE inter / least(x.n, y.n) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
     "dedup_simhash" ->
       s"""$simhashCte
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
@@ -667,6 +717,15 @@ object DedupOps {
     "dedup_cluster" ->
       s"""WITH ${clusterLabelsSql("documents")}
          |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH ${clusterLabelsSql("documents")},
+         | cs AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1),
+         | hist AS (SELECT sz, count(*) AS n_clusters FROM cs GROUP BY 1
+         |   UNION ALL
+         |   SELECT 1, (SELECT count(*) FROM documents)
+         |           - (SELECT count(*) FROM labels))
+         |SELECT sz AS cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+         |FROM hist GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""$simhash64Cte
          |SELECT a.doc_id AS d1, b.doc_id AS d2,

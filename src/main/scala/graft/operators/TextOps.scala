@@ -203,6 +203,46 @@ object TextOps {
           round(avg(col("n_chars")), 6).as("avg_chars"))
         .orderBy("lang", "source")),
 
+    // Intra-document repetition spans (the self-dedup half of
+    // "Deduplicating Training Data Makes Language Models Better", Lee et
+    // al. 2022): token positions covered by a 3-gram whose identical
+    // 3-gram already occurred EARLIER in the same document. Overlapping
+    // covered intervals [i, i+2] merge via gaps-and-islands (cumulative
+    // max of interval ends), so n_repeated is the exact union length —
+    // the token count a span-trimming pass would remove. Scale: every
+    // window partitions by doc_id (+shingle) — work is bounded per
+    // document, nothing corpus-wide; the (doc_id, sh) first-occurrence
+    // window and the doc-ordered island windows are the only exchanges.
+    "text_intradoc_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        posexplode(shingles(col("text"))).as(Seq("i", "sh")))
+      val rep = sh
+        .withColumn("first_i", min("i").over(Window.partitionBy("doc_id", "sh")))
+        .filter(col("i") > col("first_i"))
+      val prevEnds = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val runW = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val merged = rep
+        .withColumn("prev_max_end", max(col("i") + lit(2)).over(prevEnds))
+        .withColumn("new_isl",
+          when(col("prev_max_end").isNull || col("i") > col("prev_max_end"), 1L)
+            .otherwise(0L))
+        .withColumn("isl_id", sum("new_isl").over(runW))
+        .groupBy("doc_id", "isl_id")
+        .agg((max(col("i")) + lit(2) - min(col("i")) + lit(1)).as("len"))
+        .groupBy("doc_id").agg(sum("len").as("n_repeated"))
+      docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .join(merged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+          round(coalesce(col("n_repeated"), lit(0L)) / col("n_tokens"), 6)
+            .as("repeat_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Data-mix diagnostics: per-source token-distribution entropy and
     // KL(source ‖ corpus) — the two numbers a pretraining-mix curator
     // reads before re-weighting sources (low entropy = repetitive/
@@ -499,6 +539,36 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_bigrams,
         | round(CAST(sum(ll) AS DOUBLE) / count(*), 6) AS avg_ll
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // i-1 aligns DuckDB's 1-based slice start with posexplode's 0-based
+    // array index; same interval math otherwise.
+    "text_intradoc_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | sh AS (SELECT doc_id, i - 1 AS i, array_to_string(toks[i:i+2], ' ') AS sh
+        |   FROM (SELECT doc_id, toks,
+        |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        | rep AS (SELECT doc_id, i FROM (
+        |     SELECT doc_id, i, min(i) OVER (PARTITION BY doc_id, sh) AS first_i
+        |     FROM sh)
+        |   WHERE i > first_i),
+        | isl AS (SELECT doc_id, i,
+        |     CASE WHEN max(i + 2) OVER (PARTITION BY doc_id ORDER BY i
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |       OR i > max(i + 2) OVER (PARTITION BY doc_id ORDER BY i
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |     THEN 1 ELSE 0 END AS new_isl
+        |   FROM rep),
+        | grp AS (SELECT doc_id, i, sum(new_isl) OVER (PARTITION BY doc_id
+        |     ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |   FROM isl),
+        | m AS (SELECT doc_id, isl_id, max(i) + 2 - min(i) + 1 AS len
+        |   FROM grp GROUP BY 1, 2),
+        | r AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_repeated
+        |   FROM m GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+        | coalesce(r.n_repeated, 0) AS n_repeated,
+        | round(coalesce(r.n_repeated, 0) / len(string_split(d.text,' ')), 6)
+        |   AS repeat_ratio
+        |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "text_entropy_kl" ->
       """WITH sc AS (SELECT source, w, count(*) AS c
         |   FROM (SELECT source, unnest(string_split(text,' ')) AS w FROM documents)

@@ -117,6 +117,16 @@ class GraphSpec extends SparkSpec {
     assert(rounds <= 4, s"clique graph took $rounds rounds")
   }
 
+  test("dedup_cluster_stats reconciles: sum(size * n_clusters) = corpus docs") {
+    val stats = SparkEntry.queries("dedup_cluster_stats")(spark, sfDir).collect()
+    val total = stats.map(r => r.getLong(0) * r.getLong(1)).sum
+    val docs = Tables.t(spark, sfDir, "documents").count()
+    assert(total == docs, s"histogram mass $total != $docs docs")
+    // CC labels only contain edge-connected nodes, so every non-singleton
+    // bucket has size >= 2 and the singleton bucket exists
+    assert(stats.filter(_.getLong(0) > 1).forall(_.getLong(1) > 0))
+  }
+
   test("graph_pagerank query runs on sf0.001 with full mass") {
     val out = SparkEntry.queries("graph_pagerank")(spark, sfDir)
     val rows = out.collect()

@@ -209,8 +209,13 @@ class PlanSpec extends SparkSpec {
       "text_entropy_kl" -> 7,      // STATIC: (source,w) agg + 3 re-aggs + SMJ
                                    // sides; at runtime AQE broadcasts the
                                    // per-source/vocab dims onto the count frame
-      "sample_weighted" -> 2)      // (lang,bkt) spread window + lang top-k on
+      "sample_weighted" -> 2,      // (lang,bkt) spread window + lang top-k on
                                    // the ≤32·k survivors
+      "dedup_containment" -> 3,    // same miner as dedup_ngram_jaccard
+      "dedup_cluster_stats" -> 3,  // labels agg + size re-agg + anti-join union
+                                   // (labels side is a checkpointed leaf)
+      "text_intradoc_dedup" -> 2)  // (doc,sh) first-occurrence window + doc-
+                                   // ordered island windows share one exchange
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
