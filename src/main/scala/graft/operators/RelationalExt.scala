@@ -26,6 +26,21 @@ object RelationalExt {
   val ChunkTokens: Int = 64
   val ChunkOverlap: Int = 16
 
+  /** The Efraimidis–Spirakis sampling key ln(u)/w with u drawn from a
+    * salted md5 of the id: u = (hex₁₋₈ + 0.5)/2³² ∈ (0,1) strictly. The
+    * top-k rows per stratum under this key (descending) are a weighted
+    * sample without replacement. One expression shared by the batch
+    * `sample_weighted` query and the streaming reservoir
+    * ([[graft.streaming.StreamingWeightedSample]]) so both rank by
+    * bit-identical doubles. */
+  def esKey(idCol: org.apache.spark.sql.Column,
+      wCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = md5(concat(lit("wsamp42:"), idCol))
+    val u = (conv(substring(h, 1, 8), 16, 10).cast("long") + lit(0.5)) /
+      lit(4294967296.0)
+    log(u) / wCol
+  }
+
   val queries: Map[String, Q] = Map(
     // MapType surface: construction, lookup (hit + miss), key listing.
     // Output is all scalars — the oracle harness hashes pandas values.
@@ -361,6 +376,8 @@ object RelationalExt {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // es-key expression factored to [[RelationalExt.esKey]] so the
+    // streaming reservoir twin ranks by the bit-identical column.
     // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
     // each doc draws u ~ U(0,1) from a salted md5 (engine/partition/
     // run-stable, like every sampler here) and the top-k per stratum
@@ -378,11 +395,9 @@ object RelationalExt {
     "sample_weighted" -> ((s, dir) => {
       val k = 10
       val h = md5(concat(lit("wsamp42:"), col("doc_id")))
-      val u = (conv(substring(h, 1, 8), 16, 10).cast("long") + lit(0.5)) /
-        lit(4294967296.0)
       val keyed = t(s, dir, "documents")
         .select(col("lang"), col("doc_id"), col("n_chars"),
-          (log(u) / col("n_chars")).as("es_key"),
+          esKey(col("doc_id"), col("n_chars")).as("es_key"),
           (conv(substring(h, 9, 2), 16, 10).cast("int") % 32).as("bkt"))
       val wb = org.apache.spark.sql.expressions.Window
         .partitionBy("lang", "bkt").orderBy(desc("es_key"), col("doc_id"))

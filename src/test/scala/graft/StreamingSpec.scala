@@ -634,4 +634,45 @@ class StreamingSpec extends SparkSpec {
     val total = spark.table("replay_counts").agg(sum("count")).head.getLong(0)
     assert(total == 1000L)
   }
+
+  test("streaming weighted reservoir ≡ batch sample_weighted (exact, any chunking)") {
+    import graft.streaming.StreamingWeightedSample
+    import graft.streaming.StreamingWeightedSample.DocIn
+    withRocksDb {
+      // the same keyed rows the batch query ranks, in three arrival waves
+      val keyed = Tables.t(spark, sfDir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          graft.operators.RelationalExt.esKey(col("doc_id"), col("n_chars"))
+            .as("es_key"))
+        .as[DocIn].collect().toSeq.sortBy(_.doc_id)
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[DocIn]
+      val q = StreamingWeightedSample.sample(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_wsample")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      // current sample = max-ver emission per lang
+      val sink = spark.table("stream_wsample")
+      val all = sink.select(col("lang"), col("ver"), col("rk"), col("doc_id"),
+        col("n_chars"), round(col("es_key"), 6).as("es_key")).collect()
+      val maxVer = all.groupBy(_.getString(0))
+        .map { case (l, rs) => l -> rs.map(_.getLong(1)).max }
+      val latest = all.filter(r => r.getLong(1) == maxVer(r.getString(0)))
+        .map(r => Seq(r.getString(0), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toSet
+      val batch = SparkEntry.queries("sample_weighted")(spark, sfDir)
+      assert(latest == batch.collect().map(_.toSeq).toSet)
+      // and every intermediate emission was a valid top-k of its prefix:
+      // ver counts per lang equal the number of waves containing that lang
+      val verCounts = sink.select("lang", "ver").distinct()
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = keyed.groupBy(_.lang).map { case (l, ds) =>
+        l -> waves.count(w => w.exists(_.lang == l)).toLong
+      }
+      assert(verCounts == expected)
+    }
+  }
 }
