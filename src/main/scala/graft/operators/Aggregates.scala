@@ -168,6 +168,22 @@ object Aggregates {
         .agg(expr("approx_top_k(word, 10)").as("topk"))
         .select(explode(col("topk")).as("e"))
         .select(col("e.*"))),
+
+    // Misra–Gries heavy hitters — the DETERMINISTIC, hard-bounded twin
+    // of agg_approx_top_k (see [[graft.functions.MisraGriesAgg]]): no
+    // randomness, every >N/k item guaranteed present, counts within N/k
+    // of exact (both pinned in OperatorSmokeSpec). Same scale shape —
+    // two-phase agg, ≤(k−1)-entry map partials on the wire, corpus
+    // never shuffles.
+    "agg_heavy_hitters_mg" -> ((s, dir) => {
+      val mg = udaf(new graft.functions.MisraGriesAgg(16),
+        org.apache.spark.sql.Encoders.STRING)
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(mg(col("w")).as("mg"))
+        .select(explode(col("mg")).as(Seq("word", "est_count")))
+        .orderBy(desc("est_count"), col("word"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(

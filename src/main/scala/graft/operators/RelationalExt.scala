@@ -538,6 +538,29 @@ object RelationalExt {
     // deterministic train/test fold → per-fold corpus stats. Every stage
     // is one of the engine's verified operators; the composite pins that
     // they compose.
+    // Quality-aware canonical selection: per near-dup cluster keep the
+    // HIGHEST-quality member, not the smallest id — the production form
+    // of "which copy survives dedup" (min-id keeps whichever crawl
+    // happened to be enumerated first; quality-argmax keeps the best
+    // extraction of the page). Singletons are their own group via
+    // coalesce, so every doc is labeled. Scale: the CC labels are
+    // id-pairs only; quality is a scan-stage projection; the argmax
+    // window partitions by group_id — dup clusters are small by
+    // construction, so no skewed partition exists. Shares qualityScore/
+    // qualitySql with text_quality_score (no formula drift).
+    "pipeline_dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = DedupOps.clusterLabels(docs)
+      val scored = docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("group_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("group_id").orderBy(desc("quality"), col("doc_id"))
+      scored.withColumn("is_canonical", row_number().over(w) === 1)
+        .select("doc_id", "group_id", "quality", "is_canonical")
+        .orderBy("doc_id")
+    }),
+
     "pipeline_corpus_clean" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("n_chars") >= 100)
       val exact = docs.groupBy("text")
@@ -906,6 +929,16 @@ object RelationalExt {
          | AND l_shipdate > DATE '1995-03-15'
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "pipeline_dedup_canonical" ->
+      s"""WITH ${DedupOps.clusterLabelsSql("documents")},
+         | g AS (SELECT d.doc_id,
+         |     COALESCE(l.cluster_id, d.doc_id) AS group_id,
+         |     ${TextOps.qualitySql("d.text")} AS quality
+         |   FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, group_id, quality,
+         | row_number() OVER (PARTITION BY group_id
+         |   ORDER BY quality DESC, doc_id) = 1 AS is_canonical
+         |FROM g ORDER BY doc_id""".stripMargin,
     "pipeline_corpus_clean" ->
       s"""WITH docs AS (SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 100),
          | ${DedupOps.clusterLabelsSql("docs")},

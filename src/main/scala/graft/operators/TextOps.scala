@@ -60,7 +60,7 @@ object TextOps {
   /** The composite quality score (uniqueness + non-stopword + length
     * saturation, rounded to 6 dp) — shared by `text_quality_score` and
     * the per-language gate so the two keys can never drift apart. */
-  private def qualityScore(text: Column): Column = {
+  private[operators] def qualityScore(text: Column): Column = {
     val toks = split(text, " ")
     val nTok = size(toks)
     val stopRatio = size(filter(toks, w => w.isin(stopwords: _*))) / nTok
@@ -68,6 +68,15 @@ object TextOps {
     round(lit(0.3) * uniqRatio + lit(0.4) * (lit(1.0) - stopRatio)
       + lit(0.3) * least(lit(1.0), nTok / lit(100.0)), 6)
   }
+
+  /** DuckDB twin of [[qualityScore]] over a text column reference —
+    * shared by every oracle that scores quality so the formula cannot
+    * drift between keys. */
+  private[operators] def qualitySql(t: String): String =
+    s"round(0.3 * (len(list_distinct(string_split($t,' '))) / len(string_split($t,' ')))" +
+      s" + 0.4 * (1.0 - len(list_filter(string_split($t,' '), w -> w IN ('the','a')))" +
+      s" / len(string_split($t,' ')))" +
+      s" + 0.3 * least(1.0, len(string_split($t,' ')) / 100.0), 6)"
 
   val queries: Map[String, Q] = Map(
     "text_wordcount" -> ((s, dir) =>

@@ -94,6 +94,27 @@ class OperatorSmokeSpec extends SparkSpec {
     }
   }
 
+  test("pinned: Misra-Gries bounds — no misses above N/k, counts within N/k") {
+    val k = 16L
+    val est = SparkEntry.queries("agg_heavy_hitters_mg")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty && est.size <= (k - 1).toInt)
+    val exact = Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val thresh = n / k
+    exact.filter(_._2 > thresh).foreach { case (w, c) =>
+      assert(est.contains(w), s"heavy hitter '$w' (freq $c > N/k=$thresh) missing")
+    }
+    est.foreach { case (w, e) =>
+      val c = exact(w)
+      assert(e <= c, s"'$w': MG overestimated $e > $c")
+      assert(e >= c - thresh, s"'$w': MG est $e below $c - N/k=$thresh")
+    }
+  }
+
   test("pinned: approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
       .head.getLong(0).toDouble

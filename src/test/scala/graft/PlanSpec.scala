@@ -214,8 +214,13 @@ class PlanSpec extends SparkSpec {
       "dedup_containment" -> 3,    // same miner as dedup_ngram_jaccard
       "dedup_cluster_stats" -> 3,  // labels agg + size re-agg + anti-join union
                                    // (labels side is a checkpointed leaf)
-      "text_intradoc_dedup" -> 2)  // (doc,sh) first-occurrence window + doc-
+      "text_intradoc_dedup" -> 2,  // (doc,sh) first-occurrence window + doc-
                                    // ordered island windows share one exchange
+      "agg_heavy_hitters_mg" -> 0, // two-phase ObjectHashAggregate: only
+                                   // ≤(k−1)-entry map partials move (the final
+                                   // merge is a SinglePartition exchange)
+      "pipeline_dedup_canonical" -> 1) // labels join + one group_id argmax
+                                   // window (labels side is a checkpointed leaf)
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
