@@ -118,6 +118,37 @@ object AnalyticsExt {
           col("close_value"), col("n_events"))
         .orderBy("user_id", "w_start")),
 
+    // Trailing-window 3σ anomaly detection per (user, event_type) stream:
+    // flag events whose value deviates from the mean of the previous ≤20
+    // same-stream events by more than 3 sample deviations. The entire
+    // predicate runs on the INTEGER LATTICE (value → exact 1e-4
+    // micro-units via the same DECIMAL(18,4) cast the dsum keys pin),
+    // with the z-test algebraically cleared of divisions:
+    //   (v−μ)² > 9σ²  ⇔  (v·n − Σx)² > 9·(n·Σx² − (Σx)²)
+    // so no float, no sqrt, no division ever enters — bit-identical
+    // across engines, partitionings, and runs (bounds: |v| ≤ 1e5 ⇒
+    // every term ≤ ~2.3e18 < 2⁶³). The current row is EXCLUDED from its
+    // own baseline (frame ends at −1) so a spike can't mask itself.
+    // Scale: one window keyed by (user, type) — millions of independent
+    // partitions at corpus scale, each a bounded 20-row rolling state;
+    // nothing global, one exchange.
+    "ts_anomaly_sigma" -> ((s, dir) => {
+      val fr = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          col("ts"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vi"))
+        .withColumn("cnt", count(lit(1)).over(fr))
+        .withColumn("sx", sum(col("vi")).over(fr))
+        .withColumn("sxx", sum(col("vi") * col("vi")).over(fr))
+        .filter(col("cnt") >= 10 &&
+          (col("vi") * col("cnt") - col("sx")) * (col("vi") * col("cnt") - col("sx")) >
+            lit(9L) * (col("cnt") * col("sxx") - col("sx") * col("sx")))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
     // Modal value per key (most frequent event_type per user) with a
     // deterministic lexicographic tie-break — the built-in `mode()` keeps
     // an arbitrary tied winner, which is engine- and partitioning-
@@ -325,6 +356,22 @@ object AnalyticsExt {
         | min(value) AS low_value, arg_max(value, ts) AS close_value,
         | count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_anomaly_sigma" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |   CAST(ts AS TIMESTAMP) AS ts2,
+        |   CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi
+        | FROM events),
+        |w AS (SELECT event_id, user_id, event_type, value, vi,
+        |   count(*) OVER fr AS cnt,
+        |   CAST(sum(vi) OVER fr AS BIGINT) AS sx,
+        |   CAST(sum(vi * vi) OVER fr AS BIGINT) AS sxx
+        | FROM e
+        | WINDOW fr AS (PARTITION BY user_id, event_type ORDER BY ts2, event_id
+        |   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, event_type, value FROM w
+        |WHERE cnt >= 10
+        | AND (vi * cnt - sx) * (vi * cnt - sx) > 9 * (cnt * sxx - sx * sx)
+        |ORDER BY event_id""".stripMargin,
     "agg_mode" ->
       """SELECT user_id, event_type AS mode_type, cnt FROM (
         | SELECT user_id, event_type, count(*) AS cnt,

@@ -146,6 +146,75 @@ object GraphOps {
     DedupOps.jaccardPairs(t(s, dir, "documents"), tau = 0.6)
       .select("d1", "d2")
 
+  /** Orientation rank: (degree, id) lexicographic, packed into one long
+    * so both the Spark plan and the DuckDB oracle compare a single
+    * integer. Ids are bounded by [[RankIdSpan]]; degrees by n ≤ id span,
+    * so the product stays far inside a long. */
+  private[operators] val RankIdSpan: Long = 100000000L
+
+  /** Triangle enumeration via the degree-ordered node-iterator
+    * (Suri & Vassilvitskii, WWW 2011 — the MapReduce-standard algorithm):
+    * orient every undirected edge from its lower-(degree, id) endpoint to
+    * the higher one, form wedges only at each edge's SOURCE, and close
+    * them against the oriented edge set. Orientation caps per-node
+    * out-degree at O(√m) on any graph, so the wedge set — the only
+    * intermediate that can blow up — is O(m^1.5) instead of the
+    * Σ deg(v)² of the naive node-iterator (a hub of degree d mines
+    * d·(d−1)/2 wedges un-oriented; oriented, those wedges land on its
+    * low-degree neighbors instead). Each triangle {a,b,c} is emitted
+    * exactly once (wedge at its minimum-rank vertex, arms rank-ordered).
+    *
+    * Scale shape: degrees are one map-side-combined agg over the
+    * symmetric edges; the wedge join shuffles oriented edges by source;
+    * the closure join shuffles wedges by (arm, arm) id pairs — every
+    * frame is (long, long) ids only, never payloads. Returns one row per
+    * triangle, ids sorted ascending as (a, b, c). */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val (e, deg, _) = edgeFrames(pairs)
+    val rank = deg.select(col("u").as("node"),
+      (col("outdeg") * RankIdSpan + col("u")).as("rank"))
+    // Orient each undirected pair toward the higher rank. Persisted: the
+    // frame feeds both wedge arms AND the closure join (3 consumers), and
+    // upstream sits the full pair miner — without the cache the miner
+    // would run three times.
+    val o = pairs
+      .join(rank.select(col("node").as("d1"), col("rank").as("r1")), "d1")
+      .join(rank.select(col("node").as("d2"), col("rank").as("r2")), "d2")
+      .select(
+        when(col("r1") < col("r2"), col("d1")).otherwise(col("d2")).as("src"),
+        when(col("r1") < col("r2"), col("d2")).otherwise(col("d1")).as("dst"),
+        greatest(col("r1"), col("r2")).as("rdst"))
+      .persist()
+    // Wedges at the source, arms rank-ordered so each wedge forms once;
+    // closure arm (lo, hi) is oriented lo→hi by construction.
+    val w = o.select(col("src"), col("dst").as("a"), col("rdst").as("ra"))
+      .join(o.select(col("src"), col("dst").as("b"), col("rdst").as("rb")), "src")
+      .filter(col("ra") < col("rb"))
+    val tri = w.join(o.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+      .select(least(col("src"), col("a"), col("b")).as("t1"),
+        greatest(col("src"), col("a"), col("b")).as("t3"),
+        (col("src") + col("a") + col("b")).as("tsum"))
+      .select(col("t1").as("a"), (col("tsum") - col("t1") - col("t3")).as("b"),
+        col("t3").as("c"))
+      .localCheckpoint()
+    o.unpersist()
+    e.unpersist()
+    deg.unpersist()
+    tri
+  }
+
+  /** Degree distribution of an undirected pair graph: (degree, n_nodes).
+    * Two map-side-combined aggs over the symmetric id-only edge list —
+    * the shape stays two shuffles of longs at any corpus size. */
+  def degreeDist(pairs: DataFrame): DataFrame = {
+    val (e, deg, _) = edgeFrames(pairs)
+    val out = deg.groupBy(col("outdeg").as("degree"))
+      .agg(count(lit(1)).as("n_nodes")).localCheckpoint()
+    e.unpersist()
+    deg.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     // Fixed-3-round PageRank over the near-dup graph: bit-exact vs the
     // DuckDB oracle because the whole recurrence is integer arithmetic —
@@ -163,6 +232,23 @@ object GraphOps {
     "graph_pagerank_converged" -> ((s, dir) =>
       pageRankConverged(nearDupPairs(s, dir), tolMicro = 1000L)
         .orderBy(desc("pr"), col("doc_id"))),
+
+    // Triangle listing over the near-dup graph — triangles are the
+    // smallest evidence of duplication CLUSTERS (two pairwise matches
+    // that share a member), and the triangle count per component is the
+    // standard cluster-cohesion diagnostic a dedup report tracks. The
+    // oracle enumerates the same triangles from the d1<d2 pair list with
+    // a 3-way join; the engine's degree-ordered plan produces the
+    // identical set at O(m^1.5) wedge cost.
+    "graph_triangles" -> ((s, dir) =>
+      triangles(nearDupPairs(s, dir)).orderBy("a", "b", "c")),
+
+    // Degree distribution of the near-dup graph — the one-glance skew
+    // diagnostic (a fat tail = boilerplate hub documents that pair with
+    // everything; the signal that routes a corpus to the hot-bucket
+    // capped miner).
+    "graph_degree_dist" -> ((s, dir) =>
+      degreeDist(nearDupPairs(s, dir)).orderBy("degree")),
   )
 
   /** Shared CTE prefix: near-dup edges + degrees + node count, identical
@@ -197,5 +283,17 @@ object GraphOps {
         |   FROM deg CROSS JOIN nn),""".stripMargin + "\n" +
       (1 to 3).map(oracleRound).mkString(",\n") + "\n" +
       """SELECT node AS doc_id, pr FROM p3 ORDER BY pr DESC, doc_id""".stripMargin),
+
+    // Each triangle {a<b<c} appears exactly once: (a,b),(b,c),(a,c) are
+    // all in the d1<d2-normalized pair list pj.
+    "graph_triangles" -> (GraphCtes + "\n" +
+      """SELECT x.d1 AS a, x.d2 AS b, y.d2 AS c
+        |FROM pj x JOIN pj y ON x.d2 = y.d1
+        | JOIN pj z ON z.d1 = x.d1 AND z.d2 = y.d2
+        |ORDER BY a, b, c""".stripMargin),
+
+    "graph_degree_dist" -> (GraphCtes + "\n" +
+      """SELECT outdeg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 }

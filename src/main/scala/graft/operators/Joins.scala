@@ -111,6 +111,38 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Interval-OVERLAP self-join (both sides are intervals — distinct
+    // from join_range_interval's point-in-window): per order, pairs of
+    // line items whose [shipdate, receiptdate] transit windows overlap,
+    // aggregated to overlap-pair count + total overlap days. The order
+    // key is the blocking key: the overlap predicate only ever evaluates
+    // within an order's ≤7 lines, so the join is a plain co-partitioned
+    // equi-join — one hash exchange per side, no interval blowup, and at
+    // 100 TB it inherits whatever bucketing the fact table carries. An
+    // unblocked interval join would bucketize the time axis instead
+    // (join_range_bucketed shows that shape).
+    "join_interval_overlap" -> ((s, dir) => {
+      // The transit window end is derived (this feed carries no receipt
+      // date): shipdate + (⌊quantity⌋ mod 30) days — floor() because a
+      // double→int CAST truncates in Spark but rounds in DuckDB.
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          date_add(col("l_shipdate"),
+            (floor(col("l_quantity")).cast("int") % 30)).as("l_enddate"))
+      val a = l.select(col("l_orderkey"), col("l_linenumber").as("ln1"),
+        col("l_shipdate").as("s1"), col("l_enddate").as("r1"))
+      val b = l.select(col("l_orderkey"), col("l_linenumber").as("ln2"),
+        col("l_shipdate").as("s2"), col("l_enddate").as("r2"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("ln1") < col("ln2") &&
+          col("s1") <= col("r2") && col("s2") <= col("r1"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(datediff(least(col("r1"), col("r2")),
+            greatest(col("s1"), col("s2")))).as("overlap_days"))
+        .orderBy("l_orderkey")
+    }),
+
     // Latest order at-or-before each event's timestamp per user. Implemented
     // shuffle-free of pair blowup: union orders+events on (key, ts), then a
     // running `last(order, ignoreNulls)` window per key. Ties on
@@ -135,6 +167,17 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_interval_overlap" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber, l_shipdate,
+        |   l_shipdate + to_days(CAST(floor(l_quantity) AS INT) % 30) AS l_enddate
+        | FROM lineitem)
+        |SELECT a.l_orderkey, count(*) AS n_pairs,
+        | CAST(sum(datediff('day', greatest(a.l_shipdate, b.l_shipdate),
+        |   least(a.l_enddate, b.l_enddate))) AS BIGINT) AS overlap_days
+        |FROM l a JOIN l b
+        | ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        | AND a.l_shipdate <= b.l_enddate AND b.l_shipdate <= a.l_enddate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_broadcast" ->
       s"""SELECT n_name, count(*) AS order_cnt, ${dsumSql("o_totalprice")} AS total_price
          |FROM orders JOIN customer ON o_custkey = c_custkey

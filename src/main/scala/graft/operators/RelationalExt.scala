@@ -279,6 +279,30 @@ object RelationalExt {
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")),
 
+    // Equi-DEPTH histogram (the optimizer-statistics form: ~equal mass
+    // per bucket, data-dependent boundaries — vs agg_histogram's fixed-
+    // width bins): decile boundaries from ONE exact-percentile aggregate
+    // (a 1-row frame, broadcast), then each row buckets itself by
+    // counting boundaries below its value — a scan-stage array lookup,
+    // no sort, no ntile. The naive formulation (global ntile window) is
+    // a single-task total sort; this shape is two map-side-combined aggs
+    // and stays distributed at any scale (the exact percentile is the
+    // testable stand-in for approx_percentile's sketch at 100 TB —
+    // pipeline_quality_gate shows that swap).
+    "agg_histogram_equidepth" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pcts = array((1 to 9).map(i => lit(i / 10.0)): _*)
+      val bounds = li.agg(percentile(col("l_extendedprice"), pcts).as("bs"))
+      li.select(col("l_extendedprice").as("x"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          size(filter(col("bs"), b => b < col("x"))).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), min(col("x")).as("lo"),
+          max(col("x")).as("hi"), dsum(col("x")).as("sum_x"))
+        .orderBy("bucket")
+    }),
+
     // Multi-distinct aggregation: three DISTINCT aggregates (one of them
     // multi-column) + a plain count in ONE groupBy — Catalyst plans this
     // with a single Expand (row multiplier = #distinct groups), not one
@@ -548,6 +572,33 @@ object RelationalExt {
     // window partitions by group_id — dup clusters are small by
     // construction, so no skewed partition exists. Shares qualityScore/
     // qualitySql with text_quality_score (no formula drift).
+    // 2-D skyline (Pareto frontier): parts not dominated on
+    // (price ↓ better, size ↑ better) — the multi-objective "best
+    // tradeoffs" query (Börzsönyi et al., ICDE 2001). Not an all-pairs
+    // dominance test: a per-price max(size) pre-agg (map-side combined,
+    // corpus-scale shuffle) reduces the frontier scan to one pass over
+    // the PRICE DOMAIN — the ordered prefix-max window runs on ≤
+    // |distinct prices| rows (a value domain, e.g. cents in a bounded
+    // range — NOT corpus-sized; this is the documented bound that makes
+    // the unpartitioned window safe), and the corpus only re-joins on
+    // price to pick up survivors. A row survives iff no strictly
+    // cheaper price reaches its size (prefix max < size) and nothing at
+    // its own price strictly beats it (size = per-price max); exact
+    // duplicates both survive (dominance requires one strict edge).
+    "skyline_pareto" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val perPrice = p.groupBy("p_retailprice").agg(max(col("p_size")).as("msize"))
+      val prefix = Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dom = perPrice.withColumn("prev_max", max(col("msize")).over(prefix))
+      p.join(dom, "p_retailprice")
+        .filter(col("p_size") === col("msize") &&
+          (col("prev_max").isNull || col("prev_max") < col("p_size")))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    }),
+
     "pipeline_dedup_canonical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val labels = DedupOps.clusterLabels(docs)
@@ -847,6 +898,13 @@ object RelationalExt {
       """SELECT CAST(FLOOR(o_totalprice / 600000.0 * 12) AS BIGINT) + 1 AS bucket,
         | count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_histogram_equidepth" ->
+      s"""WITH b AS (SELECT quantile_cont(l_extendedprice,
+         |   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM lineitem)
+         |SELECT CAST(len(list_filter(bs, e -> e < x)) AS INT) AS bucket,
+         | count(*) AS cnt, min(x) AS lo, max(x) AS hi, ${dsumSql("x")} AS sum_x
+         |FROM (SELECT l_extendedprice AS x FROM lineitem) CROSS JOIN b
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_distinct_multi" ->
       """WITH g AS (SELECT l_returnflag,
         |   count(DISTINCT l_partkey) AS n_p,
@@ -929,6 +987,14 @@ object RelationalExt {
          | AND l_shipdate > DATE '1995-03-15'
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // The oracle states the dominance definition directly (NOT EXISTS a
+    // dominator); the engine's domain-scan plan must produce the same set.
+    "skyline_pareto" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part a
+        |WHERE NOT EXISTS (SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
     "pipeline_dedup_canonical" ->
       s"""WITH ${DedupOps.clusterLabelsSql("documents")},
          | g AS (SELECT d.doc_id,

@@ -47,6 +47,25 @@ object Scans {
     // ORC round-trip — the second columnar format (same pushdown/pruning
     // machinery as parquet via the vectorized ORC reader).
     "scan_orc_roundtrip" -> ((s, dir) => roundTrip(s, dir, "orc")),
+
+    // Hive-style partitioned layout: write documents partitioned by lang
+    // (lang=en/part-*.parquet directories), read back through partition
+    // DISCOVERY, and filter on the partition column. The point is the
+    // plan: the lang predicate must become a PartitionFilter — directory
+    // pruning that never opens non-matching files (PlanSpec pins it).
+    // At 100 TB partition-dir pruning is the first and cheapest I/O
+    // eliminator a corpus layout provides (lang/source/date are the
+    // natural keys); the explicit select restores the pre-partitioning
+    // column order (discovery appends partition columns at the end).
+    "scan_hive_partitioned" -> ((s, dir) => {
+      val src = t(s, dir, "documents")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_hive_docs"
+      src.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang") === "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -70,5 +89,8 @@ object Scans {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scan_hive_partitioned" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
   )
 }

@@ -151,6 +151,34 @@ object SimilarityOps {
         .orderBy("d1", "d2")
     }),
 
+    // SemDeDup (Abbas et al. 2023) end-to-end: embedding-cosine pair
+    // graph → connected components → one canonical representative (min
+    // id) per semantic cluster. This is the composite that semantic-
+    // dedups a corpus by MEANING where the MinHash path dedups by
+    // SURFACE: the pair miner here is the brute-force baseline (exact,
+    // oracle-checkable); at corpus scale the identical downstream —
+    // CC + canonical pick — runs off `sim_ann_lsh`'s banded candidates
+    // instead, so the composite's shuffles stay ids-only regardless of
+    // which miner feeds it. The canonical pick is a per-cluster min
+    // window; clusters are small by construction (cosine ≥ 0.35 balls),
+    // so no skewed partition exists.
+    "pipeline_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = allPairs(emb)
+        .withColumn("sim", vecDot(col("e1"), col("e2")))
+        .filter(col("sim") >= 0.35)
+        .select("d1", "d2")
+      val labels = DedupOps.connectedComponents(pairs)
+      val grouped = emb.join(labels, emb("vec_id") === labels("doc_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("group_id"))
+      grouped
+        .withColumn("is_canonical",
+          col("vec_id") === min(col("vec_id"))
+            .over(Window.partitionBy("group_id")))
+        .orderBy("vec_id")
+    }),
+
     // LSH-bucketed approximate near-neighbor pairs: 4 hash tables × 4-bit
     // random-hyperplane signatures; a pair is a candidate if ANY band
     // bucket collides (standard banding — per-band match prob p^4, overall
@@ -672,5 +700,25 @@ object SimilarityOps {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE $oracleDot >= 0.35
          |ORDER BY d1, d2""".stripMargin,
+
+    // Same recursive-walk CC fixpoint the simhash clusterLabelsSql uses,
+    // seeded from the cosine pair graph instead.
+    "pipeline_semantic_dedup" ->
+      s"""WITH p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+         |   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |   WHERE $oracleDot >= 0.35),
+         | e AS (SELECT d1, d2 FROM p UNION SELECT d2, d1 FROM p),
+         | labels AS (SELECT doc_id, min(lbl) AS cluster_id FROM (
+         |   WITH RECURSIVE walk(doc_id, lbl) AS (
+         |     SELECT d1, d1 FROM e
+         |     UNION
+         |     SELECT e.d1, w.lbl FROM e JOIN walk w ON e.d2 = w.doc_id)
+         |   SELECT doc_id, lbl FROM walk)
+         |  GROUP BY doc_id)
+         |SELECT v.vec_id, COALESCE(l.cluster_id, v.vec_id) AS group_id,
+         | v.vec_id = min(v.vec_id) OVER (
+         |   PARTITION BY COALESCE(l.cluster_id, v.vec_id)) AS is_canonical
+         |FROM embeddings v LEFT JOIN labels l ON v.vec_id = l.doc_id
+         |ORDER BY v.vec_id""".stripMargin,
   )
 }

@@ -203,6 +203,39 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Collocation mining: top-50 bigrams by pointwise mutual information
+    // PMI = ln( P(w1,w2) / (P(w1)·P(w2)) ), the standard corpus-
+    // linguistics signal for "these tokens form a unit" (phrase
+    // extraction, tokenizer-merge candidates). A min-support floor
+    // (c12 ≥ 5) kills the rare-pair PMI explosion. Determinism: both
+    // engines evaluate the identical IEEE expression tree of bigint→
+    // double divisions — (c12/nb) / ((c1/n)·(c2/n)) — then ln, then one
+    // terminal round(6) (same recipe text_lm_score pins). Scale: two
+    // corpus scans (token + bigram explode) into map-side-combined
+    // counts; the c12 frame joins the unigram counts on WORD KEYS — a
+    // hash shuffle of (word, long) rows, never a vocab broadcast (vocab
+    // grows with the corpus; the totals are the only broadcast, 1 row
+    // each). Top-50 rides TakeOrderedAndProject.
+    "text_pmi_bigrams" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+      val cw = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      val bg = docs.select(explode(bigramUdf(col("text"))).as("bigram"))
+      val nb = bg.agg(count(lit(1)).as("nb"))
+      bg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+        .withColumn("w1", split(col("bigram"), " ")(0))
+        .withColumn("w2", split(col("bigram"), " ")(1))
+        .join(cw.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(cw.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(nb))
+        .withColumn("pmi", round(log(
+          (col("c12") / col("nb")) / (col("c1") / col("n") * (col("c2") / col("n")))), 6))
+        .select("bigram", "c12", "c1", "c2", "pmi")
+        .orderBy(desc("pmi"), col("bigram")).limit(50)
+    }),
+
     "text_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy("lang", "source")
@@ -548,6 +581,22 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_bigrams,
         | round(CAST(sum(ll) AS DOUBLE) / count(*), 6) AS avg_ll
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_pmi_bigrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | tok AS (SELECT unnest(toks) AS w FROM t),
+        | cw AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        | n AS (SELECT count(*) AS n FROM tok),
+        | b AS (SELECT array_to_string(toks[i:i+1], ' ') AS bigram
+        |   FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        | nb AS (SELECT count(*) AS nb FROM b),
+        | c12 AS (SELECT bigram, count(*) AS c12 FROM b GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT bigram, c12, x.c AS c1, y.c AS c2,
+        | round(ln((c12 / nb.nb) / (x.c / n.n * (y.c / n.n))), 6) AS pmi
+        |FROM c12
+        | JOIN cw x ON string_split(bigram,' ')[1] = x.w
+        | JOIN cw y ON string_split(bigram,' ')[2] = y.w
+        | CROSS JOIN n CROSS JOIN nb
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
     // i-1 aligns DuckDB's 1-based slice start with posexplode's 0-based
     // array index; same interval math otherwise.
     "text_intradoc_dedup" ->

@@ -127,6 +127,46 @@ class GraphSpec extends SparkSpec {
     assert(stats.filter(_.getLong(0) > 1).forall(_.getLong(1) > 0))
   }
 
+  test("triangles matches brute-force enumeration on an irregular graph") {
+    // testPairs alone is triangle-free (the hub only touches odd nodes and
+    // ring edges always pair odd with even) — add (i, i+2) chords so ring
+    // triangles exist, including on the hub's odd neighbors.
+    val pairs = (testPairs ++ (0L until 20L by 2).map(i => i -> (i + 2)) ++
+      Seq(3L -> 5L, 7L -> 9L)).distinct
+    // Driver-side reference: every id-sorted triple whose three edges all
+    // exist in the normalized pair set.
+    val edges = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    val ref = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if edges((a, b)) && edges((b, c)) && edges((a, c))
+    } yield (a, b, c)
+    val got = GraphOps.triangles(pairs.toDF("d1", "d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ref.nonEmpty, "test graph should contain triangles")
+    assert(got == ref.toSet, s"${got.size} triangles vs reference ${ref.size}")
+  }
+
+  test("triangles: K4 has exactly 4, a star has none") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val gotK4 = GraphOps.triangles(k4.toDF("d1", "d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotK4 == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    val star = (2L to 20L).map(i => (1L, i))
+    assert(GraphOps.triangles(star.toDF("d1", "d2")).count() == 0)
+  }
+
+  test("degreeDist conserves node and edge mass") {
+    val pairs = testPairs.toDF("d1", "d2")
+    val dist = GraphOps.degreeDist(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nNodes = testPairs.flatMap { case (a, b) => Seq(a, b) }.distinct.size
+    assert(dist.map(_._2).sum == nNodes)
+    // Σ degree·count = 2·|edges| (handshake lemma)
+    assert(dist.map { case (d, c) => d * c }.sum == 2L * testPairs.size)
+  }
+
   test("graph_pagerank query runs on sf0.001 with full mass") {
     val out = SparkEntry.queries("graph_pagerank")(spark, sfDir)
     val rows = out.collect()

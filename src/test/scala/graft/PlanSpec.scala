@@ -104,7 +104,9 @@ class PlanSpec extends SparkSpec {
             "sim_ivfpq_knn", // same bounded sides + the ≤kCells centroid set
             "text_lm_score", // 1-row vocab-size aggregate cross join (as text_tfidf)
             "funnel_steps",  // three 1-row step-count aggregates cross-joined
-            "text_entropy_kl" // 1-row corpus-total aggregate cross join (as text_tfidf)
+            "text_entropy_kl", // 1-row corpus-total aggregate cross join (as text_tfidf)
+            "text_pmi_bigrams", // two 1-row totals (N tokens, N bigrams) cross-joined
+            "agg_histogram_equidepth" // 1-row decile-boundary aggregate cross join
           ).contains(key), p)
       }
     }
@@ -219,8 +221,22 @@ class PlanSpec extends SparkSpec {
       "agg_heavy_hitters_mg" -> 0, // two-phase ObjectHashAggregate: only
                                    // ≤(k−1)-entry map partials move (the final
                                    // merge is a SinglePartition exchange)
-      "pipeline_dedup_canonical" -> 1) // labels join + one group_id argmax
+      "pipeline_dedup_canonical" -> 1, // labels join + one group_id argmax
                                    // window (labels side is a checkpointed leaf)
+      "graph_triangles" -> 0,      // triangles() materializes via
+                                   // localCheckpoint — the plan is a leaf scan
+      "graph_degree_dist" -> 0,    // same localCheckpoint-leaf shape
+      "text_pmi_bigrams" -> 3,     // bigram+unigram count aggs + word-key
+                                   // join; totals broadcast
+      "ts_anomaly_sigma" -> 1,     // one (user, type) window exchange
+      "skyline_pareto" -> 1,       // per-price agg; the domain prefix
+                                   // scan is SinglePartition by design
+      "pipeline_semantic_dedup" -> 1, // group_id window (labels side is
+                                   // a checkpointed leaf)
+      "join_interval_overlap" -> 3, // orderkey exchange per join side +
+                                   // the per-order re-agg
+      "agg_histogram_equidepth" -> 2) // boundary agg + bucket agg; the
+                                   // bucketing itself is scan-stage
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
@@ -287,6 +303,15 @@ class PlanSpec extends SparkSpec {
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
     for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
       assert(pushed.contains(c), pushed)
+  }
+
+  test("scan_hive_partitioned prunes partition directories, not rows") {
+    val p = plan("scan_hive_partitioned")
+    // the lang predicate must be a PartitionFilter (directory pruning
+    // before any file opens), never a post-scan Filter on data rows
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("lang"), s"lang not in PartitionFilters: $pf")
+    assert(pf.contains("= en"), pf)
   }
 
   test("join_bloom_pruned keeps the bloom probe ahead of the semi join") {
