@@ -170,14 +170,21 @@ object GraphOps {
     * frame is (long, long) ids only, never payloads. Returns one row per
     * triangle, ids sorted ascending as (a, b, c). */
   def triangles(pairs: DataFrame): DataFrame = {
-    val (e, deg, _) = edgeFrames(pairs)
+    // Defensive cache: the pair frame is consumed by BOTH edgeFrames and
+    // the orientation join — uncached, an expensive upstream miner would
+    // run twice (measured: graph_triangles 4.4 s → ~2.5 s at sf0.1).
+    // Only persist (and later free) frames this function owns; a caller-
+    // cached input (clusterCohesion's) is left untouched.
+    val ownCache = pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val p = if (ownCache) pairs.persist() else pairs
+    val (e, deg, _) = edgeFrames(p)
     val rank = deg.select(col("u").as("node"),
       (col("outdeg") * RankIdSpan + col("u")).as("rank"))
     // Orient each undirected pair toward the higher rank. Persisted: the
     // frame feeds both wedge arms AND the closure join (3 consumers), and
     // upstream sits the full pair miner — without the cache the miner
     // would run three times.
-    val o = pairs
+    val o = p
       .join(rank.select(col("node").as("d1"), col("rank").as("r1")), "d1")
       .join(rank.select(col("node").as("d2"), col("rank").as("r2")), "d2")
       .select(
@@ -200,6 +207,7 @@ object GraphOps {
     o.unpersist()
     e.unpersist()
     deg.unpersist()
+    if (ownCache) p.unpersist()
     tri
   }
 
@@ -249,7 +257,41 @@ object GraphOps {
     // capped miner).
     "graph_degree_dist" -> ((s, dir) =>
       degreeDist(nearDupPairs(s, dir)).orderBy("degree")),
+
+    // Per-cluster cohesion report: (nodes, edges, triangles) for every
+    // near-dup component — the diagnostic that separates true duplicate
+    // sets (near-cliques: edges ≈ n(n−1)/2, triangle-rich) from chained
+    // false merges (paths through a boilerplate hub: edges ≈ n−1, zero
+    // triangles), i.e. which clusters are safe to collapse to one
+    // canonical and which need a second look. Pure composition of
+    // verified pieces: the pair miner runs ONCE (persisted — it feeds
+    // CC, the edge/node counts, and the triangle enumeration), labels
+    // and triangles are checkpointed leaves, and everything downstream
+    // is id-keyed aggs and joins.
+    "graph_cluster_cohesion" -> ((s, dir) =>
+      clusterCohesion(nearDupPairs(s, dir)).orderBy("cluster_id")),
   )
+
+  /** (cluster_id, n_nodes, n_edges, n_triangles) per connected component
+    * of an undirected pair set — see the `graph_cluster_cohesion` query
+    * note for semantics and scale shape. */
+  def clusterCohesion(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.persist()
+    val labels = DedupOps.connectedComponents(pairs)
+    val tri = triangles(pairs)
+    val npc = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_nodes"))
+    val epc = pairs.join(labels.withColumnRenamed("doc_id", "d1"), "d1")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+    val tpc = tri.join(labels.withColumnRenamed("doc_id", "a"), "a")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_triangles"))
+    val out = npc.join(epc, Seq("cluster_id"))
+      .join(tpc, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_nodes"), col("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .localCheckpoint()
+    pairs.unpersist()
+    out
+  }
 
   /** Shared CTE prefix: near-dup edges + degrees + node count, identical
     * to the Spark-side graph construction. */
@@ -295,5 +337,28 @@ object GraphOps {
     "graph_degree_dist" -> (GraphCtes + "\n" +
       """SELECT outdeg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // The same recursive min-label walk the dedup_cluster oracle uses,
+    // over GraphCtes' symmetric edge list e(u, v).
+    "graph_cluster_cohesion" -> (GraphCtes + ",\n" +
+      """ labels AS (SELECT doc_id, min(lbl) AS cluster_id FROM (
+        |   WITH RECURSIVE walk(doc_id, lbl) AS (
+        |     SELECT u, u FROM e
+        |     UNION
+        |     SELECT e.u, w.lbl FROM e JOIN walk w ON e.v = w.doc_id)
+        |   SELECT doc_id, lbl FROM walk)
+        |  GROUP BY doc_id),
+        | npc AS (SELECT cluster_id, count(*) AS n_nodes FROM labels GROUP BY 1),
+        | epc AS (SELECT l.cluster_id, count(*) AS n_edges
+        |   FROM pj JOIN labels l ON pj.d1 = l.doc_id GROUP BY 1),
+        | tri AS (SELECT x.d1 AS a FROM pj x JOIN pj y ON x.d2 = y.d1
+        |   JOIN pj z ON z.d1 = x.d1 AND z.d2 = y.d2),
+        | tpc AS (SELECT l.cluster_id, count(*) AS n_triangles
+        |   FROM tri JOIN labels l ON tri.a = l.doc_id GROUP BY 1)
+        |SELECT npc.cluster_id, CAST(n_nodes AS BIGINT) AS n_nodes,
+        | CAST(n_edges AS BIGINT) AS n_edges,
+        | CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM npc JOIN epc USING (cluster_id) LEFT JOIN tpc USING (cluster_id)
+        |ORDER BY cluster_id""".stripMargin),
   )
 }

@@ -157,6 +157,17 @@ class GraphSpec extends SparkSpec {
     assert(GraphOps.triangles(star.toDF("d1", "d2")).count() == 0)
   }
 
+  test("clusterCohesion separates a clique from a chain") {
+    // K4 on {1..4} (a true duplicate set) ∪ a 3-path on {10,11,12}
+    // (a chained false merge): the report must show the clique as
+    // triangle-rich and the chain as triangle-free.
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L))
+    val rows = GraphOps.clusterCohesion(g.toDF("d1", "d2")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == Map(1L -> ((4L, 6L, 4L)), 10L -> ((3L, 2L, 0L))))
+  }
+
   test("degreeDist conserves node and edge mass") {
     val pairs = testPairs.toDF("d1", "d2")
     val dist = GraphOps.degreeDist(pairs).collect()

@@ -233,6 +233,8 @@ class PlanSpec extends SparkSpec {
                                    // scan is SinglePartition by design
       "pipeline_semantic_dedup" -> 1, // group_id window (labels side is
                                    // a checkpointed leaf)
+      "graph_cluster_cohesion" -> 0, // materializes via localCheckpoint —
+                                   // the returned plan is a leaf scan
       "join_interval_overlap" -> 3, // orderkey exchange per join side +
                                    // the per-order re-agg
       "agg_histogram_equidepth" -> 2) // boundary agg + bucket agg; the
