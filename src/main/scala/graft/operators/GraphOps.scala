@@ -172,12 +172,24 @@ object GraphOps {
   def triangles(pairs: DataFrame): DataFrame = {
     // Defensive cache: the pair frame is consumed by BOTH edgeFrames and
     // the orientation join — uncached, an expensive upstream miner would
-    // run twice (measured: graph_triangles 4.4 s → ~2.5 s at sf0.1).
+    // run twice (measured: graph_triangles 4.4 s → ~2.6 s at sf0.1).
     // Only persist (and later free) frames this function owns; a caller-
     // cached input (clusterCohesion's) is left untouched.
     val ownCache = pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val p = if (ownCache) pairs.persist() else pairs
     val (e, deg, _) = edgeFrames(p)
+    val tri = orientedTriangles(p, deg)
+    e.unpersist()
+    deg.unpersist()
+    if (ownCache) p.unpersist()
+    tri
+  }
+
+  /** The wedge-and-close core of [[triangles]], given an already-cached
+    * pair frame and its degree frame: orient, form wedges at sources,
+    * close. Materializes via localCheckpoint (so callers can free the
+    * inputs) and frees its own oriented-edge cache. */
+  private def orientedTriangles(p: DataFrame, deg: DataFrame): DataFrame = {
     val rank = deg.select(col("u").as("node"),
       (col("outdeg") * RankIdSpan + col("u")).as("rank"))
     // Orient each undirected pair toward the higher rank. Persisted: the
@@ -205,9 +217,6 @@ object GraphOps {
         col("t3").as("c"))
       .localCheckpoint()
     o.unpersist()
-    e.unpersist()
-    deg.unpersist()
-    if (ownCache) p.unpersist()
     tri
   }
 
@@ -277,18 +286,24 @@ object GraphOps {
     * note for semantics and scale shape. */
   def clusterCohesion(rawPairs: DataFrame): DataFrame = {
     val pairs = rawPairs.persist()
+    val (e, deg, _) = edgeFrames(pairs)
     val labels = DedupOps.connectedComponents(pairs)
-    val tri = triangles(pairs)
-    val npc = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_nodes"))
-    val epc = pairs.join(labels.withColumnRenamed("doc_id", "d1"), "d1")
-      .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+    val tri = orientedTriangles(pairs, deg)
+    // Per-cluster nodes and edges both come off the DEGREE frame joined
+    // to the labels (Σ deg(v in cluster) = 2·edges — handshake lemma):
+    // one id-keyed join instead of a second pass over the pair frame.
+    val ne = deg.join(labels.withColumnRenamed("doc_id", "u"), "u")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_nodes"),
+        expr("sum(outdeg) div 2").as("n_edges"))
     val tpc = tri.join(labels.withColumnRenamed("doc_id", "a"), "a")
       .groupBy("cluster_id").agg(count(lit(1)).as("n_triangles"))
-    val out = npc.join(epc, Seq("cluster_id"))
-      .join(tpc, Seq("cluster_id"), "left")
+    val out = ne.join(tpc, Seq("cluster_id"), "left")
       .select(col("cluster_id"), col("n_nodes"), col("n_edges"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .localCheckpoint()
+    e.unpersist()
+    deg.unpersist()
     pairs.unpersist()
     out
   }
