@@ -118,6 +118,38 @@ object AnalyticsExt {
           col("close_value"), col("n_events"))
         .orderBy("user_id", "w_start")),
 
+    // Pairwise Pearson correlation matrix per group from the same
+    // exact-DECIMAL sufficient statistics as agg_regression (never the
+    // built-in corr(), whose double accumulation is summation-order-
+    // dependent): ONE two-phase hash agg computes all ten sums, the
+    // correlation arithmetic runs on exact values per group — identical
+    // doubles in both engines, partition-count invariant. The shape is
+    // the standard "feature-stats pass" of a training pipeline: adding
+    // columns widens the map-side accumulator row, never adds a pass.
+    "agg_corr_matrix" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val z = col("l_discount")
+      val g = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"), dsum6(z).as("sz"),
+        dsum(x * y).as("sxy"), dsum6(x * z).as("sxz"), dsum6(y * z).as("syz"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"), dsum6(z * z).as("szz"))
+      def corrOf(sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column,
+          sab: org.apache.spark.sql.Column, saa: org.apache.spark.sql.Column,
+          sbb: org.apache.spark.sql.Column) =
+        round((col("n") * sab - sa * sb) /
+          sqrt((col("n") * saa - sa * sa) * (col("n") * sbb - sb * sb)), 6)
+      g.select(col("l_returnflag"),
+          corrOf(col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+            .as("corr_qty_price"),
+          corrOf(col("sx"), col("sz"), col("sxz"), col("sxx"), col("szz"))
+            .as("corr_qty_disc"),
+          corrOf(col("sy"), col("sz"), col("syz"), col("syy"), col("szz"))
+            .as("corr_price_disc"))
+        .orderBy("l_returnflag")
+    }),
+
     // Trailing-window 3σ anomaly detection per (user, event_type) stream:
     // flag events whose value deviates from the mean of the previous ≤20
     // same-stream events by more than 3 sample deviations. The entire
@@ -356,6 +388,23 @@ object AnalyticsExt {
         | min(value) AS low_value, arg_max(value, ts) AS close_value,
         | count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_corr_matrix" ->
+      s"""WITH g AS (SELECT l_returnflag,
+         |  CAST(count(*) AS DOUBLE) AS n,
+         |  ${dsumSql("l_quantity")} AS sx, ${dsumSql("l_extendedprice")} AS sy,
+         |  ${dsum6Sql("l_discount")} AS sz,
+         |  ${dsumSql("l_quantity * l_extendedprice")} AS sxy,
+         |  ${dsum6Sql("l_quantity * l_discount")} AS sxz,
+         |  ${dsum6Sql("l_extendedprice * l_discount")} AS syz,
+         |  ${dsumSql("l_quantity * l_quantity")} AS sxx,
+         |  ${dsumSql("l_extendedprice * l_extendedprice")} AS syy,
+         |  ${dsum6Sql("l_discount * l_discount")} AS szz
+         | FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag,
+         | round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price,
+         | round((n*sxz - sx*sz) / sqrt((n*sxx - sx*sx) * (n*szz - sz*sz)), 6) AS corr_qty_disc,
+         | round((n*syz - sy*sz) / sqrt((n*syy - sy*sy) * (n*szz - sz*sz)), 6) AS corr_price_disc
+         |FROM g ORDER BY l_returnflag""".stripMargin,
     "ts_anomaly_sigma" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |   CAST(ts AS TIMESTAMP) AS ts2,

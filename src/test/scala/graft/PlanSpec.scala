@@ -235,6 +235,7 @@ class PlanSpec extends SparkSpec {
                                    // a checkpointed leaf)
       "graph_cluster_cohesion" -> 0, // materializes via localCheckpoint —
                                    // the returned plan is a leaf scan
+      "agg_corr_matrix" -> 1,      // one two-phase agg carries all ten sums
       "join_interval_overlap" -> 3, // orderkey exchange per join side +
                                    // the per-order re-agg
       "agg_histogram_equidepth" -> 2) // boundary agg + bucket agg; the
