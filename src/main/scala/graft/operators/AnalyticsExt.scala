@@ -118,6 +118,31 @@ object AnalyticsExt {
           col("close_value"), col("n_events"))
         .orderBy("user_id", "w_start")),
 
+    // Per-stream EWMA (α = 1/2) — a genuinely RECURSIVE op (s_t depends
+    // on s_{t-1}, inexpressible as any window frame) done exactly: each
+    // (user, type) stream's values collect into one time-ordered array
+    // (bounded per key — the same per-key-state contract as the
+    // sessionizers) and fold on the INTEGER LATTICE, s ← (s + v) div 2
+    // in 1e-4 micro-units. No float ever enters, so the fold is
+    // bit-identical across engines/partitionings; DuckDB replays it with
+    // list_reduce and the identical truncating integer division. At
+    // scale this is per-key bounded memory and one exchange; an
+    // unbounded stream would run the same recurrence in
+    // transformWithState instead.
+    "ts_ewma" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vi"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("vi"))))
+            .as("evs"))
+        .withColumn("vis", expr("transform(evs, e -> e.vi)"))
+        .select(col("user_id"), col("event_type"), col("n_events"),
+          expr("aggregate(slice(vis, 2, size(vis)), vis[0]," +
+            " (acc, x) -> (acc + x) div 2)").as("ewma_micro"))
+        .orderBy("user_id", "event_type")),
+
     // Pairwise Pearson correlation matrix per group from the same
     // exact-DECIMAL sufficient statistics as agg_regression (never the
     // built-in corr(), whose double accumulation is summation-order-
@@ -388,6 +413,15 @@ object AnalyticsExt {
         | min(value) AS low_value, arg_max(value, ts) AS close_value,
         | count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_ewma" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts2,
+        |   event_id, CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi
+        | FROM events),
+        |g AS (SELECT user_id, event_type, count(*) AS n_events,
+        |   list(vi ORDER BY ts2, event_id) AS vis FROM e GROUP BY 1, 2)
+        |SELECT user_id, event_type, n_events,
+        | list_reduce(vis, (acc, x) -> (acc + x) // 2) AS ewma_micro
+        |FROM g ORDER BY user_id, event_type""".stripMargin,
     "agg_corr_matrix" ->
       s"""WITH g AS (SELECT l_returnflag,
          |  CAST(count(*) AS DOUBLE) AS n,

@@ -599,6 +599,31 @@ object RelationalExt {
         .orderBy("p_partkey")
     }),
 
+    // Inverse-cluster-size downsampling — the dedup-AWARE sampler: keep
+    // each doc with probability 1/|its near-dup cluster|, so every
+    // duplicate cluster contributes ~1 doc in expectation (singletons
+    // always survive) without ever picking a fixed representative —
+    // the soft alternative to pipeline_dedup_canonical's argmax when
+    // diversity inside a cluster should survive. The keep decision is
+    // md5-salt integer arithmetic (h₁₆(doc) · size < 2¹⁶) — engine/
+    // partition/run-stable like every sampler here, no rand(). Scale:
+    // labels are id-pairs, sizes one agg, the gate a scan-stage filter.
+    "pipeline_cluster_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = DedupOps.clusterLabels(docs)
+      val grouped = docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+      val sizes = grouped.groupBy("group_id").agg(count(lit(1)).as("sz"))
+      val h16 = conv(substring(md5(concat(lit("invsamp42:"), col("doc_id"))),
+        1, 4), 16, 10).cast("long")
+      grouped.join(sizes, "group_id")
+        .filter(h16 * col("sz") < 65536L)
+        .select("doc_id", "group_id", "sz")
+        .orderBy("doc_id")
+    }),
+
     "pipeline_dedup_canonical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val labels = DedupOps.clusterLabels(docs)
@@ -995,6 +1020,20 @@ object RelationalExt {
         |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
         |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         |ORDER BY p_partkey""".stripMargin,
+    "pipeline_cluster_sample" ->
+      s"""WITH ${DedupOps.clusterLabelsSql("documents")},
+         | grouped AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS group_id
+         |   FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         | sizes AS (SELECT group_id, count(*) AS sz FROM grouped GROUP BY 1),
+         | hh AS (SELECT doc_id, group_id,
+         |   md5('invsamp42:' || CAST(doc_id AS VARCHAR)) AS h FROM grouped)
+         |SELECT hh.doc_id, hh.group_id, sizes.sz
+         |FROM hh JOIN sizes USING (group_id)
+         |WHERE ((CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) * 4096
+         |     + (CAST(strpos('0123456789abcdef', substr(h, 2, 1)) AS BIGINT) - 1) * 256
+         |     + (CAST(strpos('0123456789abcdef', substr(h, 3, 1)) AS BIGINT) - 1) * 16
+         |     + (CAST(strpos('0123456789abcdef', substr(h, 4, 1)) AS BIGINT) - 1)) * sz < 65536
+         |ORDER BY doc_id""".stripMargin,
     "pipeline_dedup_canonical" ->
       s"""WITH ${DedupOps.clusterLabelsSql("documents")},
          | g AS (SELECT d.doc_id,

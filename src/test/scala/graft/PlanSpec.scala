@@ -236,6 +236,10 @@ class PlanSpec extends SparkSpec {
       "graph_cluster_cohesion" -> 0, // materializes via localCheckpoint —
                                    // the returned plan is a leaf scan
       "agg_corr_matrix" -> 1,      // one two-phase agg carries all ten sums
+      "ts_ewma" -> 1,              // one (user, type) exchange; the fold is
+                                   // a per-group array expression
+      "pipeline_cluster_sample" -> 1, // sizes agg + gate share the group_id
+                                   // exchange (labels: checkpointed leaf)
       "join_interval_overlap" -> 3, // orderkey exchange per join side +
                                    // the per-order re-agg
       "agg_histogram_equidepth" -> 2) // boundary agg + bucket agg; the
