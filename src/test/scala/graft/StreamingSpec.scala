@@ -635,6 +635,37 @@ class StreamingSpec extends SparkSpec {
     assert(total == 1000L)
   }
 
+  test("streaming EWMA ≡ batch ts_ewma (exact, ordered feed, any chunking)") {
+    import graft.streaming.StreamingEwma
+    import graft.streaming.StreamingEwma.EventIn
+    withRocksDb {
+      // the same micro-unit rows the batch key folds, fed in event-time
+      // order (the parity contract) across three arrival waves
+      val keyed = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_micros"), col("event_id"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vi"))
+        .as[EventIn].collect().toSeq.sortBy(e => (e.ts_micros, e.event_id))
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingEwma.ewma(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_ewma")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      // latest emission per key = max n_events (strictly monotone count)
+      val all = spark.table("stream_ewma").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val latest = all.groupBy(t => (t._1, t._2))
+        .map { case (_, ts) => ts.maxBy(_._3) }.toSet
+      val batch = SparkEntry.queries("ts_ewma")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(latest == batch)
+    }
+  }
+
   test("streaming weighted reservoir ≡ batch sample_weighted (exact, any chunking)") {
     import graft.streaming.StreamingWeightedSample
     import graft.streaming.StreamingWeightedSample.DocIn
