@@ -11,7 +11,11 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   private val keys = Seq("agg_hash_groupby", "agg_stats", "win_running_sum",
     "text_tfidf", "tpch_q3", "multimodal_batch_score", "pipeline_corpus_clean",
-    "agg_topk_heap", "dedup_simhash")
+    "agg_topk_heap", "dedup_simhash",
+    // round-6 integer-lattice / exact-stats keys: the bit-determinism
+    // claims in their Scaladoc are exactly this property
+    "ts_ewma", "ts_anomaly_sigma", "agg_corr_matrix", "graph_triangles",
+    "pipeline_cluster_sample")
 
   private def runAt(parts: Int, key: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
