@@ -96,6 +96,19 @@ object Aggregates {
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin)
     }),
 
+    // CUBE — the full 2^n grouping-set lattice (ROLLUP's superset: the
+    // per-priority-only marginals too). Same Expand-based single-pass
+    // plan as grouping sets; grouping_id() disambiguates real NULL keys
+    // from subtotal rows in the sort, so ordering is engine-stable.
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_cube_in")
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority, grouping_id() AS gid,
+           | count(*) AS n, ${dsumSql("o_totalprice")} AS total
+           |FROM graft_cube_in GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
     "agg_having" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
@@ -238,6 +251,12 @@ object Aggregates {
       s"""SELECT n_name, count(*) AS cust_cnt, ${dsumSql("c_acctbal")} AS sum_bal
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY ROLLUP (n_name) ORDER BY n_name NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         | count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "agg_having" ->
       """SELECT o_custkey, count(*) AS cnt FROM orders
         |GROUP BY o_custkey HAVING count(*) > 12 ORDER BY o_custkey""".stripMargin,
