@@ -164,6 +164,32 @@ object Joins {
         .select("event_id", "asof_orderkey")
         .orderBy("event_id")
     }),
+
+    // FORWARD as-of: the FIRST event at-or-after each order (the
+    // "what did this order lead to" direction — join_asof reversed).
+    // Same union-and-scan shape, mirrored: orders sort BEFORE events at
+    // an equal timestamp (typ 0 < 1) so an exactly-simultaneous event is
+    // visible to the order, and the window runs current→following with
+    // `first(ignoreNulls)`. One exchange on the customer key, no pair
+    // blowup, ties broken by event_id ascending — all deterministic.
+    "join_asof_forward" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").as("k"), col("o_orderdate").as("ats"),
+        col("o_orderkey"), lit(null).cast("long").as("e_key"),
+        lit(0).as("typ"))
+      val e = events(s, dir).select(
+        col("user_id").as("k"), col("ts").as("ats"),
+        lit(null).cast("long").as("o_orderkey"), col("event_id").as("e_key"),
+        lit(1).as("typ"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("ats"), col("typ"), col("e_key"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      o.unionByName(e)
+        .withColumn("next_event_id", first(col("e_key"), ignoreNulls = true).over(w))
+        .filter(col("typ") === 0 && col("next_event_id").isNotNull)
+        .select("o_orderkey", "next_event_id")
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -238,5 +264,15 @@ object Joins {
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT o_orderkey, event_id AS next_event_id FROM (
+        |  SELECT o.o_orderkey, e.event_id,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |      ORDER BY e.ts2 ASC, e.event_id ASC) AS rn
+        |  FROM orders o JOIN (SELECT user_id, event_id,
+        |      CAST(ts AS TIMESTAMP) AS ts2 FROM events) e
+        |    ON o.o_custkey = e.user_id
+        |    AND e.ts2 >= CAST(o.o_orderdate AS TIMESTAMP))
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -56,6 +56,24 @@ object RelationalExt {
       ).orderBy("o_orderkey")
     }),
 
+    // Map higher-order functions — transform_values, map_filter,
+    // map_zip_with, and an aggregate over map_values — completing the
+    // lambda surface fn_array_higher_order covers for arrays. All
+    // float results are exact IEEE identities ((p/2)·2 = p, p+p = 2p,
+    // (0+p)+p/2 = p+p/2), so the oracle states the closed forms.
+    "fn_map_higher_order" -> ((s, dir) => {
+      val m = map(lit("price"), col("o_totalprice"),
+        lit("half"), col("o_totalprice") / 2)
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        element_at(transform_values(m, (_, v) => v * 2), "half").as("tv_half"),
+        size(map_filter(m, (k, _) => k === "price")).as("n_price"),
+        element_at(map_zip_with(m, m, (_, v1, v2) => v1 + v2), "price")
+          .as("zip_price"),
+        aggregate(map_values(m), lit(0.0), (acc, v) => acc + v).as("sum_vals"),
+      ).orderBy("o_orderkey")
+    }),
+
     // Nested struct construction and field access (two levels deep).
     "fn_struct" -> ((s, dir) => {
       val st = struct(col("c_name").as("name"), col("c_acctbal").as("bal"))
@@ -778,6 +796,11 @@ object RelationalExt {
       """SELECT o_orderkey, o_totalprice AS m_price,
         | CAST(NULL AS DOUBLE) AS m_miss, CAST(2 AS INT) AS n_keys,
         | 'price,key' AS keys_csv
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_map_higher_order" ->
+      """SELECT o_orderkey, o_totalprice AS tv_half, CAST(1 AS INT) AS n_price,
+        | o_totalprice + o_totalprice AS zip_price,
+        | o_totalprice + o_totalprice / 2 AS sum_vals
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_struct" ->
       """SELECT c_custkey, c_name AS s_name, c_acctbal * 2 AS bal2,

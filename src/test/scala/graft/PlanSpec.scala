@@ -238,6 +238,8 @@ class PlanSpec extends SparkSpec {
       "agg_corr_matrix" -> 1,      // one two-phase agg carries all ten sums
       "ts_ewma" -> 1,              // one (user, type) exchange; the fold is
                                    // a per-group array expression
+      "join_asof_forward" -> 1,    // one customer-key exchange — the same
+                                   // union-and-scan shape as join_asof
       "pipeline_cluster_sample" -> 1, // sizes agg + gate share the group_id
                                    // exchange (labels: checkpointed leaf)
       "join_interval_overlap" -> 3, // orderkey exchange per join side +
