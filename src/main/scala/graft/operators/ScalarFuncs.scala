@@ -27,6 +27,25 @@ object ScalarFuncs {
         length(col("c_name")).as("name_len"),
       ).orderBy("c_custkey")),
 
+    // URL parsing — the web-corpus normalization primitive (host-level
+    // dedup, domain mixing, canonical ids all start with parse_url).
+    // The URL is synthesized deterministically from existing columns, so
+    // the oracle states the closed forms each component provably equals;
+    // the Spark side exercises the real parser (HOST / PATH / QUERY-
+    // param extraction + a lowercased canonical host).
+    "fn_url_parse" -> ((s, dir) => {
+      val url = concat(lit("https://"), upper(col("source")),
+        lit(".Example.org/docs/"), col("doc_id"),
+        lit("?ref=feed&k="), col("doc_id") % 7)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"),
+        lower(parse_url(url, lit("HOST"))).as("canon_host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("k")).as("k_param"),
+      ).orderBy("doc_id")
+    }),
+
     "fn_regexp" -> ((s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),
@@ -134,6 +153,13 @@ object ScalarFuncs {
         | c_name || '_' || c_mktsegment AS name_seg,
         | CAST(length(c_name) AS INT) AS name_len
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_url_parse" ->
+      """SELECT doc_id,
+        | upper(source) || '.Example.org' AS host,
+        | lower(source) || '.example.org' AS canon_host,
+        | '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+        | CAST(doc_id % 7 AS VARCHAR) AS k_param
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_regexp" ->
       """SELECT p_partkey, regexp_extract(p_type, '^(\w+)', 1) AS type_head,
         | regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels
