@@ -635,6 +635,34 @@ class StreamingSpec extends SparkSpec {
     assert(total == 1000L)
   }
 
+  test("streaming anomaly ≡ batch ts_anomaly_sigma (exact, ordered feed)") {
+    import graft.streaming.StreamingAnomaly
+    import graft.streaming.StreamingAnomaly.EventIn
+    withRocksDb {
+      val keyed = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_micros"), col("event_id"), col("value"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vi"))
+        .as[EventIn].collect().toSeq.sortBy(e => (e.ts_micros, e.event_id))
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingAnomaly.detect(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_anomaly")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      val streamed = spark.table("stream_anomaly").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSet
+      val batch = SparkEntry.queries("ts_anomaly_sigma")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty, "parity is vacuous on an empty flag set")
+    }
+  }
+
   test("streaming EWMA ≡ batch ts_ewma (exact, ordered feed, any chunking)") {
     import graft.streaming.StreamingEwma
     import graft.streaming.StreamingEwma.EventIn
