@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders + cross-engine determinism helpers.
   *
@@ -20,15 +20,31 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark 4.x refuses to read
-    * natively ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the legacy
-    * conf and truncate to µs — bit-identical to the oracle's
-    * `CAST(ts AS TIMESTAMP)` (DuckDB ns→µs cast also truncates).
+  /** Schema-adaptive `ts` normalization. The driver's testdata has shipped
+    * `events.ts` in two encodings across regens:
+    *  - parquet timestamp[ns], which Spark 4.x refuses to read natively
+    *    ([PARQUET_TYPE_ILLEGAL]) — under `nanosAsLong=true` it resolves as
+    *    raw-nanos LongType, which we truncate to µs;
+    *  - parquet timestamp[us] (no tz), which resolves natively as
+    *    TIMESTAMP_NTZ — cast to TIMESTAMP (same instant under the UTC
+    *    session timezone used everywhere in this engine).
+    * Both paths are bit-identical to the oracle's `CAST(ts AS TIMESTAMP)`
+    * (DuckDB's ns→µs cast also truncates). Branching on the *resolved*
+    * type makes the read immune to further encoding drift.
     */
+  def normalizeTs(df: DataFrame, name: String = "ts"): DataFrame =
+    df.schema(name).dataType match {
+      case LongType         => df.withColumn(name, timestamp_micros(expr(s"`$name` div 1000")))
+      case _: TimestampNTZType => df.withColumn(name, col(name).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.`$name` resolved as unsupported type $other")
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Keep the legacy conf set so ns-encoded data still resolves (as Long).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(spark, dir, "events"))
   }
 
   /** Exact float sum: accumulate in DECIMAL(18,4) (associative, exact),

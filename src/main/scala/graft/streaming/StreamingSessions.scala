@@ -180,13 +180,14 @@ object StreamingSessions {
   }
 
   /** Parquet-backed streaming source over the events table (the no-Kafka
-    * replay source for this zero-egress environment). `ts` arrives as raw
-    * nanos (LongType) and is truncated to µs exactly like the batch path. */
+    * replay source for this zero-egress environment). `ts` normalization is
+    * schema-adaptive exactly like the batch path ([[graft.Tables.normalizeTs]]):
+    * raw-nanos LongType → truncate to µs; native timestamp[us] → cast. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // File-stream sources require a directory or glob, not a bare file.
-    spark.readStream.schema(rawSchema).parquet(s"$dir/events*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(s"$dir/events*"))
   }
 }

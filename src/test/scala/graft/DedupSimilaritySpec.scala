@@ -403,4 +403,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(frames.size == 3 && frames.forall(_.length <= 4))
     assert(MediaPipeline.frameSample(Array.emptyByteArray, 3).isEmpty)
   }
+
+  test("checkpointTracked frees only its own blocks, never a foreign frame") {
+    // Pins the round-5/6 ADVICE contract: the tracked RDD ids come off the
+    // checkpointed plan's own LogicalRDD leaf, so a frame persisted
+    // concurrently by another caller in the same session can never be
+    // captured and force-freed. A getPersistentRDDs-diff implementation
+    // would fail this test.
+    import org.apache.spark.storage.StorageLevel
+    val foreign = spark.range(100).toDF("n").persist()
+    foreign.count() // materialize the foreign cache before the checkpoint
+    val (ck, ids) = DedupOps.checkpointTracked(spark.range(50).toDF("m"))
+    assert(ck.count() == 50)
+    val foreignIds = spark.sparkContext.getPersistentRDDs.keySet -- ids
+    DedupOps.freeRddBlocks(spark, ids)
+    // tracked blocks gone, foreign cache untouched (same storage level)
+    assert(ids.forall(!spark.sparkContext.getPersistentRDDs.contains(_)))
+    assert(foreignIds.subsetOf(spark.sparkContext.getPersistentRDDs.keySet))
+    assert(foreign.storageLevel != StorageLevel.NONE)
+    assert(foreign.count() == 100)
+    foreign.unpersist()
+  }
 }

@@ -61,6 +61,38 @@ class SourcesSpec extends SparkSpec {
     assert(merged.filter(col("n_chars").isNull).count() == docs.count())
   }
 
+  test("ts normalization is schema-adaptive across parquet timestamp encodings") {
+    // The driver's testdata has shipped events.ts as BOTH parquet
+    // timestamp[ns] (resolves as raw-nanos LongType under nanosAsLong=true)
+    // and timestamp[us] (resolves as TIMESTAMP_NTZ). Pin that
+    // Tables.normalizeTs yields byte-identical µs TIMESTAMP rows from every
+    // encoding Spark can resolve, so an environment regen can never again
+    // silently break every events-table query.
+    val base = tmpDir("graft_tsenc")
+    val micros = Seq(1704067200000001L, 1704070000123456L, 1704080000999999L)
+    import spark.implicits._
+    val canon = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+      .toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+    // (a) raw-nanos BIGINT — the resolved shape of ns-encoded data, with a
+    // non-zero sub-µs remainder the truncation must drop;
+    canon.select(col("event_id"),
+        (unix_micros(col("ts")) * 1000L + 777L).as("ts"))
+      .write.parquet(s"$base/ns")
+    // (b) native µs TIMESTAMP_NTZ — the regenerated testdata's shape;
+    canon.select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$base/ntz")
+    // (c) µs TIMESTAMP (UTC-adjusted) — already-normal data passes through.
+    canon.write.parquet(s"$base/ltz")
+    val out = Seq("ns", "ntz", "ltz").map { enc =>
+      val df = Tables.normalizeTs(spark.read.parquet(s"$base/$enc"))
+      assert(df.schema("ts").dataType == TimestampType, s"enc=$enc")
+      df.orderBy("event_id").collect().map(_.toString).toSeq
+    }
+    assert(out(0) == out(1) && out(1) == out(2))
+    assert(out(0) == canon.orderBy("event_id").collect().map(_.toString).toSeq)
+  }
+
   test("queries run unchanged over a re-materialized (non-parquet-origin) table") {
     // write documents to CSV, read back, register via a temp dir of parquet —
     // proving operators depend only on schema, not on the original format

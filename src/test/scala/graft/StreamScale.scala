@@ -67,9 +67,9 @@ object StreamScale {
     // eventsStream twin with bounded-rate replay (maxFilesPerTrigger) so
     // the run produces several micro-batches to kill between.
     def start() = {
-      val src = spark.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", mft).parquet(ordered)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = graft.Tables.normalizeTs(
+        spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", mft).parquet(ordered))
       val sessions = flavor match {
         case "tws" =>
           import spark.implicits._

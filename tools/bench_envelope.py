@@ -40,6 +40,8 @@ def load(path):
                 continue
     if last is None:
         raise SystemExit(f"{path}: no parseable JSON line found")
+    if not isinstance(last.get("queries"), dict):
+        raise SystemExit(f"{path}: JSON line has no 'queries' object")
     return {k: v for k, v in last["queries"].items() if isinstance(v, (int, float))}
 
 
@@ -61,6 +63,8 @@ def main():
 
     runs = [load(p) for p in opts.runs]
     keys = sorted(set.intersection(*(set(r) for r in runs)))
+    if not keys:
+        raise SystemExit("no query key appears in every run — nothing to envelope")
     env = {}
     for k in keys:
         vals = [r[k] for r in runs]
