@@ -165,6 +165,40 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // As-of join with a STALENESS BOUND (pandas merge_asof `tolerance`):
+    // per purchase, the latest click by the same user at-or-before it,
+    // but only if that click is at most 30 minutes old — the "last-touch
+    // attribution window". An out-of-window click is dropped, not
+    // substituted (any earlier click is staler still, so the latest-
+    // within-tolerance IS the overall latest when one qualifies). Same
+    // union-and-scan shape as join_asof — one exchange on the user key,
+    // no pair blowup — with the picked row's own timestamp carried by a
+    // second last(ignoreNulls) over the identical frame (both pick from
+    // the same last typ=0 row), so the tolerance test is a post-window
+    // filter, free of joins.
+    "join_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val c = ev.filter(col("event_type") === "click").select(
+        col("user_id").as("k"), col("ts").as("ats"),
+        col("event_id").as("c_key"), lit(null).cast("long").as("p_key"),
+        lit(0).as("typ"))
+      val p = ev.filter(col("event_type") === "purchase").select(
+        col("user_id").as("k"), col("ts").as("ats"),
+        lit(null).cast("long").as("c_key"), col("event_id").as("p_key"),
+        lit(1).as("typ"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("ats"), col("typ"), col("c_key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.unionByName(p)
+        .withColumn("asof_click", last(col("c_key"), ignoreNulls = true).over(w))
+        .withColumn("asof_ts",
+          last(when(col("typ") === 0, col("ats")), ignoreNulls = true).over(w))
+        .filter(col("typ") === 1 && col("asof_click").isNotNull &&
+          col("asof_ts") >= col("ats") - expr("INTERVAL 30 MINUTES"))
+        .select(col("p_key").as("event_id"), col("asof_click"))
+        .orderBy("event_id")
+    }),
+
     // FORWARD as-of: the FIRST event at-or-after each order (the
     // "what did this order lead to" direction — join_asof reversed).
     // Same union-and-scan shape, mirrored: orders sort BEFORE events at
@@ -263,6 +297,18 @@ object Joins {
         |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT event_id, c_id AS asof_click FROM (
+        |  SELECT p.event_id, c.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts2 DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts2
+        |     FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts2
+        |     FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts2 <= p.ts2
+        |    AND c.ts2 >= p.ts2 - INTERVAL 30 MINUTE)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_asof_forward" ->
       """SELECT o_orderkey, event_id AS next_event_id FROM (

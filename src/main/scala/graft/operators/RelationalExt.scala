@@ -289,6 +289,37 @@ object RelationalExt {
         .orderBy("doc_id")
     }),
 
+    // TEMPERATURE-flattened domain mix (the multilingual/multi-domain
+    // resampling rule: sample domain d with probability ∝ n_d^α, α < 1,
+    // so big domains are down-weighted toward balance). α = 1/2 exactly:
+    // each source keeps rate ½·√(n_min/n_d) — the smallest source
+    // samples at 50%, a 4×-larger one at 25% — so kept_d ∝ √n_d with a
+    // global ½ subsample (the mix budget). α = 1/2 is chosen
+    // deliberately for cross-engine bit-determinism: IEEE sqrt and
+    // division are correctly rounded in both engines (pow(x, 0.7) is
+    // not), so the /256-quantized md5 cutoff derives identically. The
+    // mix spec is a per-source 1-row-each agg (broadcast); the corpus
+    // side is a zero-shuffle scan→filter, same as pipeline_domain_mix,
+    // and the gate is monotone in the rate (subset property across
+    // corpus versions) because the cutoff thresholds the same salted md5.
+    "pipeline_mix_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val minN = counts.agg(min("n_s").as("n_min"))
+      val spec = counts.crossJoin(broadcast(minN))
+        .withColumn("f",
+          floor(sqrt(lit(16384.0) * col("n_min") / col("n_s"))).cast("long"))
+        .withColumn("cut",
+          when(col("f") >= 256, lit("zz"))
+            .otherwise(lpad(lower(hex(col("f"))), 2, "0")))
+        .select("source", "cut")
+      docs.join(broadcast(spec), "source")
+        .filter(substring(md5(concat(lit("temp42:"), col("doc_id"))), 1, 2)
+          < col("cut"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Histogram binning via width_bucket → two-phase count agg.
     "agg_histogram" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -941,6 +972,19 @@ object RelationalExt {
         |WHERE substring(md5('mix42:' || CAST(doc_id AS VARCHAR)), 1, 2) <
         |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
         |    THEN 'c0' ELSE '40' END
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        | m AS (SELECT min(n_s) AS n_min FROM c),
+        | spec AS (SELECT source,
+        |   CASE WHEN f >= 256 THEN 'zz'
+        |     ELSE lpad(lower(to_hex(CAST(f AS INT))), 2, '0') END AS cut
+        |  FROM (SELECT source,
+        |     CAST(floor(sqrt(16384.0 * n_min / n_s)) AS BIGINT) AS f
+        |    FROM c CROSS JOIN m))
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN spec USING (source)
+        |WHERE substring(md5('temp42:' || CAST(doc_id AS VARCHAR)), 1, 2) < cut
         |ORDER BY doc_id""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 600000.0 * 12) AS BIGINT) + 1 AS bucket,

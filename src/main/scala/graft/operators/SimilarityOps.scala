@@ -142,6 +142,27 @@ object SimilarityOps {
         .orderBy("q_id", "rk")
     }),
 
+    // RANGE search (radius query): every candidate within cosine ≥ 0.30
+    // of each query vector — the "all sufficiently similar" dual of
+    // sim_knn_per_query's top-k (retrieval-augmented dedup and contamination
+    // sweeps want the full ball, not a fixed k). Same broadcast shape as
+    // knn: the bounded query set broadcasts, the corpus side is one
+    // zero-shuffle scan with the codegen'd FloatVecDot predicate; no
+    // window is needed at all because the radius, unlike top-k, is a pure
+    // per-row filter. The filter applies to the UNROUNDED similarity,
+    // rounding only the reported value.
+    "sim_range_search" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), vecDot(col("q_emb"), col("c_emb")).as("sim"))
+        .filter(col("sim") >= 0.30)
+        .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("q_id", "c_id")
+    }),
+
     // Embedding-cosine near-dup pairs above a fixed threshold.
     "dedup_embed_cosine" -> ((s, dir) => {
       allPairs(t(s, dir, "embeddings"))
@@ -700,6 +721,12 @@ object SimilarityOps {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE $oracleDot >= 0.35
          |ORDER BY d1, d2""".stripMargin,
+
+    "sim_range_search" ->
+      s"""SELECT a.vec_id AS q_id, b.vec_id AS c_id, round($oracleDot, 6) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |WHERE a.vec_id < 10 AND $oracleDot >= 0.30
+         |ORDER BY q_id, c_id""".stripMargin,
 
     // Same recursive-walk CC fixpoint the simhash clusterLabelsSql uses,
     // seeded from the cosine pair graph instead.

@@ -67,6 +67,30 @@ object WindowFuncs {
         .orderBy("event_id")
     }),
 
+    // Running COUNT(DISTINCT) per user — the classic "distinct event types
+    // seen so far" cumulative metric. A distinct-aggregate window is
+    // unsupported (and would hold per-row state); the scalable identity is
+    // first-occurrence flagging: row_number()=1 over (user, type) marks
+    // each type's first event, and a plain running SUM of the flag over
+    // the user's timeline is the running distinct count. Two window
+    // passes over the SAME (user)-keyed exchange — Spark reuses the hash
+    // partitioning, so one shuffle total, constant per-row state, no
+    // collect_set blowup at any cardinality.
+    "win_running_distinct" -> ((s, dir) => {
+      val firstW = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val runW = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("fs",
+          when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+          sum(col("fs")).over(runW).as("n_distinct_types"))
+        .orderBy("event_id")
+    }),
+
     "win_first_last" -> ((s, dir) => {
       val day = date_trunc("DAY", col("ts"))
       val w = Window.partitionBy(col("user_id"), day)
@@ -116,6 +140,17 @@ object WindowFuncs {
         |   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
         |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
         |FROM events ORDER BY event_id""".stripMargin,
+    "win_running_distinct" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(fs) OVER (PARTITION BY user_id ORDER BY ts2, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS n_distinct_types
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts2,
+        |   CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |     ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+        |     THEN 1 ELSE 0 END AS fs
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
     "win_first_last" ->
       """SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
         | first_value(event_type) OVER w AS first_ev,

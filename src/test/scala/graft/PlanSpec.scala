@@ -97,6 +97,7 @@ class PlanSpec extends SparkSpec {
         // (no equi key exists); their scale path is the banded sim_ann_lsh.
         if (p.contains("BroadcastNestedLoopJoin"))
           assert(Seq("join_range_interval", "join_asof", "sim_knn_per_query",
+            "sim_range_search", // same bounded broadcast query set as knn
             "text_fingerprint", "text_tfidf", "dedup_embed_cosine",
             "sim_cosine_topk", "sim_ivf_knn",
             "sim_pq_knn",    // both cross joins broadcast bounded sides:
@@ -106,7 +107,8 @@ class PlanSpec extends SparkSpec {
             "funnel_steps",  // three 1-row step-count aggregates cross-joined
             "text_entropy_kl", // 1-row corpus-total aggregate cross join (as text_tfidf)
             "text_pmi_bigrams", // two 1-row totals (N tokens, N bigrams) cross-joined
-            "agg_histogram_equidepth" // 1-row decile-boundary aggregate cross join
+            "agg_histogram_equidepth", // 1-row decile-boundary aggregate cross join
+            "pipeline_mix_temperature" // 1-row n_min aggregate cross-joined onto the tiny per-source spec
           ).contains(key), p)
       }
     }

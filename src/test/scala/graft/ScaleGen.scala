@@ -89,8 +89,9 @@ object ScaleGen {
 
     // ---- events: replicate users (the sessionization key), timestamps
     // unchanged — session count and shuffle volume scale linearly, the
-    // claim under test. `ts` stays raw int64 nanos (Tables.events reads
-    // bigint the same way it reads the driver's timestamp[ns]).
+    // claim under test. `ts` is carried through in whatever encoding the
+    // source dir ships (raw int64 nanos or native timestamp[us]);
+    // Tables.normalizeTs adapts on read either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$in/events.parquet")
     val userOffset = 1000000L
