@@ -163,6 +163,32 @@ object SimilarityOps {
         .orderBy("q_id", "c_id")
     }),
 
+    // Nearest-EXEMPLAR assignment: label every corpus vector with its
+    // closest of the 10 exemplar vectors (the semantic-domain routing /
+    // cluster-assignment step of embedding-based curation). Unlike the
+    // per-query top-k, the argmax here is per CORPUS row, so a window
+    // would shuffle the whole (corpus × exemplars) frame; instead the
+    // argmax folds inside ONE two-phase hash agg via lexicographic
+    // struct max — (sim, -exemplar_id) — map-side combine reduces each
+    // corpus row's 10 candidates to 1 before the only exchange, and ties
+    // on sim break to the smallest exemplar id, matching the oracle's
+    // (sim DESC, id ASC) rank.
+    "sim_nearest_exemplar" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("e_id"), col("embedding").as("q_emb"))
+      val c = v.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      c.join(broadcast(q))
+        .select(col("c_id"), struct(
+          vecDot(col("c_emb"), col("q_emb")).as("sim"),
+          (-col("e_id")).as("neg_id"), col("e_id")).as("cand"))
+        .groupBy("c_id").agg(max("cand").as("m"))
+        .select(col("c_id"), col("m.e_id").as("exemplar_id"),
+          round(col("m.sim"), 6).as("sim"))
+        .orderBy("c_id")
+    }),
+
     // Embedding-cosine near-dup pairs above a fixed threshold.
     "dedup_embed_cosine" -> ((s, dir) => {
       allPairs(t(s, dir, "embeddings"))
@@ -727,6 +753,15 @@ object SimilarityOps {
          |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |WHERE a.vec_id < 10 AND $oracleDot >= 0.30
          |ORDER BY q_id, c_id""".stripMargin,
+
+    "sim_nearest_exemplar" ->
+      s"""SELECT c_id, exemplar_id, round(sim, 6) AS sim FROM (
+         |  SELECT b.vec_id AS c_id, a.vec_id AS exemplar_id, $oracleDot AS sim,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY $oracleDot DESC, a.vec_id) AS rn
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < 10 AND b.vec_id >= 10)
+         |WHERE rn = 1 ORDER BY c_id""".stripMargin,
 
     // Same recursive-walk CC fixpoint the simhash clusterLabelsSql uses,
     // seeded from the cosine pair graph instead.

@@ -95,6 +95,33 @@ object TextOps {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(50)),
 
+    // Per-doc n-gram NOVELTY against everything earlier in the corpus
+    // (ordered by doc_id — the ingest-order analog): the fraction of a
+    // doc's distinct 3-gram shingles whose FIRST corpus occurrence is an
+    // earlier doc. This is the dedup-adjacent curation signal ("how much
+    // of this doc is already in the training set") that drives
+    // keep/down-weight decisions. Shape: distinct (doc, shingle) →
+    // min(doc_id) per shingle (two-phase agg) → shingle-keyed join back →
+    // doc-level agg. Everything is word/shingle-keyed — no broadcast of
+    // corpus-sized state, same inverted-index shape as the Jaccard miner
+    // but with a count instead of a pair fan-out, so it stays linear in
+    // the posting lists at any corpus size.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+        .distinct()
+      val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+            .as("n_seen_before"))
+        .withColumn("novelty",
+          round(lit(1.0) - col("n_seen_before").cast("double")
+            / col("n_shingles").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals: fraction of duplicated word
     // bigrams and the heaviest single bigram per doc — the standard
     // "is this page boilerplate/spam" quality gate before training.
@@ -668,6 +695,20 @@ object TextOps {
         |      WHEN s_es >= s_zh THEN 'es'
         |      ELSE 'zh' END AS pred_lang
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        |   FROM (SELECT doc_id, toks,
+        |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        | f AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY 1),
+        | d AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |   CAST(sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_seen_before
+        |  FROM s JOIN f USING (sh) GROUP BY s.doc_id)
+        |SELECT doc_id, n_shingles, n_seen_before,
+        | round(CAST(1.0 AS DOUBLE) - CAST(n_seen_before AS DOUBLE)
+        |   / CAST(n_shingles AS DOUBLE), 6) AS novelty
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         | s AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle

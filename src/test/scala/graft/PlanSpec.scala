@@ -98,6 +98,7 @@ class PlanSpec extends SparkSpec {
         if (p.contains("BroadcastNestedLoopJoin"))
           assert(Seq("join_range_interval", "join_asof", "sim_knn_per_query",
             "sim_range_search", // same bounded broadcast query set as knn
+            "sim_nearest_exemplar", // bounded 10-exemplar broadcast cross join
             "text_fingerprint", "text_tfidf", "dedup_embed_cosine",
             "sim_cosine_topk", "sim_ivf_knn",
             "sim_pq_knn",    // both cross joins broadcast bounded sides:

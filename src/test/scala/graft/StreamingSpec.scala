@@ -694,6 +694,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming running-distinct ≡ batch win_running_distinct (exact, ordered feed)") {
+    import graft.streaming.StreamingRunningDistinct
+    import graft.streaming.StreamingRunningDistinct.EventIn
+    withRocksDb {
+      // same rows the batch window scans, fed in event-time order (the
+      // parity contract) across three arrival waves
+      val keyed = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_micros"), col("event_id"))
+        .as[EventIn].collect().toSeq.sortBy(e => (e.ts_micros, e.event_id))
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingRunningDistinct.runningDistinct(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_rdistinct")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      // Append mode: every event's row is emitted exactly once and is
+      // final — the full sink IS the batch answer, row for row.
+      val streamed = spark.table("stream_rdistinct").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = SparkEntry.queries("win_running_distinct")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.size == keyed.size) // one emission per event, no dupes
+    }
+  }
+
   test("streaming weighted reservoir ≡ batch sample_weighted (exact, any chunking)") {
     import graft.streaming.StreamingWeightedSample
     import graft.streaming.StreamingWeightedSample.DocIn
