@@ -64,6 +64,34 @@ object Aggregates {
           round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_price"))
         .orderBy("o_orderstatus")),
 
+    // Higher moments (skewness + excess kurtosis) from exact DECIMAL raw-
+    // moment sums — never the built-in skewness()/kurtosis(), whose
+    // double accumulation is summation-order-dependent. l_quantity is
+    // integral and ≤ 50, so x²/x³/x⁴ are exactly representable and the
+    // four DECIMAL(18,4) sums are exact; the moment formulas then run as
+    // identical correctly-rounded IEEE expressions in both engines. ONE
+    // two-phase hash agg computes all five accumulators — adding a
+    // moment widens the map-side row, never adds a pass.
+    "agg_skewness_kurtosis" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val g = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"), dsum(x * x).as("sxx"),
+        dsum(x * x * x).as("sxxx"), dsum(x * x * x * x).as("sxxxx"))
+      val m = col("sx") / col("n")
+      val varp = col("sxx") / col("n") - m * m
+      g.select(col("l_returnflag"),
+          round(
+            (col("sxxx") / col("n") - lit(3.0) * m * (col("sxx") / col("n"))
+              + lit(2.0) * m * m * m) / (varp * sqrt(varp)), 6).as("skewness"),
+          round(
+            (col("sxxxx") / col("n") - lit(4.0) * m * (col("sxxx") / col("n"))
+              + lit(6.0) * m * m * (col("sxx") / col("n"))
+              - lit(3.0) * m * m * m * m) / (varp * varp) - lit(3.0), 6)
+            .as("kurtosis_excess"))
+        .orderBy("l_returnflag")
+    }),
+
     // max_by/min_by with an explicit (value, key) struct tiebreak so ties on
     // o_totalprice cannot make the result nondeterministic.
     "agg_min_max_by" -> ((s, dir) =>
@@ -200,6 +228,29 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same raw-moment formulas in the same associativity/order as the
+    // engine expression — every op is a correctly-rounded IEEE double op
+    // over the identical exact-decimal inputs, so the results are
+    // bit-identical.
+    "agg_skewness_kurtosis" ->
+      s"""WITH g AS (SELECT l_returnflag,
+         |   CAST(count(*) AS DOUBLE) AS n,
+         |   ${dsumSql("l_quantity")} AS sx,
+         |   ${dsumSql("l_quantity * l_quantity")} AS sxx,
+         |   ${dsumSql("l_quantity * l_quantity * l_quantity")} AS sxxx,
+         |   ${dsumSql("l_quantity * l_quantity * l_quantity * l_quantity")} AS sxxxx
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag,
+         | round((sxxx / n - 3.0 * (sx / n) * (sxx / n)
+         |     + 2.0 * (sx / n) * (sx / n) * (sx / n))
+         |   / ((sxx / n - (sx / n) * (sx / n))
+         |     * sqrt(sxx / n - (sx / n) * (sx / n))), 6) AS skewness,
+         | round((sxxxx / n - 4.0 * (sx / n) * (sxxx / n)
+         |     + 6.0 * (sx / n) * (sx / n) * (sxx / n)
+         |     - 3.0 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+         |   / ((sxx / n - (sx / n) * (sx / n))
+         |     * (sxx / n - (sx / n) * (sx / n))) - 3.0, 6) AS kurtosis_excess
+         |FROM g ORDER BY l_returnflag""".stripMargin,
     // heap-aggregate top-k ≡ the window row_number formulation
     "agg_topk_heap" ->
       """SELECT o_custkey, o_totalprice, o_orderkey, rk FROM (

@@ -199,6 +199,51 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of (merge_asof direction='nearest'): per purchase, the
+    // click with the smallest |time gap| in EITHER direction, ties to the
+    // backward (earlier) side. One union-and-scan pass evaluates BOTH
+    // directions — a preceding frame picks the last click at-or-before,
+    // a following frame the first click strictly after (same-instant
+    // clicks sort before the purchase, so they land in the backward
+    // frame exactly once) — then the winner is a per-row comparison of
+    // the two µs gaps. Still one exchange on the user key (all four
+    // window columns share the same sort), no pair blowup.
+    "join_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val c = ev.filter(col("event_type") === "click").select(
+        col("user_id").as("k"), col("ts").as("ats"),
+        col("event_id").as("c_key"), lit(null).cast("long").as("p_key"),
+        lit(0).as("typ"))
+      val p = ev.filter(col("event_type") === "purchase").select(
+        col("user_id").as("k"), col("ts").as("ats"),
+        lit(null).cast("long").as("c_key"), col("event_id").as("p_key"),
+        lit(1).as("typ"))
+      val ord = Seq(col("ats"), col("typ"), col("c_key"))
+      val back = Window.partitionBy("k").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("k").orderBy(ord: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val cts = when(col("typ") === 0, col("ats"))
+      c.unionByName(p)
+        .withColumn("b_key", last(col("c_key"), ignoreNulls = true).over(back))
+        .withColumn("b_ts", last(cts, ignoreNulls = true).over(back))
+        .withColumn("f_key", first(col("c_key"), ignoreNulls = true).over(fwd))
+        .withColumn("f_ts", first(cts, ignoreNulls = true).over(fwd))
+        .filter(col("typ") === 1 &&
+          (col("b_key").isNotNull || col("f_key").isNotNull))
+        .withColumn("b_gap", unix_micros(col("ats")) - unix_micros(col("b_ts")))
+        .withColumn("f_gap", unix_micros(col("f_ts")) - unix_micros(col("ats")))
+        .select(col("p_key").as("event_id"),
+          when(col("b_key").isNull, col("f_key"))
+            .when(col("f_key").isNull, col("b_key"))
+            .when(col("b_gap") <= col("f_gap"), col("b_key"))
+            .otherwise(col("f_key")).as("nearest_click"),
+          when(col("b_key").isNull, col("f_gap"))
+            .when(col("f_key").isNull, col("b_gap"))
+            .otherwise(least(col("b_gap"), col("f_gap"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // FORWARD as-of: the FIRST event at-or-after each order (the
     // "what did this order lead to" direction — join_asof reversed).
     // Same union-and-scan shape, mirrored: orders sort BEFORE events at
@@ -309,6 +354,28 @@ object Joins {
         |     FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts2 <= p.ts2
         |    AND c.ts2 >= p.ts2 - INTERVAL 30 MINUTE)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // Backward candidates are c.ts <= p.ts (same-instant counts backward,
+    // matching the window sort); forward strictly after. Tie order:
+    // smaller gap first, then backward before forward, then max click id
+    // backward / min click id forward — the same picks the two window
+    // frames make.
+    "join_asof_nearest" ->
+      """SELECT event_id, nearest_click, gap_us FROM (
+        |  SELECT p.event_id, c.event_id AS nearest_click,
+        |    CASE WHEN c.ts2 <= p.ts2 THEN epoch_us(p.ts2) - epoch_us(c.ts2)
+        |      ELSE epoch_us(c.ts2) - epoch_us(p.ts2) END AS gap_us,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+        |      CASE WHEN c.ts2 <= p.ts2 THEN epoch_us(p.ts2) - epoch_us(c.ts2)
+        |        ELSE epoch_us(c.ts2) - epoch_us(p.ts2) END,
+        |      CASE WHEN c.ts2 <= p.ts2 THEN 0 ELSE 1 END,
+        |      CASE WHEN c.ts2 <= p.ts2 THEN -c.event_id ELSE c.event_id END
+        |    ) AS rn
+        |  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts2
+        |     FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts2
+        |     FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_asof_forward" ->
       """SELECT o_orderkey, event_id AS next_event_id FROM (

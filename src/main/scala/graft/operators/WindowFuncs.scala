@@ -91,6 +91,49 @@ object WindowFuncs {
         .orderBy("event_id")
     }),
 
+    // Rolling 20-row Pearson correlation (the feature-engineering form:
+    // a trailing co-movement signal per row). Never the built-in corr()
+    // over a frame — its double accumulation is summation-order-
+    // dependent; instead all five sufficient statistics accumulate in
+    // exact DECIMAL over the same frame (the products are exactly
+    // representable: integral quantity × 2-decimal price), and the
+    // correlation arithmetic runs on exact values per row — identical
+    // doubles in both engines (every downstream op is a correctly-rounded
+    // IEEE op over identical operands in identical order, including the
+    // zero-variance guard that yields NULL instead of a ±Inf/NaN
+    // division). One partition-keyed exchange; the five window
+    // aggregates share one frame pass.
+    "win_rolling_corr" -> ((s, dir) => {
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic feed
+      // (the driver's generator does not enforce the TPC-H PK), so the
+      // frame order tiebreaks through part/supp keys and finally the two
+      // measure columns themselves: any rows still tied then carry
+      // identical (quantity, price), so every engine's frame holds the
+      // same value multiset and the correlation is well-defined.
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice")
+        .rowsBetween(-19, 0)
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      def ds(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(18, 4))).over(w)
+      val df = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          count(lit(1)).over(w).cast("double").as("n"),
+          ds(x).cast("double").as("sx"), ds(y).cast("double").as("sy"),
+          ds(x * y).cast("double").as("sxy"),
+          ds(x * x).cast("double").as("sxx"), ds(y * y).cast("double").as("syy"))
+      df.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0.0 &&
+               (col("n") * col("syy") - col("sy") * col("sy")) > 0.0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                   (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+            .as("rolling_corr"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    }),
+
     "win_first_last" -> ((s, dir) => {
       val day = date_trunc("DAY", col("ts"))
       val w = Window.partitionBy(col("user_id"), day)
@@ -140,6 +183,24 @@ object WindowFuncs {
         |   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
         |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
         |FROM events ORDER BY event_id""".stripMargin,
+    "win_rolling_corr" ->
+      """WITH s AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |   CAST(count(*) OVER w AS DOUBLE) AS n,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sy,
+        |   CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sxy,
+        |   CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sxx,
+        |   CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS syy
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey,
+        |    l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT l_returnflag, l_orderkey, l_linenumber,
+        | CASE WHEN (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0
+        |   THEN round((n * sxy - sx * sy) /
+        |     sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |   ELSE NULL END AS rolling_corr
+        |FROM s ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
     "win_running_distinct" ->
       """SELECT event_id, user_id,
         | CAST(sum(fs) OVER (PARTITION BY user_id ORDER BY ts2, event_id
