@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.Tables._
 import graft.functions.WeightedAvgAgg
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** §2.4 aggregations (`KGroupedStream.count/reduce/aggregate` analog).
   * All run as two-phase HashAggregate (partial map-side combine, then a
@@ -89,6 +91,52 @@ object Aggregates {
               + lit(6.0) * m * m * (col("sxx") / col("n"))
               - lit(3.0) * m * m * m * m) / (varp * varp) - lit(3.0), 6)
             .as("kurtosis_excess"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Label-distribution diagnostics per group: Shannon entropy + Gini
+    // impurity of the l_linestatus class mix (the split-quality stats a
+    // stratifier or router reports). Σ p·ln p is summation-order-
+    // dependent in doubles, so the per-class terms fold in a PINNED
+    // order: classes sort into one array per group and a left fold adds
+    // them — the oracle replays the identical ordered fold with
+    // list_transform + list_reduce. Two chained two-phase aggs, both
+    // keyed on the flag, so the class agg's exchange is reused.
+    "agg_entropy_gini" -> ((s, dir) => {
+      val pc = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("c"))
+      pc.groupBy("l_returnflag")
+        .agg(sum("c").as("n"),
+          sort_array(collect_list(struct(col("l_linestatus"), col("c"))))
+            .as("cs"))
+        .select(col("l_returnflag"),
+          round(expr("aggregate(transform(cs, x -> -(x.c / n) * ln(x.c / n))," +
+            " 0D, (acc, t) -> acc + t)"), 6).as("entropy"),
+          round(expr("1.0 - aggregate(transform(cs, x -> (x.c / n) * (x.c / n))," +
+            " 0D, (acc, t) -> acc + t)"), 6).as("gini"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Weighted median (price-weighted quantity): the 50%-of-total-weight
+    // order statistic, computed EXACTLY — per-value weights and their
+    // running cumulative accumulate in DECIMAL, and the pick predicate
+    // (2·cum ≥ total) compares exact decimals, so no float boundary
+    // exists for engines to disagree on. Shape: one (flag, value) hash
+    // agg collapses the fact table, then two window passes and the final
+    // min ride the same flag-keyed exchange — the fact table itself
+    // never sorts.
+    "agg_weighted_percentile" -> ((s, dir) => {
+      val g = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("w"))
+      val cum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("l_returnflag")
+      g.withColumn("cw", sum("w").over(cum))
+        .withColumn("tw", sum("w").over(tot))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min("l_quantity").as("weighted_median_qty"))
         .orderBy("l_returnflag")
     }),
 
@@ -251,6 +299,33 @@ object Aggregates {
          |   / ((sxx / n - (sx / n) * (sx / n))
          |     * (sxx / n - (sx / n) * (sx / n))) - 3.0, 6) AS kurtosis_excess
          |FROM g ORDER BY l_returnflag""".stripMargin,
+    // Ordered fold mirrors the engine's sorted-array aggregate exactly:
+    // list(... ORDER BY class) pins term order, transform builds the
+    // identical per-class terms, reduce left-folds them (a 0-init left
+    // fold and an uninitialized one agree: 0.0 + t == t in IEEE).
+    "agg_entropy_gini" ->
+      """WITH pc AS (SELECT l_returnflag, l_linestatus, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |pf AS (SELECT l_returnflag, sum(c) AS n,
+        |   list(c ORDER BY l_linestatus) AS cs
+        |  FROM pc GROUP BY 1)
+        |SELECT l_returnflag,
+        | round(list_reduce(list_transform(cs, x -> -(x / n) * ln(x / n)),
+        |   (acc, t) -> acc + t), 6) AS entropy,
+        | round(1.0 - list_reduce(list_transform(cs, x -> (x / n) * (x / n)),
+        |   (acc, t) -> acc + t), 6) AS gini
+        |FROM pf ORDER BY l_returnflag""".stripMargin,
+    "agg_weighted_percentile" ->
+      """WITH g AS (SELECT l_returnflag, l_quantity,
+        |   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, l_quantity,
+        |   sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |   sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM g)
+        |SELECT l_returnflag, min(l_quantity) AS weighted_median_qty
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
     // heap-aggregate top-k ≡ the window row_number formulation
     "agg_topk_heap" ->
       """SELECT o_custkey, o_totalprice, o_orderkey, rk FROM (

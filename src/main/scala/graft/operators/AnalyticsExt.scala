@@ -129,6 +129,20 @@ object AnalyticsExt {
     // scale this is per-key bounded memory and one exchange; an
     // unbounded stream would run the same recurrence in
     // transformWithState instead.
+    // Day-of-week × hour activity profile per event type — the calendar
+    // heatmap every event pipeline reports. One two-phase hash agg over
+    // 7×24×|types| cells: the projection (dow, hour) is scan-stage
+    // arithmetic, the accumulators fold map-side, and the single
+    // exchange moves ≤ one partial row per cell per task regardless of
+    // event volume. Spark dayofweek is 1=Sunday; the oracle shifts
+    // DuckDB's 0=Sunday to match.
+    "ts_dow_hour_profile" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"),
+          dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+        .orderBy("event_type", "dow", "hr")),
+
     "ts_ewma" -> ((s, dir) =>
       events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
@@ -413,6 +427,12 @@ object AnalyticsExt {
         | min(value) AS low_value, arg_max(value, ts) AS close_value,
         | count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_dow_hour_profile" ->
+      s"""SELECT event_type,
+         | CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+         | CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+         | count(*) AS n_events, ${dsum6Sql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "ts_ewma" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts2,
         |   event_id, CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi

@@ -134,6 +134,34 @@ object WindowFuncs {
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     }),
 
+    // Per-row z-score standardization within the group (the feature-
+    // normalization projection of a training pipeline) — population
+    // mean/stddev come from exact DECIMAL sums over an UNBOUNDED frame
+    // (one pass, no join-back), so every engine derives the identical
+    // statistics and the per-row arithmetic is the same correctly-
+    // rounded IEEE expression. Constant-valued groups null out via the
+    // exact-variance guard rather than dividing by zero.
+    "win_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+      val x = col("l_quantity")
+      def ds(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(18, 4))).over(w)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          x.as("qty"),
+          count(lit(1)).over(w).cast("double").as("n"),
+          ds(x).cast("double").as("sx"), ds(x * x).cast("double").as("sxx"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("qty"),
+          when((col("sxx") / col("n")
+              - (col("sx") / col("n")) * (col("sx") / col("n"))) > 0.0,
+            round((col("qty") - col("sx") / col("n")) /
+              sqrt(col("sxx") / col("n")
+                - (col("sx") / col("n")) * (col("sx") / col("n"))), 6))
+            .as("zscore"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "qty")
+    }),
+
     "win_first_last" -> ((s, dir) => {
       val day = date_trunc("DAY", col("ts"))
       val w = Window.partitionBy(col("user_id"), day)
@@ -212,6 +240,20 @@ object WindowFuncs {
         |     THEN 1 ELSE 0 END AS fs
         |  FROM events)
         |ORDER BY event_id""".stripMargin,
+    "win_zscore" ->
+      """WITH s AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |   l_quantity AS qty,
+        |   CAST(count(*) OVER w AS DOUBLE) AS n,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sxx
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag))
+        |SELECT l_returnflag, l_orderkey, l_linenumber, qty,
+        | CASE WHEN (sxx / n - (sx / n) * (sx / n)) > 0.0
+        |   THEN round((qty - sx / n) /
+        |     sqrt(sxx / n - (sx / n) * (sx / n)), 6)
+        |   ELSE NULL END AS zscore
+        |FROM s ORDER BY l_returnflag, l_orderkey, l_linenumber, qty""".stripMargin,
     "win_first_last" ->
       """SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
         | first_value(event_type) OVER w AS first_ev,
