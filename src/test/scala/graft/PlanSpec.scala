@@ -247,8 +247,26 @@ class PlanSpec extends SparkSpec {
                                    // exchange (labels: checkpointed leaf)
       "join_interval_overlap" -> 3, // orderkey exchange per join side +
                                    // the per-order re-agg
-      "agg_histogram_equidepth" -> 2) // boundary agg + bucket agg; the
+      "agg_histogram_equidepth" -> 2, // boundary agg + bucket agg; the
                                    // bucketing itself is scan-stage
+      // round-7 additions (measured at their initial plan shapes):
+      "win_running_distinct" -> 2, // (user, type) first-seen + user running sum
+      "join_asof_tolerance" -> 1,  // the join_asof union-and-scan exchange
+      "join_asof_nearest" -> 1,    // BOTH directional frames share one
+                                   // user-key exchange and sort
+      "sim_range_search" -> 0,     // broadcast query ball: pure scan+filter
+      "sim_nearest_exemplar" -> 1, // one c_id hash agg; exemplars broadcast
+      "pipeline_mix_temperature" -> 2, // per-source counts + spec derivation;
+                                   // the corpus gate is scan-stage
+      "text_ngram_novelty" -> 3,   // (doc, shingle) distinct + first-seen agg
+                                   // + shingle join feeding the doc agg
+      "win_rolling_corr" -> 1,     // five frame sums on one flag exchange
+      "win_zscore" -> 1,           // unbounded-frame stats on one exchange
+      "agg_skewness_kurtosis" -> 1, // one widened two-phase agg
+      "ts_dow_hour_profile" -> 1,  // one cell-grid two-phase agg
+      "agg_entropy_gini" -> 2,     // class agg + flag re-agg (pinned-order fold)
+      "agg_weighted_percentile" -> 2) // (flag, value) agg + flag windows;
+                                   // the final min reuses the window exchange
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
