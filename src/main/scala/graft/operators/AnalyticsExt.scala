@@ -365,6 +365,120 @@ object AnalyticsExt {
         .orderBy("user_id", "bucket")
     }),
 
+    // Holt double exponential smoothing (level + trend, α = β = 1/2) —
+    // the one-step-ahead forecaster a metrics pipeline runs per stream.
+    // Genuinely recursive like ts_ewma, and done on the same INTEGER
+    // LATTICE: state is the pair (level, trend) in 1e-4 micro-units,
+    //   ℓ ← (v + ℓ + b) div 2 ;  b ← (ℓ_new − ℓ_old + b) div 2
+    // Both engines' integer division truncates toward zero (Spark `div`,
+    // DuckDB `//` — pinned empirically, −7→−3 in both), so the fold is
+    // bit-identical even when the trend goes negative. Per-key bounded
+    // collect + one exchange, same contract as ts_ewma; the streaming
+    // form would carry the same 2-long state in transformWithState.
+    "ts_holt" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vi"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("vi"))))
+            .as("evs"))
+        .withColumn("hs", expr(
+          "aggregate(slice(evs, 2, size(evs))," +
+            " named_struct('l', evs[0].vi, 'b', CAST(0 AS BIGINT))," +
+            " (acc, e) -> named_struct(" +
+            "'l', (e.vi + acc.l + acc.b) div 2," +
+            "'b', ((e.vi + acc.l + acc.b) div 2 - acc.l + acc.b) div 2))"))
+        .select(col("user_id"), col("event_type"), col("n_events"),
+          col("hs.l").as("level_micro"), col("hs.b").as("trend_micro"),
+          (col("hs.l") + col("hs.b")).as("forecast_micro"))
+        .orderBy("user_id", "event_type")),
+
+    // Lag-1 autocorrelation per (user, type) stream — the "is this metric
+    // trending or white noise" diagnostic. The (v_t, v_{t−1}) pairs come
+    // from one lag window; the correlation then follows the
+    // agg_corr_matrix discipline exactly: exact-DECIMAL sufficient
+    // statistics in ONE two-phase agg, final arithmetic on exact sums →
+    // identical doubles in both engines. The window and the agg share the
+    // (user, type)-keyed exchange; n ≥ 20 floors out degenerate streams.
+    "ts_autocorr_lag1" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .withColumn("pv", lag("value", 1).over(w))
+        .filter(col("pv").isNotNull)
+      pairs.groupBy("user_id", "event_type").agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum6(col("pv")).as("sx"), dsum6(col("value")).as("sy"),
+          dsum6(col("pv") * col("value")).as("sxy"),
+          dsum6(col("pv") * col("pv")).as("sxx"),
+          dsum6(col("value") * col("value")).as("syy"))
+        .filter(col("n") >= 20)
+        .select(col("user_id"), col("event_type"),
+          col("n").cast("long").as("n_pairs"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0.0 &&
+               (col("n") * col("syy") - col("sy") * col("sy")) > 0.0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                   (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+            .as("autocorr"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // CUSUM changepoint per (user, type) stream: the index t maximizing
+    // |n·S_t − t·S_n| — the classic cumulative-deviation statistic
+    // (Page 1954) with the mean CLEARED of division (n·S_t − t·S_n =
+    // n·(S_t − t·μ)), so the whole scan is exact 64-bit integers: vi ≤
+    // 5.6e6 micro-units, S ≤ 3.4e9 at test group sizes, terms ≤ n·S —
+    // a 1e5-row stream stays < 6e16, far inside a long. Argmax is a
+    // deterministic (dev DESC, rn ASC) row_number pick. Three windows +
+    // one filter, all riding ONE (user, type) exchange — the running
+    // sum and row number share a frame pass, the totals are an
+    // unbounded frame over the same sort, the pick re-sorts in-partition.
+    "ts_cusum_changepoint" -> ((s, dir) => {
+      val ord = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("user_id", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val dev = abs(col("n") * col("st") - col("rn") * col("stot"))
+      val pick = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("dev").desc, col("rn"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vi"))
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("st", sum("vi").over(run))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("stot", sum("vi").over(all))
+        .withColumn("dev", dev)
+        .withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type"), col("n").as("n_events"),
+          col("ts").as("cp_ts"), col("rn").as("cp_index"), col("dev").as("cusum_dev"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Median absolute deviation per group — the robust dispersion measure
+    // (outliers move stddev, not MAD). Two passes by definition (the
+    // deviations need the median first): each is one two-phase agg with
+    // an exact `percentile`, and the join back is a BROADCAST of the
+    // group-level medians (|groups| rows — bounded by construction, the
+    // size invariant that justifies the hint). Both engines interpolate
+    // the order statistic identically (percentile ↔ percentile_cont,
+    // the pairing agg_percentile already pins).
+    "agg_mad" -> ((s, dir) => {
+      val med = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("med"))
+      t(s, dir, "lineitem").select("l_returnflag", "l_quantity")
+        .join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(round(max(col("med")), 4).as("median_qty"),
+          round(percentile(abs(col("l_quantity") - col("med")), lit(0.5)), 4)
+            .as("mad_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Z-order (Morton) key: interleave the low 16 bits of two join/filter
     // columns via the classic mask-and-shift spread — pure integer bit
     // ops, codegen-friendly, and bit-identical in any engine. Sorting a
@@ -406,6 +520,84 @@ object AnalyticsExt {
   }
 
   val oracle: Map[String, String] = Map(
+    // The fold is replayed as a RECURSIVE CTE stepping rn → rn+1 (the
+    // dedup_cluster oracle pattern), NOT via list_reduce with a struct
+    // accumulator: DuckDB's lambda struct_pack binds fields sequentially,
+    // so a later field referencing acc sees the already-updated earlier
+    // field — probed empirically ((acc,x) -> {l: acc.l+x.l, b: acc.l}
+    // yields b = the NEW l). Scalar recursion has no such hazard and `//`
+    // truncates toward zero exactly like Spark's `div`.
+    "ts_holt" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
+        |   CAST(ts AS TIMESTAMP) AS ts2, event_id,
+        |   CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi
+        | FROM events),
+        |o AS (SELECT user_id, event_type, vi, row_number() OVER (
+        |   PARTITION BY user_id, event_type ORDER BY ts2, event_id) AS rn
+        | FROM e),
+        |n AS (SELECT user_id, event_type, count(*) AS n_events
+        | FROM o GROUP BY 1, 2),
+        |r AS (
+        | SELECT user_id, event_type, rn, vi AS l, CAST(0 AS BIGINT) AS b
+        | FROM o WHERE rn = 1
+        | UNION ALL
+        | SELECT o.user_id, o.event_type, o.rn,
+        |  (o.vi + r.l + r.b) // 2 AS l,
+        |  ((o.vi + r.l + r.b) // 2 - r.l + r.b) // 2 AS b
+        | FROM r JOIN o ON o.user_id = r.user_id
+        |  AND o.event_type = r.event_type AND o.rn = r.rn + 1)
+        |SELECT n.user_id, n.event_type, n.n_events, r.l AS level_micro,
+        | r.b AS trend_micro, r.l + r.b AS forecast_micro
+        |FROM r JOIN n ON r.user_id = n.user_id
+        | AND r.event_type = n.event_type AND r.rn = n.n_events
+        |ORDER BY n.user_id, n.event_type""".stripMargin,
+    "ts_autocorr_lag1" ->
+      s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts2,
+         |   event_id, value FROM events),
+         |p AS (SELECT user_id, event_type, value,
+         |   lag(value) OVER (PARTITION BY user_id, event_type
+         |     ORDER BY ts2, event_id) AS pv FROM e),
+         |g AS (SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n,
+         |   ${dsum6Sql("pv")} AS sx, ${dsum6Sql("value")} AS sy,
+         |   ${dsum6Sql("pv * value")} AS sxy,
+         |   ${dsum6Sql("pv * pv")} AS sxx, ${dsum6Sql("value * value")} AS syy
+         | FROM p WHERE pv IS NOT NULL GROUP BY 1, 2)
+         |SELECT user_id, event_type, CAST(n AS BIGINT) AS n_pairs,
+         | CASE WHEN (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0
+         |   THEN round((n * sxy - sx * sy) /
+         |     sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         |   ELSE NULL END AS autocorr
+         |FROM g WHERE n >= 20 ORDER BY user_id, event_type""".stripMargin,
+    "ts_cusum_changepoint" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts2,
+        |   event_id, CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi
+        | FROM events),
+        |w AS (SELECT user_id, event_type, ts2,
+        |   row_number() OVER ord AS rn,
+        |   CAST(sum(vi) OVER (PARTITION BY user_id, event_type
+        |     ORDER BY ts2, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS st,
+        |   count(*) OVER grp AS n,
+        |   CAST(sum(vi) OVER grp AS BIGINT) AS stot
+        | FROM e
+        | WINDOW ord AS (PARTITION BY user_id, event_type ORDER BY ts2, event_id),
+        |  grp AS (PARTITION BY user_id, event_type)),
+        |d AS (SELECT *, abs(n * st - rn * stot) AS dev,
+        |   row_number() OVER (PARTITION BY user_id, event_type
+        |     ORDER BY abs(n * st - rn * stot) DESC, rn) AS rk
+        | FROM w)
+        |SELECT user_id, event_type, n AS n_events, ts2 AS cp_ts,
+        | rn AS cp_index, dev AS cusum_dev
+        |FROM d WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+    "agg_mad" ->
+      """WITH med AS (SELECT l_returnflag,
+        |   percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med
+        | FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, round(max(med), 4) AS median_qty,
+        | round(percentile_cont(0.5) WITHIN GROUP
+        |   (ORDER BY abs(l.l_quantity - med)), 4) AS mad_qty
+        |FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         | t1 AS (SELECT user_id, min(ts) AS t1 FROM e

@@ -65,6 +65,40 @@ object DedupOps {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("d1", "d2")),
 
+    // Top-3 nearest neighbors per document by exact shingle Jaccard —
+    // the kNN REPORT over the same inverted-index miner (τ = 0, ≥ 2
+    // shared shingles to floor out incidental single-shingle overlap):
+    // where the dedup keys answer "which pairs exceed the threshold",
+    // this answers "what is each doc's closest neighborhood" (threshold
+    // tuning, boilerplate diagnosis, doc-level novelty). Pair mining
+    // cost is IDENTICAL to dedup_containment (the τ filter was always
+    // post-agg); the only additions are the symmetric expansion (2×
+    // pair rows, ids + one double) and a per-doc top-3 window whose
+    // partition is each doc's own candidate list — bounded by posting-
+    // list co-occurrence, never |docs|. Ordering ties break on the
+    // neighbor id; the unrounded jaccard doubles are identical integer
+    // ratios in both engines, so the pick is deterministic.
+    "text_jaccard_knn" -> ((s, dir) => {
+      val pairs = jaccardPairs(t(s, dir, "documents"), tau = 0.0)
+        .filter(col("inter") >= 2)
+      // Symmetric expansion via explode, NOT union: a union's two
+      // branches each re-plan (and re-execute) the whole pair miner,
+      // doubling the dominant cost; explode emits both orientations in
+      // one narrow pass over the mined frame.
+      val sym = pairs.select(explode(array(
+          struct(col("d1").as("doc_id"), col("d2").as("nbr"), col("jaccard")),
+          struct(col("d2").as("doc_id"), col("d1").as("nbr"), col("jaccard"))))
+          .as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"),
+          col("e.jaccard").as("jaccard"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("jaccard").desc, col("nbr"))
+      sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("nbr"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // Asymmetric CONTAINMENT dedup: inter / min(n1, n2) — the metric
     // that catches subset duplicates symmetric Jaccard misses (a short
     // doc pasted whole into a long one scores containment 1.0 but
@@ -693,6 +727,23 @@ object DedupOps {
         |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
         |WHERE inter / (x.n + y.n - inter) >= 0.6
         |ORDER BY d1, d2""".stripMargin,
+    "text_jaccard_knn" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        |   FROM (SELECT doc_id, toks,
+        |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        | n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |   FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | pj AS (SELECT d1, d2, inter / (x.n + y.n - inter) AS jac
+        |   FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
+        |   WHERE inter >= 2),
+        | sym AS (SELECT d1 AS doc_id, d2 AS nbr, jac FROM pj
+        |   UNION ALL SELECT d2, d1, jac FROM pj),
+        | r AS (SELECT doc_id, nbr, jac, row_number() OVER (
+        |     PARTITION BY doc_id ORDER BY jac DESC, nbr) AS rk FROM sym)
+        |SELECT doc_id, rk, nbr, round(jac, 6) AS jaccard FROM r
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh

@@ -247,6 +247,81 @@ object GraphOps {
     out
   }
 
+  /** k-core decomposition membership via iterative peeling: drop every
+    * node of residual degree < k, restrict the edge set to survivors,
+    * repeat `rounds` times; return survivors with their residual degree.
+    * The 2-core of the near-dup graph is exactly the set of documents
+    * with CORROBORATED duplication (two independent near-matches that
+    * are themselves connected evidence) — it strips the spokes of
+    * boilerplate-hub stars that a single chained match hangs onto a
+    * cluster, the standard precision filter before collapsing clusters.
+    *
+    * Fixed `rounds` keeps it SQL-oracle-able (the oracle unrolls the
+    * same peels as chained CTEs); GraphSpec pins that the testdata graph
+    * reaches its fixpoint within that budget (round R ≡ round R+1), the
+    * clique/path laws, and that peeling is order-insensitive. Each round
+    * is one map-side-combined degree agg + two semi joins, all keyed on
+    * node ids — the ccIterative shape; per-round frames localCheckpoint
+    * (shallow lineage) and superseded blocks are freed eagerly. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var (sym, symIds) = DedupOps.checkpointTracked(
+      pairs.select(col("d1").as("u"), col("d2").as("v"))
+        .union(pairs.select(col("d2").as("u"), col("d1").as("v"))))
+    val spark = sym.sparkSession
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      val (next, nextIds) = DedupOps.checkpointTracked(
+        sym.join(keep, Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .select("u", "v"))
+      DedupOps.freeRddBlocks(spark, symIds)
+      sym = next; symIds = nextIds
+    }
+    val out = sym.groupBy("u").agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("doc_id"), col("core_deg")).localCheckpoint()
+    DedupOps.freeRddBlocks(spark, symIds)
+    out
+  }
+
+  /** Hub ceiling for [[commonNeighbors]] wedge centers: a center of
+    * degree d mines d·(d−1)/2 wedges, so un-capped cost is Σ deg² — the
+    * one term that blows up on a boilerplate hub. Hubs past this degree
+    * carry no link-prediction signal anyway (everything is "similar"
+    * through them), so they are excluded as centers, mirrored exactly in
+    * the oracle. 50 is ~10× the max observed near-dup degree at the 10×
+    * (sf1) point. */
+  val WedgeCenterCap: Long = 50L
+
+  /** Link prediction over an undirected pair set: for every NON-adjacent
+    * pair (a < b) sharing ≥ `minShared` neighbors, the common-neighbor
+    * count — the "these two documents are probably near-dups the miner's
+    * threshold just missed" candidate list (the classic common-neighbors
+    * score, the baseline of the link-prediction literature). Wedges form
+    * only at centers of degree ≤ [[WedgeCenterCap]]; the anti join
+    * removes already-known edges. Scale shape: degree agg + wedge
+    * self-join keyed on the center + count agg keyed on (a, b) + anti
+    * join — ids-only frames throughout, wedge fan-out capped at
+    * O(cap²) per center. */
+  def commonNeighbors(pairs: DataFrame, minShared: Long): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2")).persist()
+    val sym = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
+      .select(col("d1").as("x"), col("d2").as("nbr"))
+    val centers = sym.groupBy("x").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= WedgeCenterCap).select("x")
+    val wedgeSide = sym.join(centers, Seq("x"), "left_semi")
+    val out = wedgeSide.select(col("x"), col("nbr").as("a"))
+      .join(wedgeSide.select(col("x"), col("nbr").as("b")), "x")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= minShared)
+      .join(p.select(col("d1").as("a"), col("d2").as("b")),
+        Seq("a", "b"), "left_anti")
+      .localCheckpoint()
+    p.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     // Fixed-3-round PageRank over the near-dup graph: bit-exact vs the
     // DuckDB oracle because the whole recurrence is integer arithmetic —
@@ -294,6 +369,21 @@ object GraphOps {
     // is id-keyed aggs and joins.
     "graph_cluster_cohesion" -> ((s, dir) =>
       clusterCohesion(nearDupPairs(s, dir)).orderBy("cluster_id")),
+
+    // 2-core of the near-dup graph — documents with corroborated
+    // duplication evidence (see kCore). 4 peel rounds: GraphSpec pins
+    // that the testdata fixpoint lands within 3, so the oracle's
+    // identical unrolled peels see the same final edge set.
+    "graph_kcore" -> ((s, dir) =>
+      kCore(nearDupPairs(s, dir), k = 2, rounds = 4)
+        .orderBy("doc_id")),
+
+    // Common-neighbors link prediction over the near-dup graph — the
+    // "pairs the τ-threshold miner missed" candidate list: non-adjacent
+    // doc pairs sharing ≥ 2 near-dup neighbors.
+    "graph_common_neighbors" -> ((s, dir) =>
+      commonNeighbors(nearDupPairs(s, dir), minShared = 2L)
+        .orderBy("a", "b")),
   )
 
   /** (cluster_id, n_nodes, n_edges, n_triangles) per connected component
@@ -367,6 +457,34 @@ object GraphOps {
     "graph_degree_dist" -> (GraphCtes + "\n" +
       """SELECT outdeg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Four unrolled peel rounds, identical to kCore(k=2, rounds=4):
+    // k<i> = surviving nodes after peel i, e<i> = edges among them,
+    // d<i> = residual degrees. Output = degrees of the final edge set.
+    "graph_kcore" -> (GraphCtes + ",\n" +
+      (1 to 4).map { i =>
+        val (prevE, prevD) = (if (i == 1) "e" else s"e${i - 1}",
+          if (i == 1) "deg" else s"d${i - 1}")
+        val degCol = if (i == 1) "outdeg" else "deg"
+        s""" k$i AS (SELECT u FROM $prevD WHERE $degCol >= 2),
+           | e$i AS (SELECT $prevE.u, $prevE.v FROM $prevE
+           |   JOIN k$i a ON $prevE.u = a.u JOIN k$i b ON $prevE.v = b.u),
+           | d$i AS (SELECT u, count(*) AS deg FROM e$i GROUP BY 1)""".stripMargin
+      }.mkString(",\n") + "\n" +
+      """SELECT u AS doc_id, deg AS core_deg FROM d4 ORDER BY doc_id""".stripMargin),
+
+    // Wedges at centers of degree ≤ 50 (the engine's WedgeCenterCap),
+    // counted per (a < b) endpoint pair, minus known edges (pj is the
+    // d1<d2-normalized pair list).
+    "graph_common_neighbors" -> (GraphCtes + ",\n" +
+      """ c AS (SELECT u FROM deg WHERE outdeg <= 50),
+        | w AS (SELECT e1.v AS a, e2.v AS b, count(*) AS common_neighbors
+        |   FROM e e1 JOIN e e2 ON e1.u = e2.u JOIN c ON c.u = e1.u
+        |   WHERE e1.v < e2.v GROUP BY 1, 2)
+        |SELECT a, b, common_neighbors FROM w
+        |WHERE common_neighbors >= 2
+        | AND NOT EXISTS (SELECT 1 FROM pj WHERE pj.d1 = w.a AND pj.d2 = w.b)
+        |ORDER BY a, b""".stripMargin),
 
     // The same recursive min-label walk the dedup_cluster oracle uses,
     // over GraphCtes' symmetric edge list e(u, v).

@@ -673,6 +673,27 @@ object RelationalExt {
         .orderBy("doc_id")
     }),
 
+    // Quality-proportional importance resampling: keep each doc with
+    // probability equal to its quality score (p ∈ [0,1] from the shared
+    // qualityScore formula) — the soft alternative to the hard quartile
+    // cut of pipeline_quality_gate (a 0.9-quality doc survives 9× more
+    // often than a 0.1 one, but nothing is deterministically discarded;
+    // the form most curation pipelines actually ship). The coin is the
+    // usual salted-md5 integer gate (h₁₆ < ⌊quality·2¹⁶⌋): no rand(),
+    // monotone in the score (raising a doc's quality can only flip it
+    // to kept), engine/partition/run-stable. Scale: pure scan-stage
+    // projection + filter — ZERO shuffles; the score and the gate are
+    // both per-row expressions.
+    "pipeline_importance_resample" -> ((s, dir) => {
+      val h16 = conv(substring(md5(concat(lit("impsamp42:"), col("doc_id"))),
+        1, 4), 16, 10).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .filter(h16 < floor(col("quality") * 65536.0))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_dedup_canonical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val labels = DedupOps.clusterLabels(docs)
@@ -1100,6 +1121,18 @@ object RelationalExt {
          |     + (CAST(strpos('0123456789abcdef', substr(h, 2, 1)) AS BIGINT) - 1) * 256
          |     + (CAST(strpos('0123456789abcdef', substr(h, 3, 1)) AS BIGINT) - 1) * 16
          |     + (CAST(strpos('0123456789abcdef', substr(h, 4, 1)) AS BIGINT) - 1)) * sz < 65536
+         |ORDER BY doc_id""".stripMargin,
+    "pipeline_importance_resample" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |   ${TextOps.qualitySql("text")} AS quality,
+         |   md5('impsamp42:' || CAST(doc_id AS VARCHAR)) AS h
+         | FROM documents)
+         |SELECT doc_id, source, quality FROM q
+         |WHERE ((CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) * 4096
+         |     + (CAST(strpos('0123456789abcdef', substr(h, 2, 1)) AS BIGINT) - 1) * 256
+         |     + (CAST(strpos('0123456789abcdef', substr(h, 3, 1)) AS BIGINT) - 1) * 16
+         |     + (CAST(strpos('0123456789abcdef', substr(h, 4, 1)) AS BIGINT) - 1))
+         |   < floor(quality * 65536.0)
          |ORDER BY doc_id""".stripMargin,
     "pipeline_dedup_canonical" ->
       s"""WITH ${DedupOps.clusterLabelsSql("documents")},

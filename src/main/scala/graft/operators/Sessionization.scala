@@ -96,6 +96,30 @@ object Sessionization {
         .select(col("user_id"), col("w.start").as("w_start"),
           col("n_events"), col("avg_value"))
         .orderBy("user_id", "w_start")),
+
+    // Per-user session distribution report — the summary a sessionized
+    // product-analytics table is actually read for (how often does each
+    // user come back, how long do they stay). Built on the SAME gap rule
+    // as sessionize_batch (shared withSessionSeq), then two hash aggs
+    // that both reuse the window's user_id partitioning: session rows →
+    // user rows, so raw events cross exactly one exchange. Durations are
+    // exact integer µs end-to-end; the only doubles are the final
+    // mirrored round(x / n / 1e6) projections.
+    "sessionize_stats" -> ((s, dir) => {
+      val sess = withSessionSeq(events(s, dir))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_ev"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("dur_us"))
+      sess.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_ev").as("n_events"),
+          max("n_ev").as("max_session_events"),
+          round(sum(col("dur_us")) / count(lit(1)) / lit(1000000.0), 6)
+            .as("avg_session_s"),
+          round(max(col("dur_us")) / lit(1000000.0), 6).as("max_session_s"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -124,5 +148,16 @@ object Sessionization {
         |   value
         | FROM events, (SELECT unnest(generate_series(0, 3)) AS i))
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sessionize_stats" ->
+      s"""$oracleSessionCte,
+         | sess AS (SELECT user_id, session_seq, count(*) AS n_ev,
+         |    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+         |  FROM s GROUP BY 1, 2)
+         |SELECT user_id, count(*) AS n_sessions,
+         | CAST(sum(n_ev) AS BIGINT) AS n_events,
+         | max(n_ev) AS max_session_events,
+         | round(CAST(sum(dur_us) AS BIGINT) / count(*) / 1000000.0, 6) AS avg_session_s,
+         | round(max(dur_us) / 1000000.0, 6) AS max_session_s
+         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

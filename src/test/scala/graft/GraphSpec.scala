@@ -178,6 +178,54 @@ class GraphSpec extends SparkSpec {
     assert(dist.map { case (d, c) => d * c }.sum == 2L * testPairs.size)
   }
 
+  test("kCore: cliques survive intact, paths and tails peel away") {
+    // K4: every node has degree 3 ≥ 2 — the 2-core is the whole clique.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val coreK4 = GraphOps.kCore(k4.toDF("d1", "d2"), k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(coreK4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // A path has no 2-core: endpoints peel first, then the next, inward.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(GraphOps.kCore(path.toDF("d1", "d2"), 2, 4).count() == 0)
+    // Triangle + pendant tail: the triangle survives with degree 2 each,
+    // the tail peels.
+    val ringTail = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 6L), (6L, 7L))
+    val rt = GraphOps.kCore(ringTail.toDF("d1", "d2"), 2, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rt == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore reaches its fixpoint within the oracle's peel budget on testdata") {
+    val pairs = operators.DedupOps
+      .jaccardPairs(Tables.t(spark, sfDir, "documents"), tau = 0.6)
+      .select("d1", "d2").localCheckpoint()
+    def setOf(rounds: Int) = GraphOps.kCore(pairs, 2, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r4 = setOf(4)
+    assert(r4 == setOf(5), "graph_kcore oracle unrolls 4 peels; fixpoint not reached")
+    assert(r4.forall(_._2 >= 2), "2-core members must keep residual degree >= 2")
+  }
+
+  test("commonNeighbors: wedge endpoints scored, known edges and hubs excluded") {
+    // Star 0–{1,2,3}: each leaf pair shares exactly one neighbor.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("d1", "d2")
+    assert(GraphOps.commonNeighbors(star, minShared = 2).count() == 0)
+    val cn1 = GraphOps.commonNeighbors(star, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cn1 == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // 4-cycle: both diagonals share two neighbors.
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("d1", "d2")
+    val diag = GraphOps.commonNeighbors(sq, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(diag == Set((1L, 3L, 2L), (2L, 4L, 2L)))
+    // K3: every wedge closes into a known edge — nothing to predict.
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("d1", "d2")
+    assert(GraphOps.commonNeighbors(k3, 1).count() == 0)
+    // A hub past WedgeCenterCap mines no wedges: star with 60 leaves.
+    val bigStar = (1L to 60L).map(i => (0L, i)).toDF("d1", "d2")
+    assert(GraphOps.commonNeighbors(bigStar, 1).count() == 0)
+  }
+
   test("graph_pagerank query runs on sf0.001 with full mass") {
     val out = SparkEntry.queries("graph_pagerank")(spark, sfDir)
     val rows = out.collect()

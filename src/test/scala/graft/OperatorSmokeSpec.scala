@@ -12,7 +12,7 @@ class OperatorSmokeSpec extends SparkSpec {
   // near-dups / no customers without orders at this sf).
   private val mayBeEmpty = Set("join_anti", "set_except", "dedup_ngram_jaccard",
     "dedup_near_minhash", "sim_ann_lsh", "dedup_embed_cosine", "text_edit_distance",
-    "dedup_cluster", "join_range_bucketed")
+    "dedup_cluster", "join_range_bucketed", "graph_common_neighbors")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs on sf0.001") {
@@ -21,6 +21,80 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(df.schema.nonEmpty)
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
+  }
+
+  test("ts_holt matches a driver-side replay of the integer recurrence") {
+    val got = SparkEntry.queries("ts_holt")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3), r.getLong(4)))
+    val ref = evs.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      val vis = rows.sortBy(t => (t._3.getTime, t._4)).map(_._5)
+      var l = vis.head; var b = 0L
+      vis.tail.foreach { v =>
+        val l2 = (v + l + b) / 2 // truncating, matches `div` on these magnitudes
+        b = (l2 - l + b) / 2
+        l = l2
+      }
+      k -> ((rows.size.toLong, l, b, l + b))
+    }
+    assert(got == ref)
+  }
+
+  test("sessionize_stats reconciles with sessionize_batch") {
+    val stats = SparkEntry.queries("sessionize_stats")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val sess = SparkEntry.queries("sessionize_batch")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (user_id, n_events)
+    val ref = sess.groupBy(_._1).map { case (u, ss) =>
+      u -> ((ss.size.toLong, ss.map(_._2).sum, ss.map(_._2).max))
+    }
+    assert(stats == ref)
+  }
+
+  test("ts_cusum_changepoint flags the planted level shift") {
+    import spark.implicits._
+    // A stream of 30 lows then 30 highs: the max |n·S_t − t·S_n| must
+    // land exactly at the boundary (index 30).
+    val base = 1704067200000000L
+    val df = (1 to 60).map { i =>
+      (i.toLong, new java.sql.Timestamp((base + i * 1000000L) / 1000),
+        if (i <= 30) 10.0 else 20.0)
+    }.toDF("event_id", "ts", "value")
+    val ord = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val run = ord.rowsBetween(Long.MinValue, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val scored = df
+      .select(col("event_id"), col("ts"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vi"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("st", sum("vi").over(run))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("stot", sum("vi").over(all))
+      .withColumn("dev", abs(col("n") * col("st") - col("rn") * col("stot")))
+      .orderBy(col("dev").desc, col("rn"))
+      .select("rn").head().getInt(0)
+    assert(scored == 30, s"changepoint detected at $scored, expected 30")
+  }
+
+  test("pipeline_importance_resample is a proper quality-weighted subsample") {
+    val keptRows = SparkEntry.queries("pipeline_importance_resample")(spark, sfDir)
+      .collect()
+    assert(keptRows.nonEmpty)
+    val all = Tables.t(spark, sfDir, "documents").count()
+    assert(keptRows.length < all, "resampling must actually drop docs")
+    // The keep rate over the whole corpus must track the mean quality
+    // (each doc keeps with p = quality, so E[kept] = Σ quality): within
+    // 5 points at n = 500.
+    val meanQ = SparkEntry.queries("text_quality_score")(spark, sfDir)
+      .agg(avg("quality")).head().getDouble(0)
+    val rate = keptRows.length.toDouble / all
+    assert(math.abs(rate - meanQ) < 0.05, s"keep rate $rate vs mean quality $meanQ")
   }
 
   test("observe() exposes inline data-quality metrics without a second pass") {

@@ -15,7 +15,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-6 integer-lattice / exact-stats keys: the bit-determinism
     // claims in their Scaladoc are exactly this property
     "ts_ewma", "ts_anomaly_sigma", "agg_corr_matrix", "graph_triangles",
-    "pipeline_cluster_sample")
+    "pipeline_cluster_sample",
+    // round-7 integer-lattice / exact-stats keys
+    "ts_holt", "ts_cusum_changepoint", "ts_autocorr_lag1", "graph_kcore",
+    "text_jaccard_knn", "sessionize_stats")
 
   private def runAt(parts: Int, key: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -265,8 +265,29 @@ class PlanSpec extends SparkSpec {
       "agg_skewness_kurtosis" -> 1, // one widened two-phase agg
       "ts_dow_hour_profile" -> 1,  // one cell-grid two-phase agg
       "agg_entropy_gini" -> 2,     // class agg + flag re-agg (pinned-order fold)
-      "agg_weighted_percentile" -> 2) // (flag, value) agg + flag windows;
+      "agg_weighted_percentile" -> 2, // (flag, value) agg + flag windows;
                                    // the final min reuses the window exchange
+      // round-7 second-wave additions:
+      "sessionize_stats" -> 1,     // session window + both rollup aggs ride
+                                   // the one user_id exchange
+      "ts_holt" -> 1,              // one (user, type) exchange; the fold is
+                                   // a per-group array expression (ts_ewma shape)
+      "ts_autocorr_lag1" -> 1,     // lag window + stats agg share the
+                                   // (user, type) hash
+      "ts_cusum_changepoint" -> 1, // all three windows ride one
+                                   // (user, type) exchange
+      "agg_mad" -> 2,              // median agg + deviation agg; the
+                                   // medians join back via broadcast
+      "graph_kcore" -> 0,          // localCheckpoint leaf (peel rounds
+                                   // behind it: degree agg + 2 semi joins each)
+      "graph_common_neighbors" -> 0, // localCheckpoint leaf (wedge join +
+                                   // count agg + anti join behind it)
+      "text_jaccard_knn" -> 4,     // the 3-exchange miner + one per-doc
+                                   // top-k window; symmetric expansion is
+                                   // an explode, never a union re-plan
+      "fn_variant_extract" -> 0,   // pure projection — parse_json +
+                                   // variant_get stay scan-stage
+      "pipeline_importance_resample" -> 0) // scan-stage score + md5 gate
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
