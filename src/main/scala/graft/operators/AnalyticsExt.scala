@@ -295,6 +295,35 @@ object AnalyticsExt {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Cohort LTV triangle — cohort_retention's revenue twin: users
+    // cohorted by first-activity week, purchase value rolled up per
+    // (cohort, week offset), plus the RUNNING cumulative value per
+    // cohort (the lifetime-value curve every growth report plots).
+    // The cumulative sum runs in DECIMAL over the already-exact weekly
+    // sums — no float accumulation order anywhere — and the window's
+    // frame is the aggregated triangle (|cohorts|·|offsets| rows), not
+    // events. Same scale shape as cohort_retention: one raw-event
+    // exchange for the first-seen window, then aggregate-sized frames.
+    "cohort_ltv" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val tri = events(s, dir)
+        .withColumn("first_d", min(to_date(col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          to_date(date_trunc("week", col("first_d"))).as("cohort_week"),
+          floor(datediff(to_date(col("ts")), col("first_d")) / 7).cast("int")
+            .as("week_offset"),
+          col("value"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(dsum6(col("value")).as("week_value"))
+      val wc = Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tri.withColumn("cum_value",
+          sum(col("week_value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .over(wc).cast("double"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Longest consecutive-day purchase streak per user — the classic
     // gaps-and-islands shape (gamified streaks, SLA uptime runs,
     // consecutive-day actives). Island id = day-number minus the row
@@ -694,6 +723,23 @@ object AnalyticsExt {
         | CASE WHEN attributed THEN last_click_ts END AS click_ts, attributed,
         | CASE WHEN attributed THEN raw_lag END AS lag_us
         |FROM b ORDER BY event_id""".stripMargin,
+    "cohort_ltv" ->
+      s"""WITH ev AS (
+         | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2, event_type, value,
+         |  min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_d
+         | FROM events),
+         |tri AS (
+         | SELECT CAST(date_trunc('week', first_d) AS DATE) AS cohort_week,
+         |  CAST(floor(datediff('day', first_d, CAST(ts2 AS DATE)) / 7) AS INT)
+         |    AS week_offset,
+         |  ${dsum6Sql("value")} AS week_value
+         | FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT cohort_week, week_offset, week_value,
+         | CAST(sum(CAST(week_value AS DECIMAL(18,6))) OVER (
+         |   PARTITION BY cohort_week ORDER BY week_offset
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |  AS cum_value
+         |FROM tri ORDER BY cohort_week, week_offset""".stripMargin,
     "cohort_retention" ->
       """WITH ev AS (
         | SELECT user_id, CAST(ts AS DATE) AS d,

@@ -442,6 +442,23 @@ object RelationalExt {
           |FROM lineitem_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }),
 
+    // The same aggregation declared in Spark 4's SQL PIPE syntax
+    // (`|>` — SQL as a linear dataflow, the readability bridge between
+    // the DataFrame DSL and nested ANSI SQL). Parses to the identical
+    // Catalyst plan as sql_api_q1's formulation: the pipe operators are
+    // pure surface syntax, so every optimization (pushdown through the
+    // WHERE stage, partial aggregation) applies unchanged.
+    "sql_api_pipe" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_pipe_v")
+      s.sql(
+        """FROM lineitem_pipe_v
+          ||> WHERE l_quantity > 10
+          ||> AGGREGATE CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |     count(*) AS n
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // Seeded Bernoulli sample — deterministic for a fixed seed (pinned in
     // DeterminismSpec) but engine-specific RNG, so no SQL oracle.
     "sample_seeded" -> ((s, dir) =>
@@ -1070,6 +1087,12 @@ object RelationalExt {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sql_api_pipe" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "fn_regexp_extract_all" ->
       """SELECT p_partkey,
         | array_to_string(regexp_extract_all(p_type, '\w+'), '|') AS words,

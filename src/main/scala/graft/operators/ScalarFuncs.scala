@@ -135,6 +135,25 @@ object ScalarFuncs {
     // parse, the decisive difference when a 100 TB event stream carries
     // a props blob read by many projections. Missing paths: the `try_`
     // form yields NULL (its non-try twin would throw in ANSI mode).
+    // Spark-4 collation surface: per-column case-insensitive semantics
+    // via collate(…, 'UTF8_LCASE') — grouping/distinct/compare follow
+    // the collation with NO lower() rewrite in the plan, the idiomatic
+    // form for case-insensitive analytics since 4.0 (and the pattern a
+    // mixed-case web corpus needs everywhere). A deterministically
+    // mixed-cased copy of p_type is counted distinct under binary vs
+    // case-insensitive collation per brand; the oracle states the
+    // ASCII-equivalent lower() formulation.
+    "fn_collation" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_brand"),
+          when(col("p_partkey") % 2 === 0, lower(col("p_type")))
+            .otherwise(col("p_type")).as("typ"))
+        .groupBy("p_brand")
+        .agg(countDistinct(col("typ")).as("n_case_sensitive"),
+          countDistinct(collate(col("typ"), "UTF8_LCASE"))
+            .as("n_case_insensitive"))
+        .orderBy("p_brand")),
+
     "fn_variant_extract" -> ((s, dir) =>
       events(s, dir).select(
         col("event_id"),
@@ -223,6 +242,14 @@ object ScalarFuncs {
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         | CAST(json_extract_string(props, '$.k') AS INT) AS k_int
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_collation" ->
+      """SELECT p_brand,
+        | count(DISTINCT typ) AS n_case_sensitive,
+        | count(DISTINCT lower(typ)) AS n_case_insensitive
+        |FROM (SELECT p_brand,
+        |   CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE p_type END AS typ
+        | FROM part)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "fn_variant_extract" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INT) AS k_int,

@@ -441,6 +441,23 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Template/boilerplate-header detection: group documents by their
+    // leading 30 characters — form letters, templated pages, and
+    // generator boilerplate share exact prefixes long before they share
+    // enough shingles to trip the Jaccard miner, so this is the cheap
+    // first-pass screen a curation pipeline runs before any pair
+    // mining. Exactly dedup_exact's shape keyed on the prefix: ONE
+    // two-phase hash agg (the prefix projection is scan-stage), no
+    // window, no join — at 100 TB the exchange carries map-side
+    // partials per distinct prefix, never documents.
+    "text_prefix_dup" -> ((s, dir) =>
+      t(s, dir, "documents").filter(length(col("text")) >= 30)
+        .groupBy(substring(col("text"), 1, 30).as("prefix"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("keep_id"), col("n_docs"), col("prefix"))
+        .orderBy("keep_id")),
+
     // Document fingerprint: min-MD5 over 3-word shingles (winnowing-style
     // representative hash) + distinct-shingle cardinality.
     "text_fingerprint" -> ((s, dir) =>
@@ -709,6 +726,11 @@ object TextOps {
         | round(CAST(1.0 AS DOUBLE) - CAST(n_seen_before AS DOUBLE)
         |   / CAST(n_shingles AS DOUBLE), 6) AS novelty
         |FROM d ORDER BY doc_id""".stripMargin,
+    "text_prefix_dup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
+        | substr(text, 1, 30) AS prefix
+        |FROM documents WHERE len(text) >= 30
+        |GROUP BY 3 HAVING count(*) >= 2 ORDER BY keep_id""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         | s AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle

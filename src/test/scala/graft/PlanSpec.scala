@@ -31,6 +31,15 @@ class PlanSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(p).size
   }
 
+  test("sql_api_pipe: pipe syntax is pure surface — filter pushed, partial agg planned") {
+    val p = plan("sql_api_pipe")
+    // the |> WHERE stage must reach the scan as a pushed filter,
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // and the |> AGGREGATE stage must two-phase like any hash agg.
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("filter_compare pushes predicates into the parquet scan") {
     val p = plan("filter_compare")
     assert(p.contains("PushedFilters: ["), p)
@@ -287,7 +296,14 @@ class PlanSpec extends SparkSpec {
                                    // an explode, never a union re-plan
       "fn_variant_extract" -> 0,   // pure projection — parse_json +
                                    // variant_get stay scan-stage
-      "pipeline_importance_resample" -> 0) // scan-stage score + md5 gate
+      "pipeline_importance_resample" -> 0, // scan-stage score + md5 gate
+      "sql_api_pipe" -> 1,         // pipe syntax parses to the same one-agg
+                                   // plan as the classic formulation
+      "cohort_ltv" -> 3,           // user first-seen window + triangle agg
+                                   // + cohort cumsum on the aggregate
+      "fn_collation" -> 2,         // distinct-expand agg (two count-distinct
+                                   // lanes) over the brand key
+      "text_prefix_dup" -> 1)      // dedup_exact's one-agg shape on the prefix
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")

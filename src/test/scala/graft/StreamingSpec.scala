@@ -694,6 +694,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Holt ≡ batch ts_holt (exact, ordered feed, any chunking)") {
+    import graft.streaming.StreamingHolt
+    import graft.streaming.StreamingHolt.EventIn
+    withRocksDb {
+      val keyed = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_micros"), col("event_id"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vi"))
+        .as[EventIn].collect().toSeq.sortBy(e => (e.ts_micros, e.event_id))
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingHolt.holt(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_holt")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      // latest emission per key = max n_events (strictly monotone count)
+      val all = spark.table("stream_holt").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      val latest = all.groupBy(t => (t._1, t._2))
+        .map { case (_, ts) => ts.maxBy(_._3) }.toSet
+      val batch = SparkEntry.queries("ts_holt")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .toSet
+      assert(latest == batch)
+    }
+  }
+
   test("streaming running-distinct ≡ batch win_running_distinct (exact, ordered feed)") {
     import graft.streaming.StreamingRunningDistinct
     import graft.streaming.StreamingRunningDistinct.EventIn
