@@ -488,6 +488,34 @@ object AnalyticsExt {
         .orderBy("user_id", "event_type")
     }),
 
+    // Welch's two-sample t-statistic between every pair of event types —
+    // the A/B-experiment significance readout, computed the exact-stats
+    // way: ONE two-phase agg produces per-type (n, Σx, Σx²) as exact
+    // DECIMALs, then the 6 type pairs come from a self-cross of that
+    // |types|-row aggregate (bounded by construction — the cartesian is
+    // of finished aggregates, never facts) and the t arithmetic runs as
+    // the same correctly-rounded IEEE expression in both engines.
+    "agg_ab_ttest" -> ((s, dir) => {
+      val st = events(s, dir).groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum6(col("value")).as("sx"),
+        dsum6(col("value") * col("value")).as("sxx"))
+      val a = st.select(col("event_type").as("type_a"), col("n").as("na"),
+        col("sx").as("sxa"), col("sxx").as("sxxa"))
+      val b = st.select(col("event_type").as("type_b"), col("n").as("nb"),
+        col("sx").as("sxb"), col("sxx").as("sxxb"))
+      val sea = (col("sxxa") - col("sxa") * col("sxa") / col("na")) /
+        (col("na") - 1.0) / col("na")
+      val seb = (col("sxxb") - col("sxb") * col("sxb") / col("nb")) /
+        (col("nb") - 1.0) / col("nb")
+      a.crossJoin(b).filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round((col("sxa") / col("na") - col("sxb") / col("nb")) /
+            sqrt(sea + seb), 6).as("t_stat"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Median absolute deviation per group — the robust dispersion measure
     // (outliers move stddev, not MAD). Two passes by definition (the
     // deviations need the median first): each is one two-phase agg with
@@ -618,6 +646,17 @@ object AnalyticsExt {
         |SELECT user_id, event_type, n AS n_events, ts2 AS cp_ts,
         | rn AS cp_index, dev AS cusum_dev
         |FROM d WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+    "agg_ab_ttest" ->
+      s"""WITH st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |   ${dsum6Sql("value")} AS sx, ${dsum6Sql("value * value")} AS sxx
+         | FROM events GROUP BY 1)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         | CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+         | round((a.sx / a.n - b.sx / b.n) / sqrt(
+         |   (a.sxx - a.sx * a.sx / a.n) / (a.n - 1.0) / a.n
+         |   + (b.sxx - b.sx * b.sx / b.n) / (b.n - 1.0) / b.n), 6) AS t_stat
+         |FROM st a CROSS JOIN st b WHERE a.event_type < b.event_type
+         |ORDER BY 1, 2""".stripMargin,
     "agg_mad" ->
       """WITH med AS (SELECT l_returnflag,
         |   percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med

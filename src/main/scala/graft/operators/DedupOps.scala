@@ -99,6 +99,21 @@ object DedupOps {
         .orderBy("doc_id", "rk")
     }),
 
+    // Jaccard threshold tuning curve: pair counts per similarity decile
+    // from ONE miner pass — the report that picks τ for the dedup keys
+    // (where does the distribution shoulder off from incidental overlap
+    // to true duplication). The decile is INTEGER arithmetic
+    // ((10·inter) div union — never floor(jac·10), whose double product
+    // can land on either side of a decile boundary), so the histogram
+    // is bit-portable. Cost: the shared inverted-index miner + one
+    // 11-cell two-phase agg.
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      jaccardPairs(t(s, dir, "documents"), tau = 0.0)
+        .groupBy(expr("(10 * inter) div (n1 + n2 - inter)").cast("int")
+          .as("jac_decile"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("jac_decile")),
+
     // Asymmetric CONTAINMENT dedup: inter / min(n1, n2) — the metric
     // that catches subset duplicates symmetric Jaccard misses (a short
     // doc pasted whole into a long one scores containment 1.0 but
@@ -727,6 +742,18 @@ object DedupOps {
         |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
         |WHERE inter / (x.n + y.n - inter) >= 0.6
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_threshold_sweep" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        |   FROM (SELECT doc_id, toks,
+        |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        | n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |   FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT CAST((10 * inter) // (x.n + y.n - inter) AS INT) AS jac_decile,
+        | count(*) AS n_pairs
+        |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_jaccard_knn" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh

@@ -107,9 +107,35 @@ object MultimodalOps {
       MediaPipeline.batchScore(s, t(s, dir, "embeddings"))
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("vec_id")),
+
+    // Exact media dedup — the FIRST screen of any image/audio pipeline:
+    // hash the opaque binary payload, keep one doc per digest. The hash
+    // is computed scan-stage over the binary column (no decode needed —
+    // that is the point: byte-identical re-crawls and mirror copies are
+    // eliminated before a single codec call), and the rest is
+    // dedup_exact's one two-phase agg keyed on the digest: at 100 TB the
+    // exchange carries one (digest, partial) row per distinct payload
+    // per task, never the payloads themselves.
+    "multimodal_dedup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+        .groupBy(md5(col("content")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("dup_cnt"),
+          max(length(col("content")).cast("long")).as("n_bytes"))
+        .select(col("keep_id"), col("dup_cnt"), col("n_bytes"), col("content_md5"))
+        .orderBy("keep_id")),
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB md5 over VARCHAR hashes its UTF-8 bytes — the same bytes
+    // Spark's encode(text, 'UTF-8') produces.
+    "multimodal_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt,
+        | max(CAST(length(text) AS BIGINT)) AS n_bytes,
+        | md5(text) AS content_md5
+        |FROM documents GROUP BY 4
+        |ORDER BY keep_id""".stripMargin,
     "multimodal_join" ->
       """SELECT d.lang, CAST(i AS INT) AS pos,
         | round(avg(e.embedding[i + 1]), 6) AS avg_val, count(*) AS n

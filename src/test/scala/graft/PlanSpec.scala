@@ -118,7 +118,8 @@ class PlanSpec extends SparkSpec {
             "text_entropy_kl", // 1-row corpus-total aggregate cross join (as text_tfidf)
             "text_pmi_bigrams", // two 1-row totals (N tokens, N bigrams) cross-joined
             "agg_histogram_equidepth", // 1-row decile-boundary aggregate cross join
-            "pipeline_mix_temperature" // 1-row n_min aggregate cross-joined onto the tiny per-source spec
+            "pipeline_mix_temperature", // 1-row n_min aggregate cross-joined onto the tiny per-source spec
+            "agg_ab_ttest"   // self-cross of the |types|-row stats aggregate
           ).contains(key), p)
       }
     }
@@ -303,7 +304,11 @@ class PlanSpec extends SparkSpec {
                                    // + cohort cumsum on the aggregate
       "fn_collation" -> 2,         // distinct-expand agg (two count-distinct
                                    // lanes) over the brand key
-      "text_prefix_dup" -> 1)      // dedup_exact's one-agg shape on the prefix
+      "text_prefix_dup" -> 1,      // dedup_exact's one-agg shape on the prefix
+      "multimodal_dedup" -> 1,     // one two-phase agg on the content digest
+      "agg_ab_ttest" -> 2,         // per-type stats agg; the pair cross is
+                                   // a bounded aggregate self-join
+      "dedup_threshold_sweep" -> 4) // the 3-exchange miner + decile re-agg
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
