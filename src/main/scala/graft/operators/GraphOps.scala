@@ -158,7 +158,11 @@ object GraphOps {
   private def nearDupPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     pairMemo.computeIfAbsent((s, dir), _ =>
-      DedupOps.jaccardPairs(t(s, dir, "documents"), tau = 0.6)
+      // Derived from the session-wide τ=0 memo (DedupOps.tau0Pairs), so
+      // the graph keys and the dedup/threshold/kNN keys all pay the
+      // inverted-index miner ONCE per session; this frame is just the
+      // τ ≥ 0.6 id projection, checkpointed for the per-round joins.
+      DedupOps.tau0Pairs(s, dir).filter(col("jaccard") >= 0.6)
         .select("d1", "d2").localCheckpoint())
 
   /** Orientation rank: (degree, id) lexicographic, packed into one long

@@ -125,9 +125,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("dedup_ngram_jaccard stays equi-join shaped end to end") {
-    val p = plan("dedup_ngram_jaccard")
+  test("the shared Jaccard miner stays equi-join shaped within its shuffle budget") {
+    // The dedup/kNN/sweep keys now read the session-memoized τ=0 frame
+    // (a checkpointed leaf), so the miner's plan shape is pinned HERE on
+    // the raw jaccardPairs call instead of through those keys.
+    spark.sharedState.cacheManager.clearCache()
+    val p = operators.DedupOps
+      .jaccardPairs(Tables.t(spark, sfDir, "documents"), tau = 0.6)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
   test("sessionize_native keeps one shuffle for the session aggregation") {
@@ -143,7 +150,8 @@ class PlanSpec extends SparkSpec {
     // pre-AQE (AQE can only merge/skip these at runtime, never add).
     val ceilings = Map(
       "dedup_exact" -> 1,          // single hash agg on content
-      "dedup_ngram_jaccard" -> 3,  // index join + pair-count agg + size attach
+      "dedup_ngram_jaccard" -> 3,  // ceiling covers both regimes: cold
+                                   // (inline miner) and memo-leaf (0)
       "dedup_simhash" -> 3,        // token count + vocab dedup + per-doc sums
       "dedup_simhash_pairs" -> 6,  // simhash64 chain + band self-join + dedup
       "dedup_near_minhash" -> 5,   // shingle sigs + band join + candidate dedup
@@ -226,7 +234,7 @@ class PlanSpec extends SparkSpec {
                                    // per-source/vocab dims onto the count frame
       "sample_weighted" -> 2,      // (lang,bkt) spread window + lang top-k on
                                    // the ≤32·k survivors
-      "dedup_containment" -> 3,    // same miner as dedup_ngram_jaccard
+      "dedup_containment" -> 3,    // same miner (or its memo leaf)
       "dedup_cluster_stats" -> 3,  // labels agg + size re-agg + anti-join union
                                    // (labels side is a checkpointed leaf)
       "text_intradoc_dedup" -> 2,  // (doc,sh) first-occurrence window + doc-
@@ -292,7 +300,7 @@ class PlanSpec extends SparkSpec {
                                    // behind it: degree agg + 2 semi joins each)
       "graph_common_neighbors" -> 0, // localCheckpoint leaf (wedge join +
                                    // count agg + anti join behind it)
-      "text_jaccard_knn" -> 4,     // the 3-exchange miner + one per-doc
+      "text_jaccard_knn" -> 4,     // miner (or memo leaf) + one per-doc
                                    // top-k window; symmetric expansion is
                                    // an explode, never a union re-plan
       "fn_variant_extract" -> 0,   // pure projection — parse_json +
@@ -308,7 +316,7 @@ class PlanSpec extends SparkSpec {
       "multimodal_dedup" -> 1,     // one two-phase agg on the content digest
       "agg_ab_ttest" -> 2,         // per-type stats agg; the pair cross is
                                    // a bounded aggregate self-join
-      "dedup_threshold_sweep" -> 4) // the 3-exchange miner + decile re-agg
+      "dedup_threshold_sweep" -> 4) // miner (or memo leaf) + decile re-agg
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
