@@ -66,6 +66,37 @@ object Aggregates {
           round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_price"))
         .orderBy("o_orderstatus")),
 
+    // DISCRETE percentiles — the order statistic that must be an actual
+    // data value (a real order's price, a real latency sample), where
+    // percentile_cont's interpolation would fabricate one. No rounding
+    // needed: the result is an element of the input, bit-identical by
+    // construction (↔ DuckDB quantile_disc, equality probed). Same
+    // two-phase agg shape as agg_percentile.
+    "agg_percentile_disc" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_pdisc_v")
+      s.sql(
+        """SELECT o_orderstatus,
+          | percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25_price,
+          | percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_price,
+          | percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price
+          |FROM orders_pdisc_v GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // Ordered string aggregation (listagg/string_agg — the report-facing
+    // "show me the values" rollup). Spark 4's listagg with WITHIN GROUP
+    // makes the concatenation order EXPLICIT — without it the result is
+    // partition-order-dependent and unbenchable; with it the agg is a
+    // deterministic two-phase fold (sorted merge of partials).
+    "agg_listagg" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_lagg_v")
+      s.sql(
+        """SELECT o_orderstatus,
+          | listagg(DISTINCT o_orderpriority, '|')
+          |   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+          | count(*) AS n
+          |FROM orders_lagg_v GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // Higher moments (skewness + excess kurtosis) from exact DECIMAL raw-
     // moment sums — never the built-in skewness()/kurtosis(), whose
     // double accumulation is summation-order-dependent. l_quantity is
@@ -358,6 +389,18 @@ object Aggregates {
         | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50_price,
         | round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_percentile_disc" ->
+      """SELECT o_orderstatus,
+        | quantile_disc(o_totalprice, 0.25) AS p25_price,
+        | quantile_disc(o_totalprice, 0.5) AS p50_price,
+        | quantile_disc(o_totalprice, 0.9) AS p90_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_listagg" ->
+      """SELECT o_orderstatus,
+        | string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+        |   AS priorities,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_min_max_by" ->
       """SELECT o_custkey,
         | max(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_order,

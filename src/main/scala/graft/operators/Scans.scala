@@ -57,6 +57,21 @@ object Scans {
     // eliminator a corpus layout provides (lang/source/date are the
     // natural keys); the explicit select restores the pre-partitioning
     // column order (discovery appends partition columns at the end).
+    // Hidden file-metadata columns — PROVENANCE, the thing a 100 TB
+    // curation pipeline must carry for every document (which shard/crawl
+    // file did this row come from, for audits, re-extraction, and
+    // contamination tracebacks). `_metadata.file_name` / `.row_index`
+    // are constant/generated per split in the scan itself — zero I/O
+    // beyond the row group, no join against a file manifest. The oracle
+    // states the closed form (the testdata table is a single file whose
+    // row order is doc_id order — the row_index ≡ doc_id identity is
+    // itself the check that the reader preserves file order).
+    "scan_metadata_cols" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_index"))
+        .orderBy("doc_id")),
+
     "scan_hive_partitioned" -> ((s, dir) => {
       val src = t(s, dir, "documents")
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_hive_docs"
@@ -92,5 +107,9 @@ object Scans {
     "scan_hive_partitioned" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "scan_metadata_cols" ->
+      """SELECT doc_id, 'documents.parquet' AS file_name,
+        | doc_id AS row_index
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

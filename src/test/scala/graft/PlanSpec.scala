@@ -316,7 +316,10 @@ class PlanSpec extends SparkSpec {
       "multimodal_dedup" -> 1,     // one two-phase agg on the content digest
       "agg_ab_ttest" -> 2,         // per-type stats agg; the pair cross is
                                    // a bounded aggregate self-join
-      "dedup_threshold_sweep" -> 4) // miner (or memo leaf) + decile re-agg
+      "dedup_threshold_sweep" -> 4, // miner (or memo leaf) + decile re-agg
+      "scan_metadata_cols" -> 0,   // metadata columns generate in the scan
+      "agg_percentile_disc" -> 1,  // one two-phase sort-agg on the group key
+      "agg_listagg" -> 2)          // DISTINCT expand + ordered-fold re-agg
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
