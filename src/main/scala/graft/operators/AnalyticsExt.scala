@@ -488,6 +488,38 @@ object AnalyticsExt {
         .orderBy("user_id", "event_type")
     }),
 
+    // Winsorization — the robust-preprocessing projection of a training
+    // pipeline: clip each stream's values at its own [p05, p95] so tail
+    // outliers can't dominate a downstream fit. agg_mad's two-pass
+    // shape: one exact-percentile agg per event_type (|types| rows,
+    // broadcast back onto the scan), then a pure clamp projection —
+    // the corpus never shuffles. Exact `percentile` ↔ percentile_cont
+    // (the agg_percentile pairing); the clamp is least/greatest on the
+    // same doubles in both engines.
+    "ts_winsorize" -> ((s, dir) => {
+      val bounds = events(s, dir).groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.05)).as("lo"),
+          percentile(col("value"), lit(0.95)).as("hi"))
+      events(s, dir).join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("lo")), col("hi"))
+            .as("winsorized"),
+          (col("value") < col("lo") || col("value") > col("hi"))
+            .as("clipped"))
+        .orderBy("event_id")
+    }),
+
+    // Per-event session assignment — sessionize_batch's ROW-level dual:
+    // expose the session ordinal on every event so downstream joins can
+    // key on (user, session) without re-deriving the gap rule. One
+    // user_id window exchange (the shared withSessionSeq), pure
+    // projection after.
+    "sessionize_assign" -> ((s, dir) =>
+      graft.operators.Sessionization.withSessionSeq(events(s, dir))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("session_seq"))
+        .orderBy("event_id")),
+
     // Welch's two-sample t-statistic between every pair of event types —
     // the A/B-experiment significance readout, computed the exact-stats
     // way: ONE two-phase agg produces per-type (n, Σx, Σx²) as exact
@@ -646,6 +678,25 @@ object AnalyticsExt {
         |SELECT user_id, event_type, n AS n_events, ts2 AS cp_ts,
         | rn AS cp_index, dev AS cusum_dev
         |FROM d WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ts_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |   percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+        |   percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+        | FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        | least(greatest(value, lo), hi) AS winsorized,
+        | (value < lo OR value > hi) AS clipped
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |ORDER BY event_id""".stripMargin,
+    "sessionize_assign" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ts,
+        | CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM g ORDER BY event_id""".stripMargin,
     "agg_ab_ttest" ->
       s"""WITH st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
          |   ${dsum6Sql("value")} AS sx, ${dsum6Sql("value * value")} AS sxx

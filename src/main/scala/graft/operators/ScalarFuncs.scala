@@ -128,13 +128,23 @@ object ScalarFuncs {
           .getField("k").as("k_int"),
       ).orderBy("event_id")),
 
-    // The Spark-4-native semi-structured path: parse once into VARIANT
-    // (a binary-encoded form the scan can shred/push down, vs the
-    // re-parse-per-access of get_json_object), then typed extraction.
-    // variant_get casts in the binary domain — no per-access JSON text
-    // parse, the decisive difference when a 100 TB event stream carries
-    // a props blob read by many projections. Missing paths: the `try_`
-    // form yields NULL (its non-try twin would throw in ANSI mode).
+    // Binary interchange codecs — base64/hex over the binary payload
+    // (how media bytes and hashes travel through JSON/CSV boundaries)
+    // plus the decode round-trip identity. Pure scan-stage projections.
+    // The base64 column encodes a 48-byte slice: Spark's base64 emits
+    // MIME-chunked output (a CRLF every 76 chars) that no other engine
+    // reproduces — an interchange format, not a value — so the oracle
+    // compares the sub-line-length prefix and the round-trip identity
+    // covers the full payload.
+    "fn_binary_codec" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        base64(encode(substring(col("text"), 1, 48), "UTF-8")).as("b64"),
+        hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("hex8"),
+        decode(unbase64(base64(encode(col("text"), "UTF-8"))), "UTF-8")
+          .as("roundtrip"),
+      ).orderBy("doc_id")),
+
     // Spark-4 collation surface: per-column case-insensitive semantics
     // via collate(…, 'UTF8_LCASE') — grouping/distinct/compare follow
     // the collation with NO lower() rewrite in the plan, the idiomatic
@@ -154,6 +164,13 @@ object ScalarFuncs {
             .as("n_case_insensitive"))
         .orderBy("p_brand")),
 
+    // The Spark-4-native semi-structured path: parse once into VARIANT
+    // (a binary-encoded form the scan can shred/push down, vs the
+    // re-parse-per-access of get_json_object), then typed extraction.
+    // variant_get casts in the binary domain — no per-access JSON text
+    // parse, the decisive difference when a 100 TB event stream carries
+    // a props blob read by many projections. Missing paths: the `try_`
+    // form yields NULL (its non-try twin would throw in ANSI mode).
     "fn_variant_extract" -> ((s, dir) =>
       events(s, dir).select(
         col("event_id"),
@@ -242,6 +259,10 @@ object ScalarFuncs {
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         | CAST(json_extract_string(props, '$.k') AS INT) AS k_int
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_binary_codec" ->
+      """SELECT doc_id, to_base64(CAST(substr(text, 1, 48) AS BLOB)) AS b64,
+        | hex(substr(text, 1, 8)) AS hex8, text AS roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_collation" ->
       """SELECT p_brand,
         | count(DISTINCT typ) AS n_case_sensitive,

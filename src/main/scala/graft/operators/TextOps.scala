@@ -458,6 +458,23 @@ object TextOps {
         .select(col("keep_id"), col("n_docs"), col("prefix"))
         .orderBy("keep_id")),
 
+    // Normalized exact dedup — the canonicalization screen production
+    // exact-dedup actually runs: case-fold, trim, collapse whitespace
+    // runs, THEN hash. Catches re-encodes/reflows that byte-exact
+    // hashing (multimodal_dedup) misses while staying one two-phase agg
+    // on the digest; the normalization is scan-stage codegen (lower +
+    // regexp_replace), so at 100 TB this costs exactly what dedup_exact
+    // costs. Spark regexp_replace is global by default; the oracle
+    // passes DuckDB's explicit 'g' flag for the identical semantics.
+    "text_dedup_normalized" -> ((s, dir) => {
+      val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
+      t(s, dir, "documents")
+        .groupBy(md5(norm).as("norm_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .select(col("keep_id"), col("dup_cnt"), col("norm_md5"))
+        .orderBy("keep_id")
+    }),
+
     // Document fingerprint: min-MD5 over 3-word shingles (winnowing-style
     // representative hash) + distinct-shingle cardinality.
     "text_fingerprint" -> ((s, dir) =>
@@ -726,6 +743,10 @@ object TextOps {
         | round(CAST(1.0 AS DOUBLE) - CAST(n_seen_before AS DOUBLE)
         |   / CAST(n_shingles AS DOUBLE), 6) AS novelty
         |FROM d ORDER BY doc_id""".stripMargin,
+    "text_dedup_normalized" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt,
+        | md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS norm_md5
+        |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
     "text_prefix_dup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
         | substr(text, 1, 30) AS prefix

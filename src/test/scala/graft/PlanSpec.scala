@@ -319,7 +319,12 @@ class PlanSpec extends SparkSpec {
       "dedup_threshold_sweep" -> 4, // miner (or memo leaf) + decile re-agg
       "scan_metadata_cols" -> 0,   // metadata columns generate in the scan
       "agg_percentile_disc" -> 1,  // one two-phase sort-agg on the group key
-      "agg_listagg" -> 2)          // DISTINCT expand + ordered-fold re-agg
+      "agg_listagg" -> 2,          // DISTINCT expand + ordered-fold re-agg
+      "ts_winsorize" -> 1,         // per-type percentile agg; bounds broadcast
+                                   // back onto the scan (agg_mad's shape)
+      "sessionize_assign" -> 1,    // the shared withSessionSeq user window
+      "text_dedup_normalized" -> 1, // one agg on the normalized digest
+      "fn_binary_codec" -> 0)      // pure scan-stage codec projection
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
