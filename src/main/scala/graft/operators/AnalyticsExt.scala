@@ -488,6 +488,34 @@ object AnalyticsExt {
         .orderBy("user_id", "event_type")
     }),
 
+    // DAU / trailing-7-day WAU — the canonical engagement rollup, done
+    // EXACTLY and distributed: the naive form (a count-distinct over a
+    // 7-day range frame) can't partial-aggregate, so each (day, user)
+    // activity row instead explodes onto the ≤7 report days it covers
+    // (bounded fan-out, the join_range_bucketed trick applied to time)
+    // and WAU becomes a plain two-phase distinct count per day. The
+    // (day, user) distinct collapses the raw feed FIRST — events never
+    // fan out, only the deduped activity grid (≤ users × days rows)
+    // does. At 100 TB: one feed-sized exchange for the distinct, then
+    // aggregate-sized frames; the 7× explode is scan-stage.
+    "ts_active_users" -> ((s, dir) => {
+      val dayUsers = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      // ONE pass over the cover explosion: DAU is the off=0 lane of the
+      // same multi-distinct agg that computes WAU (a dau/wau branch pair
+      // would re-plan the distinct subtree and join the results back —
+      // two more exchanges for the same answer). dau > 0 keeps exactly
+      // the days with observed activity.
+      val cover = dayUsers.select(col("user_id"),
+        posexplode(sequence(col("d"), date_add(col("d"), 6)))
+          .as(Seq("off", "d")))
+      cover.groupBy("d")
+        .agg(countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("wau7"))
+        .filter(col("dau") > 0)
+        .orderBy("d")
+    }),
+
     // Winsorization — the robust-preprocessing projection of a training
     // pipeline: clip each stream's values at its own [p05, p95] so tail
     // outliers can't dominate a downstream fit. agg_mad's two-pass
@@ -678,6 +706,15 @@ object AnalyticsExt {
         |SELECT user_id, event_type, n AS n_events, ts2 AS cp_ts,
         | rn AS cp_index, dev AS cusum_dev
         |FROM d WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ts_active_users" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        | cover AS (SELECT du.d + CAST(off AS INT) AS d, off, user_id
+        |   FROM du, (SELECT unnest(generate_series(0, 6)) AS off))
+        |SELECT d, count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS dau,
+        | count(DISTINCT user_id) AS wau7
+        |FROM cover GROUP BY 1
+        |HAVING count(DISTINCT CASE WHEN off = 0 THEN user_id END) > 0
+        |ORDER BY d""".stripMargin,
     "ts_winsorize" ->
       """WITH b AS (SELECT event_type,
         |   percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,

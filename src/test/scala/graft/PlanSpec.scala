@@ -324,7 +324,10 @@ class PlanSpec extends SparkSpec {
                                    // back onto the scan (agg_mad's shape)
       "sessionize_assign" -> 1,    // the shared withSessionSeq user window
       "text_dedup_normalized" -> 1, // one agg on the normalized digest
-      "fn_binary_codec" -> 0)      // pure scan-stage codec projection
+      "fn_binary_codec" -> 0,      // pure scan-stage codec projection
+      "ts_active_users" -> 4)      // (day,user) distinct + two distinct-count
+                                   // aggs + the day join; events fan out
+                                   // only AFTER the distinct collapse
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
