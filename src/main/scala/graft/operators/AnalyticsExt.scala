@@ -596,6 +596,69 @@ object AnalyticsExt {
         .orderBy("l_returnflag")
     }),
 
+    // Event-type TRANSITION MATRIX (the first-order Markov model of user
+    // journeys — what follows what): lead over the per-user time order
+    // (event_id tiebreak makes the order total), then one two-phase count
+    // per (from, to) pair plus per-from probabilities via a window over
+    // the 5×5 aggregate. Raw events cross ONE user-key exchange for the
+    // window; the (from,to) aggregate is |types|² rows, so everything
+    // after it is free at any corpus size. The probability is a single
+    // correctly-rounded IEEE division of two exact counts — bit-identical
+    // across engines, no rounding needed.
+    "ts_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs.withColumn("p",
+          col("n") / sum(col("n")).over(Window.partitionBy("from_type")))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Sequence-PATTERN detection (MATCH_RECOGNIZE / funnel-regex lite):
+    // count, per user, the strictly-consecutive view→click→purchase
+    // triples completing within 24 hours (the feed's median consecutive
+    // gap is ~7 h, so a sub-hour bound would never fire at test scale —
+    // the bound is a data-derived constant, not a semantic one).
+    // Adjacency matters, which is
+    // what separates this from funnel_steps' anywhere-in-order funnel.
+    // Two leads over the same total order = one user-key exchange; the
+    // pattern predicate is a pure row-local conjunction, and the µs gap
+    // test is exact integer arithmetic.
+    "ts_pattern_detect" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .withColumn("ts3", lead(col("ts"), 2).over(w))
+        .groupBy("user_id")
+        .agg(count(when(col("event_type") === "view" && col("t2") === "click"
+            && col("t3") === "purchase"
+            && unix_micros(col("ts3")) - unix_micros(col("ts")) <= 24L * 3600 * 1000000,
+          1)).as("n_patterns"))
+        .filter(col("n_patterns") > 0)
+        .orderBy("user_id")
+    }),
+
+    // AUDIENCE OVERLAP: distinct users per event-type PAIR (the co-
+    // occurrence / cross-feature matrix behind "users who error also
+    // churn" readouts). The corpus collapses to distinct (user, type)
+    // FIRST — one exchange on the user key, ≤ |types| rows per user —
+    // and the pair expansion is a self-join WITHIN each user's ≤5-row
+    // group (co-partitioned equi-join on user_id, no blowup), so the
+    // final pair aggregate counts each user once by construction.
+    "agg_audience_overlap" -> ((s, dir) => {
+      val d = events(s, dir).select("user_id", "event_type").distinct()
+      val a = d.select(col("user_id"), col("event_type").as("type_a"))
+      val b = d.select(col("user_id"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Z-order (Morton) key: interleave the low 16 bits of two join/filter
     // columns via the classic mask-and-shift spread — pure integer bit
     // ops, codegen-friendly, and bit-identical in any engine. Sorting a
@@ -637,6 +700,36 @@ object AnalyticsExt {
   }
 
   val oracle: Map[String, String] = Map(
+    "ts_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        | p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM e),
+        | c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | n / sum(n) OVER (PARTITION BY from_type) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "ts_pattern_detect" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        | l AS (SELECT user_id, event_type, ts,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3,
+        |    lead(ts, 2) OVER w AS ts3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, count(*) FILTER (WHERE event_type = 'view'
+        |   AND t2 = 'click' AND t3 = 'purchase'
+        |   AND epoch_us(ts3) - epoch_us(ts) <= 86400000000) AS n_patterns
+        |FROM l GROUP BY 1 HAVING n_patterns > 0 ORDER BY 1""".stripMargin,
+    "agg_audience_overlap" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | count(*) AS n_users
+        |FROM d a JOIN d b ON a.user_id = b.user_id
+        | AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The fold is replayed as a RECURSIVE CTE stepping rn → rn+1 (the
     // dedup_cluster oracle pattern), NOT via list_reduce with a struct
     // accumulator: DuckDB's lambda struct_pack binds fields sequentially,

@@ -244,6 +244,47 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // NULL-AWARE anti join — the `NOT IN (subquery)` three-valued-logic
+    // shape, a genuinely different operator from NOT EXISTS (`join_anti`):
+    // if the subquery produces ANY null the whole predicate is UNKNOWN and
+    // the result is empty, and a null probe key never qualifies. Spark
+    // plans this as a null-aware anti join (build side broadcast with an
+    // any-null fast path) rather than a naive per-row subquery — at 100 TB
+    // the probe side streams map-side with ZERO shuffle as long as the
+    // exclusion list fits a broadcast, which an exclusion list (the
+    // blocklist/tombstone shape this operator exists for) virtually
+    // always does. The subquery keys are non-null here, so the result is
+    // the set difference — but through the null-aware plan.
+    "join_anti_null_aware" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_naa_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_naa_orders")
+      s.sql("""SELECT c_custkey, c_name FROM graft_naa_customer
+              |WHERE c_custkey NOT IN
+              |  (SELECT o_custkey FROM graft_naa_orders WHERE o_totalprice > 400000)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // LATERAL correlated subquery — top-2 customers by account balance per
+    // nation, declared as a per-row dependent subquery with ORDER BY +
+    // LIMIT. Catalyst DECORRELATES it (DecorrelateInnerQuery rewrites the
+    // limit as a rank-over-partition on one side of an equi-join), so the
+    // executed plan is the same window + join every top-k-per-group query
+    // gets — never a per-outer-row re-execution. The point of the key is
+    // exactly that rewrite: at 100 TB a nested-loop lateral is unrunnable,
+    // the decorrelated form is one shuffle. Double-typed balances are
+    // totally ordered by the (c_acctbal DESC, c_custkey) tiebreak, so the
+    // LIMIT cut is engine-portable.
+    "join_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("graft_lat_nation")
+      t(s, dir, "customer").createOrReplaceTempView("graft_lat_customer")
+      s.sql("""SELECT n_name, c_custkey, c_acctbal
+              |FROM graft_lat_nation,
+              |LATERAL (SELECT c_custkey, c_acctbal FROM graft_lat_customer
+              |         WHERE c_nationkey = n_nationkey
+              |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+              |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+    }),
+
     // FORWARD as-of: the FIRST event at-or-after each order (the
     // "what did this order lead to" direction — join_asof reversed).
     // Same union-and-scan shape, mirrored: orders sort BEFORE events at
@@ -272,6 +313,18 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_anti_null_aware" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_lateral" ->
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
     "join_interval_overlap" ->
       """WITH l AS (SELECT l_orderkey, l_linenumber, l_shipdate,
         |   l_shipdate + to_days(CAST(floor(l_quantity) AS INT) % 30) AS l_enddate

@@ -72,6 +72,44 @@ object Scans {
           col("_metadata.row_index").as("row_index"))
         .orderBy("doc_id")),
 
+    // Bucketed-table co-located join: both fact tables are written
+    // pre-hashed into the SAME bucket layout (8 buckets on the order
+    // key, sorted within buckets), so the fact⋈fact join at query time
+    // needs NO exchange at all — each task zips bucket i with bucket i
+    // and sort-merges in place. This is THE repeated-big-join answer at
+    // 100 TB: the shuffle is paid once at write time and amortized over
+    // every subsequent query (the merge hint keeps the test-scale plan
+    // on the bucketed SMJ path instead of a broadcast, mirroring the
+    // cluster regime where neither fact side fits memory). The only
+    // exchange left in this plan is the final group-by's
+    // (BucketingSpec + PlanSpec pin exactly that).
+    "scan_bucketed_join" -> ((s, dir) => {
+      def save(name: String, df: org.apache.spark.sql.DataFrame,
+          key: String): Unit = {
+        // A fresh JVM starts with an empty in-memory catalog but the
+        // warehouse DIRECTORY outlives it — clear both or saveAsTable
+        // fails with LOCATION_ALREADY_EXISTS on the second run.
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(wh, true)
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite")
+          .saveAsTable(name)
+      }
+      save("graft_li_bucketed",
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"), "l_orderkey")
+      save("graft_ord_bucketed",
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderkey")
+      s.table("graft_li_bucketed").hint("merge")
+        .join(s.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("li_cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     "scan_hive_partitioned" -> ((s, dir) => {
       val src = t(s, dir, "documents")
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_hive_docs"
@@ -104,6 +142,11 @@ object Scans {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scan_bucketed_join" ->
+      s"""SELECT o_orderpriority, count(*) AS li_cnt,
+         | ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "scan_hive_partitioned" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,

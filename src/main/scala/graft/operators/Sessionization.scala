@@ -97,6 +97,30 @@ object Sessionization {
           col("n_events"), col("avg_value"))
         .orderBy("user_id", "w_start")),
 
+    // DYNAMIC-GAP sessions: the inactivity gap is per-EVENT, not a
+    // constant — a purchase keeps the session alive for 60 minutes,
+    // anything else for 30 (the "intent-weighted timeout" every real
+    // sessionizer eventually grows). Declared with the native
+    // session_window's gap-expression overload, so the physical plan is
+    // the same single user-key exchange + merging-session aggregation as
+    // the static key — state per open session stays O(1) in streaming
+    // and the batch form never materializes per-event windows. Merge
+    // rule (pinned by the static boundary test and mirrored in the
+    // oracle): an event MERGES while ts <= max over earlier events of
+    // (ts_i + gap_i); the session's end is that running max's final
+    // value — with heterogeneous gaps a trailing view can end strictly
+    // before an earlier purchase's horizon, which is exactly the case
+    // the oracle's running-max CTE exercises.
+    "sessionize_dynamic_gap" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"),
+          when(col("event_type") === "purchase", lit("60 minutes"))
+            .otherwise(lit("30 minutes"))).as("sw"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+
     // Per-user session distribution report — the summary a sessionized
     // product-analytics table is actually read for (how often does each
     // user come back, how long do they stay). Built on the SAME gap rule
@@ -148,6 +172,20 @@ object Sessionization {
         |   value
         | FROM events, (SELECT unnest(generate_series(0, 3)) AS i))
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sessionize_dynamic_gap" ->
+      s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |   CAST(ts AS TIMESTAMP) + CASE WHEN event_type = 'purchase'
+         |     THEN INTERVAL 60 MINUTE ELSE INTERVAL 30 MINUTE END AS w_end
+         | FROM events),
+         | m AS (SELECT *, max(w_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM e),
+         | g AS (SELECT *, CASE WHEN prev_max IS NULL OR ts > prev_max
+         |     THEN 1 ELSE 0 END AS new_s FROM m),
+         | s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+         |SELECT user_id, min(ts) AS session_start, max(w_end) AS session_end,
+         | count(*) AS n_events, ${dsum6Sql("value")} AS sum_value
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "sessionize_stats" ->
       s"""$oracleSessionCte,
          | sess AS (SELECT user_id, session_seq, count(*) AS n_ev,

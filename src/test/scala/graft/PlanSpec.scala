@@ -325,9 +325,24 @@ class PlanSpec extends SparkSpec {
       "sessionize_assign" -> 1,    // the shared withSessionSeq user window
       "text_dedup_normalized" -> 1, // one agg on the normalized digest
       "fn_binary_codec" -> 0,      // pure scan-stage codec projection
-      "ts_active_users" -> 4)      // (day,user) distinct + two distinct-count
+      "ts_active_users" -> 4,      // (day,user) distinct + two distinct-count
                                    // aggs + the day join; events fan out
                                    // only AFTER the distinct collapse
+      // round-7 third-wave additions:
+      "join_anti_null_aware" -> 0, // NOT IN plans as a broadcast null-aware
+                                   // anti join — probe side never shuffles
+      "join_lateral" -> 1,         // decorrelated to rank-window + join:
+                                   // one nationkey exchange, no re-execution
+      "scan_bucketed_join" -> 1,   // the fact⋈fact join is bucket-colocated
+                                   // (zero exchanges); only the final agg shuffles
+      "sessionize_dynamic_gap" -> 1, // same single user-key exchange as the
+                                   // static session_window
+      "ts_transition_matrix" -> 3, // user lead window + pair agg + a window
+                                   // over the |types|² aggregate
+      "ts_pattern_detect" -> 1,    // both leads and the per-user agg ride
+                                   // one user_id exchange
+      "agg_audience_overlap" -> 3) // (user,type) distinct + within-user
+                                   // self-join re-key + the pair agg
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
