@@ -44,6 +44,72 @@ object DedupOps {
         .select("keep_id", "dup_cnt", "text")
         .orderBy("keep_id")),
 
+    // URL-CANONICAL dedup — the first screen of any web crawl: the same
+    // payload is reachable under protocol / host-case / default-port /
+    // tracking-param variants, so the dedup key is the CANONICAL form
+    // (lowercased host, port and utm_* noise dropped, the identifying
+    // query param kept), not the raw string. The URL is synthesized
+    // deterministically (this testdata ships no URL column) with exactly
+    // those variations; canonicalization is real `parse_url` work in the
+    // scan stage (HOST via java.net.URL drops the port for free), and
+    // the dedup itself is dedup_exact's one two-phase agg on the canonical
+    // key — zero extra exchanges at any corpus size. The oracle states
+    // the canonical closed form straight from (source, doc_id).
+    "dedup_url_canonical" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+        when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.org"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 40).cast("string"),
+        lit("?utm_campaign=feed&id="), (col("doc_id") % 5).cast("string"))
+      t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .withColumn("canon", concat(
+          lower(parse_url(col("url"), lit("HOST"))),
+          parse_url(col("url"), lit("PATH")),
+          lit("?id="), parse_url(col("url"), lit("QUERY"), lit("id"))))
+        .groupBy("canon")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("canon")
+    }),
+
+    // BLOOM-SCREENED incremental dedup — the "is this new batch already
+    // in the corpus?" membership check restructured for 100 TB: an exact
+    // semi join of batch×corpus would shuffle the full corpus digest set
+    // on every ingest; instead the corpus folds into ONE mergeable bloom
+    // sketch (bloom_filter_agg partials, a scalar subquery broadcast to
+    // every batch task), `might_contain` clears definite-new docs with
+    // zero joins (no false negatives), and only the maybe-dup survivors
+    // — |batch| × corpus-hit-rate rows — reach the exact semi join that
+    // resolves false positives. The RESULT is exact (the bloom is pure
+    // pruning), so the oracle is the plain membership SQL.
+    "dedup_bloom_screen" -> ((s, dir) => {
+      graft.functions.VecFunctions.registerMightContain(s)
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 10 =!= 0).select(md5(col("text")).as("h"))
+        .createOrReplaceTempView("graft_bloom_corpus")
+      val corpus = s.table("graft_bloom_corpus")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val screened = batch.withColumn("maybe_dup", expr(
+        """might_contain(
+          |  (SELECT bloom_filter_agg(xxhash64(h), 5000L, 50000L)
+          |   FROM graft_bloom_corpus),
+          |  xxhash64(h))""".stripMargin))
+      val confirmed = screened.filter(col("maybe_dup"))
+        .join(corpus, Seq("h"), "left_semi")
+        .select(col("doc_id"), lit(true).as("is_dup"))
+      screened.filter(!col("maybe_dup"))
+        .select(col("doc_id"), lit(false).as("is_dup"))
+        .unionByName(confirmed)
+        // a maybe-dup that the exact join rejects is a bloom false
+        // positive — it re-enters as new
+        .unionByName(screened.filter(col("maybe_dup"))
+          .join(corpus, Seq("h"), "left_anti")
+          .select(col("doc_id"), lit(false).as("is_dup")))
+        .orderBy("doc_id")
+    }),
+
     // Exact 3-gram-shingle Jaccard pairs ≥ 0.6 via the inverted index
     // ([[jaccardPairs]] — shared with the GraphOps near-dup graph).
     //
@@ -745,6 +811,19 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_url_canonical" ->
+      """WITH c AS (SELECT doc_id,
+        |   lower(source) || '.example.org/docs/' || CAST(doc_id % 40 AS VARCHAR)
+        |     || '?id=' || CAST(doc_id % 5 AS VARCHAR) AS canon
+        | FROM documents)
+        |SELECT canon, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
+    "dedup_bloom_screen" ->
+      """SELECT d.doc_id,
+        | EXISTS (SELECT 1 FROM documents c
+        |   WHERE c.doc_id % 10 <> 0 AND c.text = d.text) AS is_dup
+        |FROM documents d WHERE d.doc_id % 10 = 0
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

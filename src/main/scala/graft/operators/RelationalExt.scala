@@ -596,6 +596,34 @@ object RelationalExt {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // SHARDED ORDERED OUTPUT — the training-corpus materialization step:
+    // range-repartition by (source, doc_id), sort within partitions, cap
+    // rows per file (`maxRecordsPerFile`), write, and read back. This is
+    // the layout contract a 100 TB corpus is delivered under: globally
+    // range-clustered (each shard file covers a disjoint key range, so a
+    // consumer streams shards in order without a merge), internally
+    // sorted (parquet min/max stats stay tight per row group), and
+    // size-bounded (no straggler files — the knob that actually controls
+    // downstream task granularity). One rangepartitioning exchange is
+    // the whole query-time cost; LayoutSpec pins the per-file row cap,
+    // the internal sort, and the cross-file range disjointness. The
+    // query returns the read-back per-source profile — the oracle checks
+    // the roundtrip loses nothing.
+    "pipeline_shard_write" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_shards"
+      t(s, dir, "documents")
+        .repartitionByRange(8, col("source"), col("doc_id"))
+        .sortWithinPartitions("source", "doc_id")
+        .write.mode("overwrite").option("maxRecordsPerFile", 100)
+        .parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy("source")
+    }),
+
     // Sequence packing — the pretraining batching step: concatenate each
     // source's docs in doc_id order and cut every PackTokenBudget
     // whitespace tokens; a doc belongs to the sequence its FIRST token
@@ -839,6 +867,10 @@ object RelationalExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_shard_write" ->
+      """SELECT source, count(*) AS n_docs, min(doc_id) AS min_id,
+        | max(doc_id) AS max_id, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_chunk_docs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
          | c AS (SELECT doc_id, toks,

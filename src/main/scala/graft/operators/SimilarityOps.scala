@@ -271,6 +271,36 @@ object SimilarityOps {
         .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
         .orderBy("d1", "d2")
     }),
+    // Two-stage ANN RETRIEVAL (candidate-generate → exact re-rank) — the
+    // production search shape sim_ann_lsh's pair miner doesn't cover:
+    // a bounded QUERY set retrieves, per query, every corpus vector
+    // sharing any LSH band bucket (an equi-join on (band_id, bucket) —
+    // per-query cost ∝ bucket occupancy, never a corpus scan), then the
+    // exact codegen'd dot product re-scores ONLY the candidates and a
+    // per-query window keeps the top 5. The first stage is allowed to be
+    // sloppy (banding recall, no score fidelity); the second stage makes
+    // every SURVIVING score exact — so precision errors can only be
+    // missing neighbors, never wrong scores, which is the invariant
+    // DedupSimilaritySpec pins (score-exactness vs brute force + recall
+    // floor). No SQL oracle: the candidate set is LSH-shape-dependent.
+    "sim_ann_rerank" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val bands = lshBands(v)
+      val qb = bands.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("band_id"), col("bucket"))
+      val cand = qb.join(bands.filter(col("vec_id") >= 10), Seq("band_id", "bucket"))
+        .select(col("q_id"), col("vec_id").as("c_id")).distinct()
+      val withQ = cand.join(
+        broadcast(v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
+      val rer = v.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        .join(broadcast(withQ), "c_id")
+        .withColumn("sim", vecDot(col("qe"), col("ce")))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+      rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("rk"))
+        .orderBy("q_id", "rk")
+    }),
     // IVF (inverted-file) ANN: coarse k-means quantizer (deterministic
     // seeds + one Lloyd refinement), vectors indexed by nearest centroid,
     // each query probes only its nprobe nearest cells. The second scale

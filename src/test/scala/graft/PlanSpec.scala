@@ -341,8 +341,16 @@ class PlanSpec extends SparkSpec {
                                    // over the |types|² aggregate
       "ts_pattern_detect" -> 1,    // both leads and the per-user agg ride
                                    // one user_id exchange
-      "agg_audience_overlap" -> 3) // (user,type) distinct + within-user
+      "agg_audience_overlap" -> 3, // (user,type) distinct + within-user
                                    // self-join re-key + the pair agg
+      "dedup_url_canonical" -> 1,  // dedup_exact's one-agg shape on the
+                                   // scan-stage canonical key
+      "dedup_bloom_screen" -> 0,   // bloom scalar broadcast + broadcast
+                                   // semi/anti — the batch never shuffles
+      "pipeline_shard_write" -> 1, // the write pays one rangepartitioning;
+                                   // query side is the read-back agg
+      "sim_ann_rerank" -> 2)       // band equi-join + per-query top-k
+                                   // window; embeddings re-attach broadcast
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
