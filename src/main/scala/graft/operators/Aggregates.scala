@@ -243,6 +243,29 @@ object Aggregates {
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct_docs"))
     }),
 
+    // Sketch-space AUDIENCE OVERLAP — the approximate twin of
+    // agg_audience_overlap, for the regime where the exact (user, type)
+    // distinct collapse is itself too hot: per-type HLL sketches are
+    // mergeable partials (no user-keyed shuffle AT ALL — the corpus
+    // aggregates map-side into |types| sketches), and the pairwise
+    // intersection comes from inclusion-exclusion over sketch unions:
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B). Error is a few σ of the HLL
+    // relative error (amplified by the subtraction — the documented
+    // trade); OperatorSmokeSpec pins it against the exact key. The pair
+    // expansion is a |types|²-row aggregate cross — free at any scale.
+    "agg_hll_overlap" -> ((s, dir) => {
+      val sk = events(s, dir).groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+      a.crossJoin(b).filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          (hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+            - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+            .as("est_overlap"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Top-k per group WITHOUT a window sort: mergeable bounded-heap
     // aggregator (TopKAgg) — map-side partials truncate to k, so only
     // groups×k pairs cross the shuffle and no partition is ever sorted.

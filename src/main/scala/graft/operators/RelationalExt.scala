@@ -596,6 +596,28 @@ object RelationalExt {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // DATASET CARD — the per-language corpus summary every released
+    // training set ships (counts, token budget, source diversity,
+    // duplication rate, length profile): one composite readout over the
+    // documents table. Exactly two exchanges at any corpus size: the
+    // multi-distinct Expand agg on lang (sources + distinct texts ride
+    // the same pass) and nothing else — token counts and lengths fold
+    // map-side as plain sums. The dup rate is exact-dedup's definition
+    // (docs − distinct texts) surfaced as a correctly-rounded ratio.
+    "pipeline_dataset_card" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), col("text"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("text")).as("n_unique_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .withColumn("dup_rate",
+          (col("n_docs") - col("n_unique_docs")) / col("n_docs"))
+        .orderBy("lang")),
+
     // SHARDED ORDERED OUTPUT — the training-corpus materialization step:
     // range-repartition by (source, doc_id), sort within partitions, cap
     // rows per file (`maxRecordsPerFile`), write, and read back. This is
@@ -867,6 +889,14 @@ object RelationalExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_dataset_card" ->
+      """SELECT lang, count(*) AS n_docs,
+        | count(DISTINCT source) AS n_sources,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | count(DISTINCT text) AS n_unique_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | (count(*) - count(DISTINCT text)) / count(*) AS dup_rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "pipeline_shard_write" ->
       """SELECT source, count(*) AS n_docs, min(doc_id) AS min_id,
         | max(doc_id) AS max_id, CAST(sum(n_chars) AS BIGINT) AS n_chars

@@ -46,6 +46,34 @@ object ScalarFuncs {
       ).orderBy("doc_id")
     }),
 
+    // XML surface (Spark 4 ships the xml reader + from_xml natively):
+    // a synthesized order document exercises BOTH extraction paths — the
+    // schema'd from_xml parse (attribute → "_"-prefixed field, elements
+    // → named fields; one parse, typed access) and per-path xpath_*
+    // (re-parse per call — fine for one-off drills, the documented
+    // anti-pattern for wide extraction, mirroring the VARIANT-vs-
+    // get_json_object pairing). Doubles stay OUT of the payload: float
+    // → string rendering differs across engines, so the XML carries
+    // only ints/strings and the oracle states the closed forms.
+    "fn_xml" -> ((s, dir) => {
+      val x = concat(
+        lit("""<order id=""""), col("o_orderkey"), lit("""">"""),
+        lit("<status>"), col("o_orderstatus"), lit("</status>"),
+        lit("<cust>"), col("o_custkey"), lit("</cust>"),
+        lit("</order>"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), x.as("x"))
+        .withColumn("parsed", from_xml(col("x"),
+          lit("STRUCT<_id: BIGINT, status: STRING, cust: BIGINT>")))
+        .select(col("o_orderkey"),
+          col("parsed._id").as("fx_id"),
+          col("parsed.status").as("fx_status"),
+          col("parsed.cust").as("fx_cust"),
+          xpath_string(col("x"), lit("/order/status")).as("xp_status"),
+          xpath_long(col("x"), lit("/order/@id")).as("xp_id"))
+        .orderBy("o_orderkey")
+    }),
+
     "fn_regexp" -> ((s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),
@@ -212,6 +240,11 @@ object ScalarFuncs {
         | '/docs/' || CAST(doc_id AS VARCHAR) AS path,
         | CAST(doc_id % 7 AS VARCHAR) AS k_param
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_xml" ->
+      """SELECT o_orderkey, o_orderkey AS fx_id, o_orderstatus AS fx_status,
+        | o_custkey AS fx_cust, o_orderstatus AS xp_status,
+        | o_orderkey AS xp_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_regexp" ->
       """SELECT p_partkey, regexp_extract(p_type, '^(\w+)', 1) AS type_head,
         | regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels

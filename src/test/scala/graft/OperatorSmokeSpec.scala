@@ -218,6 +218,22 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("pinned: HLL inclusion-exclusion overlap tracks the exact audience overlap") {
+    val exact = SparkEntry.queries("agg_audience_overlap")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2).toDouble)).toMap
+    val est = SparkEntry.queries("agg_hll_overlap")(spark, sfDir).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val e = exact(key)
+      // inclusion-exclusion amplifies the per-sketch error (~0.4% at
+      // lgK=14) by the union size; 10% of the exact overlap (floor 5
+      // users for tiny-sf noise) is multiple σ of slack.
+      assert(math.abs(r.getLong(2) - e) <= math.max(5.0, 0.10 * e),
+        s"$key: est=${r.getLong(2)} exact=$e")
+    }
+  }
+
   test("pinned: approx_top_k matches exact word counts at this scale") {
     val approx = SparkEntry.queries("agg_approx_top_k")(spark, sfDir).collect()
     assert(approx.length == 10)

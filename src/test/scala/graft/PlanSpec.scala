@@ -349,8 +349,13 @@ class PlanSpec extends SparkSpec {
                                    // semi/anti — the batch never shuffles
       "pipeline_shard_write" -> 1, // the write pays one rangepartitioning;
                                    // query side is the read-back agg
-      "sim_ann_rerank" -> 2)       // band equi-join + per-query top-k
+      "sim_ann_rerank" -> 2,       // band equi-join + per-query top-k
                                    // window; embeddings re-attach broadcast
+      "fn_xml" -> 0,               // parse + xpath stay scan-stage
+      "pipeline_dataset_card" -> 2, // multi-distinct Expand agg on lang;
+                                   // everything else folds map-side
+      "agg_hll_overlap" -> 2)      // |types| sketch partials + the
+                                   // |types|²-row aggregate cross
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
