@@ -725,6 +725,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming pattern detector ≡ batch ts_pattern_detect (exact, ordered feed)") {
+    import graft.streaming.StreamingPattern
+    import graft.streaming.StreamingPattern.EventIn
+    withRocksDb {
+      val keyed = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_micros"), col("event_id"))
+        .as[EventIn].collect().toSeq.sortBy(e => (e.ts_micros, e.event_id))
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingPattern.patterns(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_pattern")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      // latest emission per user = max n_events (strictly monotone)
+      val latest = spark.table("stream_pattern").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (_, ts) => ts.maxBy(_._2) }
+        .collect { case (u, _, n) if n > 0 => (u, n) }.toSet
+      val batch = SparkEntry.queries("ts_pattern_detect")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(latest == batch)
+    }
+  }
+
   test("streaming running-distinct ≡ batch win_running_distinct (exact, ordered feed)") {
     import graft.streaming.StreamingRunningDistinct
     import graft.streaming.StreamingRunningDistinct.EventIn
