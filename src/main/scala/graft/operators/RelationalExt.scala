@@ -596,6 +596,26 @@ object RelationalExt {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // EPOCH SHUFFLE — the training-loop reshuffle: each epoch needs a
+    // different-but-DETERMINISTIC global permutation of the corpus
+    // (resumable, reproducible, no rand()). The permutation key is the
+    // epoch-salted md5 of the doc id; the corpus never globally sorts —
+    // it hash-shards on one nibble of the digest (fixed fan-out, the
+    // shard is the unit a trainer streams) and orders WITHIN each shard
+    // by the digest, so the only window is per-shard. Changing the
+    // epoch salt permutes both shard assignment and intra-shard order;
+    // same salt replays bit-identically on any cluster.
+    "pipeline_epoch_shuffle" -> ((s, dir) => {
+      val h = md5(concat(lit("epoch3:"), col("doc_id")))
+      val shard = conv(substring(col("h"), 1, 1), 16, 10).cast("int") % 8
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents").select(col("doc_id"), h.as("h"))
+        .withColumn("shard", shard)
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
     // DATASET CARD — the per-language corpus summary every released
     // training set ships (counts, token budget, source diversity,
     // duplication rate, length profile): one composite readout over the
@@ -889,6 +909,17 @@ object RelationalExt {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB has no base-conv builtin: the shard nibble decodes
+    // positionally from the hex alphabet (strpos is 1-based).
+    "pipeline_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |   md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        | s AS (SELECT doc_id, h,
+        |   CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) % 8 AS INT) AS shard
+        | FROM h)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "pipeline_dataset_card" ->
       """SELECT lang, count(*) AS n_docs,
         | count(DISTINCT source) AS n_sources,

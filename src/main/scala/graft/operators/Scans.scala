@@ -72,6 +72,33 @@ object Scans {
           col("_metadata.row_index").as("row_index"))
         .orderBy("doc_id")),
 
+    // SCHEMA EVOLUTION at the scan (mergeSchema): a corpus written over
+    // months gains columns — v1 files lack the later `quality` score, v2
+    // files carry it. One mergeSchema read reconciles the footers into
+    // the union schema (old files surface NULL for the new column), so
+    // the pipeline reads the whole corpus without a rewrite — the
+    // set_union_schema_evolution key's semantics pushed down INTO the
+    // source, where a 100 TB corpus actually needs it (rewriting
+    // petabytes to add a column is not an option). count(quality) vs
+    // count(*) is the per-version coverage readout.
+    "scan_merge_schema" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/v=1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") / lit(1000.0)).as("quality"))
+        .write.mode("overwrite").parquet(s"$tmp/v=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_scored"),
+          dsum6(col("quality")).as("sum_quality"))
+        .orderBy("lang")
+    }),
+
     // Bucketed-table co-located join: both fact tables are written
     // pre-hashed into the SAME bucket layout (8 buckets on the order
     // key, sorted within buckets), so the fact⋈fact join at query time
@@ -142,6 +169,12 @@ object Scans {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scan_merge_schema" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         | count(*) FILTER (WHERE doc_id % 2 <> 0) AS n_scored,
+         | ${dsum6Sql("CASE WHEN doc_id % 2 <> 0 THEN n_chars / 1000.0 END")}
+         |   AS sum_quality
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "scan_bucketed_join" ->
       s"""SELECT o_orderpriority, count(*) AS li_cnt,
          | ${dsumSql("l_quantity")} AS sum_qty

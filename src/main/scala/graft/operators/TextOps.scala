@@ -230,6 +230,41 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ZIPF SLOPE — the corpus-health diagnostic (natural text follows
+    // rank·freq^(1/s) ≈ const with s ≈ 1; template/boilerplate-heavy or
+    // synthetic corpora bend it): least-squares slope of ln(freq) on
+    // ln(rank) over the top-100 vocabulary. Determinism recipe: ranks
+    // come from an integer total order (count DESC, word); each ln is
+    // terminally rounded to 6 dp and cast DECIMAL before the sufficient
+    // statistics accumulate (text_lm_score's pin), so the regression
+    // runs on exact sums and the final arithmetic is one IEEE expression
+    // tree in both engines. Scale: the word count is a map-side-combined
+    // corpus agg; everything after it operates on a VOCAB-sized frame
+    // (the top-100 window is bounded by construction, like
+    // skyline_pareto's domain scan).
+    "text_zipf_slope" -> ((s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val ranked = wc
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("w"))))
+        .filter(col("rk") <= 100)
+        .select(
+          round(log(col("rk")), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("x"),
+          round(log(col("cnt")), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("y"))
+      val g = ranked.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      g.select(
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+          col("n").cast("long").as("n_words"))
+    }),
+
     // Collocation mining: top-50 bigrams by pointwise mutual information
     // PMI = ln( P(w1,w2) / (P(w1)·P(w2)) ), the standard corpus-
     // linguistics signal for "these tokens form a unit" (phrase
@@ -594,6 +629,19 @@ object TextOps {
         |     ORDER BY score DESC, term) AS INT) AS rk FROM sc)
         |SELECT doc_id, term, tf, round(score, 6) AS score, rk
         |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "text_zipf_slope" ->
+      """WITH wc AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        | c AS (SELECT w, count(*) AS cnt FROM wc GROUP BY w),
+        | r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM c),
+        | xy AS (SELECT CAST(round(ln(rk), 6) AS DECIMAL(18,6)) AS x,
+        |   CAST(round(ln(cnt), 6) AS DECIMAL(18,6)) AS y
+        |  FROM r WHERE rk <= 100),
+        | g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |   CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |   CAST(sum(x * x) AS DOUBLE) AS sxx FROM xy)
+        |SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        | CAST(n AS BIGINT) AS n_words FROM g""".stripMargin,
     "text_lang_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4) AS p50_chars,

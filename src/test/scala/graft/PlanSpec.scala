@@ -354,8 +354,13 @@ class PlanSpec extends SparkSpec {
       "fn_xml" -> 0,               // parse + xpath stay scan-stage
       "pipeline_dataset_card" -> 2, // multi-distinct Expand agg on lang;
                                    // everything else folds map-side
-      "agg_hll_overlap" -> 2)      // |types| sketch partials + the
+      "agg_hll_overlap" -> 2,      // |types| sketch partials + the
                                    // |types|²-row aggregate cross
+      "scan_merge_schema" -> 1,    // mergeSchema scan + one lang agg
+      "pipeline_epoch_shuffle" -> 1, // one shard-key exchange; order is
+                                   // per-shard, never global
+      "text_zipf_slope" -> 1)      // corpus word agg; the rank window +
+                                   // regression run on the vocab frame
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
