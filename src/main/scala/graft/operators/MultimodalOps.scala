@@ -108,6 +108,57 @@ object MultimodalOps {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("vec_id")),
 
+    // FRAME SAMPLING — the video-keyframe extraction shape: 4 evenly-
+    // spaced fixed-size byte slices per payload via the executor-side
+    // [[MediaPipeline.frameSample]] stub (in production: codec keyframe
+    // decode), each fingerprinted scan-stage. mapPartitions only at the
+    // codec boundary, one row per (doc, frame) out — embarrassingly
+    // parallel, no shuffle at all (the orderBy is the test harness's).
+    // The oracle replays the slice arithmetic on the ASCII text twin.
+    "multimodal_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+        .as[(Long, Array[Byte])]
+      media.mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaPipeline.frameSample(bytes, 4).zipWithIndex.map {
+            case (f, i) => (id, i, f)
+          }
+        }
+      }.toDF("doc_id", "frame_no", "frame")
+        .select(col("doc_id"), col("frame_no").cast("int").as("frame_no"),
+          md5(col("frame")).as("frame_md5"),
+          length(col("frame")).cast("int").as("n_bytes"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
+    // FRAME-FINGERPRINT OVERLAP — media near-dup without decode: two
+    // payloads sharing any sampled keyframe fingerprint are re-encode /
+    // re-crop / re-mux candidates (the shared-keyframe video-dedup
+    // technique). Inverted-index shape on the frame digest: distinct
+    // (doc, digest) → digest-keyed self-join → per-pair shared-frame
+    // count — candidates ∝ Σ_digest c², bounded by the same df-ceiling
+    // logic as the text miners (a hot digest would be a boilerplate
+    // frame; at this feed max df = 3). Exact and oracle-checked.
+    "multimodal_frame_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+        .as[(Long, Array[Byte])]
+      val frames = media.mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaPipeline.frameSample(bytes, 4).map(f => (id, f))
+        }
+      }.toDF("doc_id", "frame")
+        .select(col("doc_id"), md5(col("frame")).as("h")).distinct()
+      frames.as("a").join(frames.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared_frames"))
+        .orderBy("d1", "d2")
+    }),
+
     // Exact media dedup — the FIRST screen of any image/audio pipeline:
     // hash the opaque binary payload, keep one doc per digest. The hash
     // is computed scan-stage over the binary column (no decode needed —
@@ -128,6 +179,26 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // The slice arithmetic mirrors frameSample: start = ⌊len·i/4⌋
+    // (0-based) → substring(…, start+1, 16) on the ASCII text (byte ≡
+    // char for this corpus, the same identity multimodal_features pins).
+    "multimodal_frame_sample" ->
+      """WITH f AS (SELECT doc_id, i,
+        |   substring(text, CAST(floor(length(text) * i / 4) AS INT) + 1, 16) AS frame
+        | FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) g
+        | WHERE length(text) > 0)
+        |SELECT doc_id, CAST(i AS INT) AS frame_no, md5(frame) AS frame_md5,
+        | CAST(length(frame) AS INT) AS n_bytes
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+    "multimodal_frame_overlap" ->
+      """WITH f AS (SELECT doc_id, i,
+        |   substring(text, CAST(floor(length(text) * i / 4) AS INT) + 1, 16) AS frame
+        | FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) g
+        | WHERE length(text) > 0),
+        | d AS (SELECT DISTINCT doc_id, md5(frame) AS h FROM f)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_frames
+        |FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DuckDB md5 over VARCHAR hashes its UTF-8 bytes — the same bytes
     // Spark's encode(text, 'UTF-8') produces.
     "multimodal_dedup" ->

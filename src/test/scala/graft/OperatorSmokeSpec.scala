@@ -12,7 +12,8 @@ class OperatorSmokeSpec extends SparkSpec {
   // near-dups / no customers without orders at this sf).
   private val mayBeEmpty = Set("join_anti", "set_except", "dedup_ngram_jaccard",
     "dedup_near_minhash", "sim_ann_lsh", "dedup_embed_cosine", "text_edit_distance",
-    "dedup_cluster", "join_range_bucketed", "graph_common_neighbors")
+    "dedup_cluster", "join_range_bucketed", "graph_common_neighbors",
+    "multimodal_frame_overlap")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs on sf0.001") {

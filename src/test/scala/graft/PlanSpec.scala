@@ -119,7 +119,8 @@ class PlanSpec extends SparkSpec {
             "text_pmi_bigrams", // two 1-row totals (N tokens, N bigrams) cross-joined
             "agg_histogram_equidepth", // 1-row decile-boundary aggregate cross join
             "pipeline_mix_temperature", // 1-row n_min aggregate cross-joined onto the tiny per-source spec
-            "agg_ab_ttest"   // self-cross of the |types|-row stats aggregate
+            "agg_ab_ttest",  // self-cross of the |types|-row stats aggregate
+            "agg_hll_overlap" // self-cross of the |types|-row sketch aggregate
           ).contains(key), p)
       }
     }
@@ -359,8 +360,12 @@ class PlanSpec extends SparkSpec {
       "scan_merge_schema" -> 1,    // mergeSchema scan + one lang agg
       "pipeline_epoch_shuffle" -> 1, // one shard-key exchange; order is
                                    // per-shard, never global
-      "text_zipf_slope" -> 1)      // corpus word agg; the rank window +
+      "text_zipf_slope" -> 1,      // corpus word agg; the rank window +
                                    // regression run on the vocab frame
+      "multimodal_frame_sample" -> 0, // codec-boundary mapPartitions +
+                                   // scan-stage fingerprint; no shuffle
+      "multimodal_frame_overlap" -> 3) // (doc,digest) distinct + digest
+                                   // self-join + pair agg (miner shape)
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
