@@ -266,6 +266,32 @@ object Aggregates {
         .orderBy("type_a", "type_b")
     }),
 
+    // Sketch-space DAU/WAU — ts_active_users at the scale where even the
+    // (day, user) distinct collapse hurts: the corpus folds ONCE into
+    // per-day HLL sketches (mergeable map-side partials, one day-keyed
+    // exchange of |days| sketch rows), and the trailing-7-day union runs
+    // on the SKETCH frame — the cover explosion multiplies |days|×7
+    // sketch rows, not corpus rows (the exact key explodes every
+    // (day, user) pair 7×). OperatorSmokeSpec pins both estimates
+    // against the exact key. This is the canonical "restructure the
+    // range-frame count-distinct as mergeable partials" answer.
+    "ts_active_users_hll" -> ((s, dir) => {
+      val daySk = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .groupBy("d")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val cover = daySk.select(col("sk"), col("d").as("d0"),
+        posexplode(sequence(col("d"), date_add(col("d"), 6)))
+          .as(Seq("off", "d")))
+      cover.groupBy("d")
+        .agg(
+          hll_sketch_estimate(
+            hll_union_agg(when(col("off") === 0, col("sk")))).as("dau_est"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau7_est"))
+        .filter(col("dau_est") > 0)
+        .orderBy("d")
+    }),
+
     // Top-k per group WITHOUT a window sort: mergeable bounded-heap
     // aggregator (TopKAgg) — map-side partials truncate to k, so only
     // groups×k pairs cross the shuffle and no partition is ever sorted.

@@ -157,6 +157,32 @@ object AnalyticsExt {
             " (acc, x) -> (acc + x) div 2)").as("ewma_micro"))
         .orderBy("user_id", "event_type")),
 
+    // DEBOUNCE / rate-limit thinning — keep an event only if ≥ 10 min
+    // have passed since the last KEPT event (dedup of bursty repeats:
+    // retry storms, double-clicks, sensor chatter). Genuinely recursive
+    // — whether a row survives depends on which earlier rows survived —
+    // so like ts_ewma/ts_holt it runs as a per-key time-ordered fold on
+    // the exact integer-µs lattice (struct accumulator: last-kept ts +
+    // kept count), one (user) exchange. The oracle replays the fold as
+    // a RECURSIVE CTE stepping rn → rn+1. The streaming twin
+    // (StreamingDebounce) holds the same 2-long state per key forever —
+    // O(1), the throttle/suppress shape of a stream processor.
+    "ts_debounce" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tu"), col("event_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("tu"), col("event_id"))))
+            .as("evs"))
+        .withColumn("tss", expr("transform(evs, e -> e.tu)"))
+        .select(col("user_id"), col("n_events"),
+          expr("aggregate(slice(tss, 2, size(tss))," +
+            " named_struct('last', tss[0], 'n', CAST(1 AS BIGINT))," +
+            " (acc, x) -> IF(x >= acc.last + 600000000," +
+            "   named_struct('last', x, 'n', acc.n + 1), acc)).n")
+            .as("n_kept"))
+        .orderBy("user_id")),
+
     // Pairwise Pearson correlation matrix per group from the same
     // exact-DECIMAL sufficient statistics as agg_regression (never the
     // built-in corr(), whose double accumulation is summation-order-
@@ -761,6 +787,23 @@ object AnalyticsExt {
         |FROM r JOIN n ON r.user_id = n.user_id
         | AND r.event_type = n.event_type AND r.rn = n.n_events
         |ORDER BY n.user_id, n.event_type""".stripMargin,
+    "ts_debounce" ->
+      """WITH RECURSIVE e AS (SELECT user_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS tu, event_id FROM events),
+        |o AS (SELECT user_id, tu, row_number() OVER (
+        |   PARTITION BY user_id ORDER BY tu, event_id) AS rn FROM e),
+        |n AS (SELECT user_id, count(*) AS n_events FROM o GROUP BY 1),
+        |r AS (
+        | SELECT user_id, rn, tu AS last, CAST(1 AS BIGINT) AS n
+        | FROM o WHERE rn = 1
+        | UNION ALL
+        | SELECT o.user_id, o.rn,
+        |  CASE WHEN o.tu >= r.last + 600000000 THEN o.tu ELSE r.last END,
+        |  CASE WHEN o.tu >= r.last + 600000000 THEN r.n + 1 ELSE r.n END
+        | FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT n.user_id, n.n_events, r.n AS n_kept
+        |FROM r JOIN n ON r.user_id = n.user_id AND r.rn = n.n_events
+        |ORDER BY n.user_id""".stripMargin,
     "ts_autocorr_lag1" ->
       s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts2,
          |   event_id, value FROM events),

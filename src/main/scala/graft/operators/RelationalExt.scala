@@ -442,6 +442,57 @@ object RelationalExt {
           |FROM lineitem_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }),
 
+    // PARAMETERIZED SQL (Spark 4 named-parameter binding — the injection-
+    // safe templated-query surface a query service exposes): the
+    // predicate values arrive as typed args to spark.sql, never spliced
+    // into the text, and bind at ANALYSIS time — so pushdown sees the
+    // literal and the plan is byte-identical to the hand-written one
+    // (same scan PushedFilters, same partial agg). The oracle inlines
+    // the same literals.
+    "sql_api_parameterized" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_pv")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM orders_pv
+          |WHERE o_totalprice > :minPrice AND o_orderstatus = :status
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+        Map("minPrice" -> 200000, "status" -> "O"))
+    }),
+
+    // INCREMENTAL AGGREGATION — materialized-view maintenance, the
+    // pattern that keeps a 100 TB pipeline from rescanning history every
+    // day: the pre-cutoff aggregate state is PERSISTED (parquet, as a
+    // real pipeline would), the new day aggregates only its own delta,
+    // and the merge is a full-outer join + summed coalesce on the
+    // aggregate frames (|users| rows, not events). The decimal sums
+    // merge exactly (associative by construction — the same property
+    // that makes them partial-aggregable), so the maintained view is
+    // bit-identical to the full recompute, which is what the oracle
+    // states.
+    "pipeline_incremental_agg" -> ((s, dir) => {
+      val cutoff = lit("2024-01-08 00:00:00").cast("timestamp")
+      def aggState(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("sv"))
+      val ev = events(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_agg_state"
+      aggState(ev.filter(col("ts") < cutoff))
+        .write.mode("overwrite").parquet(tmp)
+      val state = s.read.parquet(tmp)
+        .select(col("user_id"), col("n").as("n_old"), col("sv").as("sv_old"))
+      val delta = aggState(ev.filter(col("ts") >= cutoff))
+        .select(col("user_id"), col("n").as("n_new"), col("sv").as("sv_new"))
+      state.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("sv_old"), lit(0).cast("decimal(18,6)"))
+            + coalesce(col("sv_new"), lit(0).cast("decimal(18,6)")))
+            .cast("double").as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // The same aggregation declared in Spark 4's SQL PIPE syntax
     // (`|>` — SQL as a linear dataflow, the readability bridge between
     // the DataFrame DSL and nested ANSI SQL). Parses to the identical
@@ -1175,6 +1226,16 @@ object RelationalExt {
         | round(o_totalprice / (SELECT avg(i.o_totalprice) FROM orders i
         |   WHERE i.o_custkey = o.o_custkey), 6) AS rel_price
         |FROM orders o ORDER BY o_orderkey""".stripMargin,
+    "sql_api_parameterized" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice > 200000 AND o_orderstatus = 'O'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_incremental_agg" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         | ${dsum6Sql("value")} AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "sql_api_q1" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

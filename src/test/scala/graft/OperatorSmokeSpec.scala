@@ -235,6 +235,22 @@ class OperatorSmokeSpec extends SparkSpec {
     }
   }
 
+  test("pinned: HLL DAU/WAU tracks the exact ts_active_users") {
+    val exact = SparkEntry.queries("ts_active_users")(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString,
+        (r.getLong(1).toDouble, r.getLong(2).toDouble))).toMap
+    val est = SparkEntry.queries("ts_active_users_hll")(spark, sfDir).collect()
+    assert(est.length == exact.size, "day grids differ")
+    est.foreach { r =>
+      val (dau, wau) = exact(r.getDate(0).toString)
+      // lgK=14 → ~0.4% relative error; 5% + floor 3 is multiple σ
+      assert(math.abs(r.getLong(1) - dau) <= math.max(3.0, 0.05 * dau),
+        s"${r.getDate(0)}: dau est=${r.getLong(1)} exact=$dau")
+      assert(math.abs(r.getLong(2) - wau) <= math.max(3.0, 0.05 * wau),
+        s"${r.getDate(0)}: wau est=${r.getLong(2)} exact=$wau")
+    }
+  }
+
   test("pinned: approx_top_k matches exact word counts at this scale") {
     val approx = SparkEntry.queries("agg_approx_top_k")(spark, sfDir).collect()
     assert(approx.length == 10)

@@ -120,7 +120,8 @@ class PlanSpec extends SparkSpec {
             "agg_histogram_equidepth", // 1-row decile-boundary aggregate cross join
             "pipeline_mix_temperature", // 1-row n_min aggregate cross-joined onto the tiny per-source spec
             "agg_ab_ttest",  // self-cross of the |types|-row stats aggregate
-            "agg_hll_overlap" // self-cross of the |types|-row sketch aggregate
+            "agg_hll_overlap", // self-cross of the |types|-row sketch aggregate
+            "sim_mrl_prefix_rerank" // bounded broadcast query set (as sim_knn)
           ).contains(key), p)
       }
     }
@@ -364,8 +365,18 @@ class PlanSpec extends SparkSpec {
                                    // regression run on the vocab frame
       "multimodal_frame_sample" -> 0, // codec-boundary mapPartitions +
                                    // scan-stage fingerprint; no shuffle
-      "multimodal_frame_overlap" -> 3) // (doc,digest) distinct + digest
+      "multimodal_frame_overlap" -> 3, // (doc,digest) distinct + digest
                                    // self-join + pair agg (miner shape)
+      "ts_debounce" -> 1,          // one user exchange; the fold is a
+                                   // per-group struct-accumulator expression
+      "sim_mrl_prefix_rerank" -> 1, // queries broadcast both stages; the
+                                   // two top-k windows share one q_id hash
+      "sql_api_parameterized" -> 1, // binds at analysis → same one-agg
+                                   // plan as the literal formulation
+      "pipeline_incremental_agg" -> 2, // state is a parquet leaf; delta
+                                   // agg + the |users|-row merge join
+      "ts_active_users_hll" -> 2)  // day-sketch agg + the day re-union on
+                                   // the |days|×7 sketch frame
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")

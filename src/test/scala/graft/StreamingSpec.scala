@@ -725,6 +725,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming debounce ≡ batch ts_debounce (exact, ordered feed)") {
+    import graft.streaming.StreamingDebounce
+    import graft.streaming.StreamingDebounce.EventIn
+    withRocksDb {
+      val keyed = Tables.events(spark, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_micros"),
+          col("event_id"))
+        .as[EventIn].collect().toSeq.sortBy(e => (e.ts_micros, e.event_id))
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingDebounce.debounce(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_debounce")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      val latest = spark.table("stream_debounce").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (_, ts) => ts.maxBy(_._2) }.toSet
+      val batch = SparkEntry.queries("ts_debounce")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(latest == batch)
+    }
+  }
+
   test("streaming pattern detector ≡ batch ts_pattern_detect (exact, ordered feed)") {
     import graft.streaming.StreamingPattern
     import graft.streaming.StreamingPattern.EventIn
