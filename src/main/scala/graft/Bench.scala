@@ -25,6 +25,7 @@ object Bench {
     * Factored out of main so the error path is unit-testable. */
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, Tables.Q], reps: Int = 2): String = {
+    val wall0 = System.nanoTime()
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
       var err: Option[String] = None
@@ -48,7 +49,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val nErr = results.count(_._3.isDefined)
     val total = results.collect { case (_, v, None) => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
+    // wall_s = everything including warmups and failed reps — the
+    // sweep's real elapsed time, persisted so per-round artifacts carry
+    // the number instead of leaving it to session logs.
+    val wall = (System.nanoTime() - wall0) / 1e9
+    s"""{"metric":"total","value":$total,"unit":"sec","wall_s":$wall,"queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
