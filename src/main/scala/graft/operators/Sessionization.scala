@@ -97,6 +97,26 @@ object Sessionization {
           col("n_events"), col("avg_value"))
         .orderBy("user_id", "w_start")),
 
+    // SESSION-SCOPED FUNNEL — the composite the sessionizer exists to
+    // feed: per session, did the user see a view and then purchase
+    // WITHIN that session (ordered: first view at-or-before last
+    // purchase)? Rolled up per user to a session-level conversion rate.
+    // Shares withSessionSeq's gap rule; both the per-session flags and
+    // the per-user rollup ride the ONE user_id exchange the session
+    // window already paid. The rate is a single correctly-rounded
+    // division of exact counts.
+    "sessionize_funnel" -> ((s, dir) =>
+      withSessionSeq(events(s, dir))
+        .groupBy("user_id", "session_seq")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("fv"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("lp"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          count(when(col("fv").isNotNull && col("lp").isNotNull
+            && col("fv") <= col("lp"), 1)).as("n_converted"))
+        .withColumn("conversion", col("n_converted") / col("n_sessions"))
+        .orderBy("user_id")),
+
     // DYNAMIC-GAP sessions: the inactivity gap is per-EVENT, not a
     // constant — a purchase keeps the session alive for 60 minutes,
     // anything else for 30 (the "intent-weighted timeout" every real
@@ -172,6 +192,25 @@ object Sessionization {
         |   value
         | FROM events, (SELECT unnest(generate_series(0, 3)) AS i))
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sessionize_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |     THEN 1 ELSE 0 END AS new_s
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        | f AS (SELECT user_id, sid,
+        |    min(ts) FILTER (WHERE event_type = 'view') AS fv,
+        |    max(ts) FILTER (WHERE event_type = 'purchase') AS lp
+        |   FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        | count(*) FILTER (WHERE fv IS NOT NULL AND lp IS NOT NULL
+        |   AND fv <= lp) AS n_converted,
+        | count(*) FILTER (WHERE fv IS NOT NULL AND lp IS NOT NULL
+        |   AND fv <= lp) / count(*) AS conversion
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
     "sessionize_dynamic_gap" ->
       s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
          |   CAST(ts AS TIMESTAMP) + CASE WHEN event_type = 'purchase'

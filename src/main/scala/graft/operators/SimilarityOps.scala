@@ -301,6 +301,42 @@ object SimilarityOps {
         .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("rk"))
         .orderBy("q_id", "rk")
     }),
+    // MULTIPROBE LSH retrieval — the declared "next rung" past plain
+    // banding: the QUERY side probes, per band, its exact bucket AND
+    // every 1-bit-flipped neighbor bucket (bits+1 probes — the bucket IS
+    // the packed sign vector, so a neighbor probe is one XOR). A near
+    // neighbor that lands across a single hyperplane from the query is
+    // recovered WITHOUT growing the index: ~(bits+1)× the per-query
+    // probe work buys recall comparable to ~(bits+1)× more bands at
+    // 1/(bits+1) the index size — the index-size-vs-query-time trade a
+    // 100 TB corpus wants (the index is corpus-sized; queries are not).
+    // Candidates are a strict superset of the exact-probe set (flip=0 is
+    // included), so recall dominance is structural — pinned in
+    // DedupSimilaritySpec together with score exactness of the re-rank.
+    "sim_ann_multiprobe" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val (bits, _) = lshParams(v.count())
+      val bands = lshBands(v)
+      val flips = array((lit(0) +: (0 until bits).map(i => lit(1 << i))): _*)
+      val probes = bands.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("band_id"), col("bucket"),
+          explode(flips).as("flip"))
+        .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
+        .drop("flip")
+      val cand = probes
+        .join(bands.filter(col("vec_id") >= 10), Seq("band_id", "bucket"))
+        .select(col("q_id"), col("vec_id").as("c_id")).distinct()
+      val withQ = cand.join(
+        broadcast(v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
+      val rer = v.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        .join(broadcast(withQ), "c_id")
+        .withColumn("sim", vecDot(col("qe"), col("ce")))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+      rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("rk"))
+        .orderBy("q_id", "rk")
+    }),
     // MATRYOSHKA (MRL) PREFIX RETRIEVAL — the modern two-stage trick for
     // embeddings trained with nested sub-dimensions: score the corpus on
     // the FIRST 16 dims only (4× less arithmetic and — the real win at

@@ -347,6 +347,34 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_multiprobe: candidates strictly dominate single-probe; scores exact") {
+    import graft.functions.VecFunctions.vecDot
+    val single = graft.SparkEntry.queries("sim_ann_rerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val multi = graft.SparkEntry.queries("sim_ann_multiprobe")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(multi.nonEmpty)
+    // 1. score exactness of everything returned
+    val v = graft.Tables.t(spark, sfDir, "embeddings")
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val exact = q.join(v.select(col("vec_id").as("c_id"), col("embedding").as("ce")))
+      .withColumn("se", round(vecDot(col("qe"), col("ce")), 6))
+      .select("q_id", "c_id", "se")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    multi.foreach { case (qi, ci, s) => assert(exact((qi, ci)) == s) }
+    // 2. structural dominance: per query, the multiprobe top-5 is at
+    //    least as similar, rank for rank, as the single-probe top-5
+    //    (candidate superset ⇒ the kth best can only improve).
+    val mByQ = multi.groupBy(_._1)
+    single.groupBy(_._1).foreach { case (qi, srows) =>
+      val sTop = srows.toSeq.sortBy(-_._3).map(_._3)
+      val mTop = mByQ(qi).toSeq.sortBy(-_._3).map(_._3)
+      sTop.zip(mTop).foreach { case (sv, mv) =>
+        assert(mv >= sv, s"query $qi: multiprobe rank worse ($mv < $sv)") }
+    }
+  }
+
   test("allPairs size guard: broadcast below ceiling, blocked shuffle join above") {
     import graft.operators.SimilarityOps
     val v = graft.Tables.t(spark, sfDir, "embeddings")

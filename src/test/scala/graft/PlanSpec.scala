@@ -375,8 +375,12 @@ class PlanSpec extends SparkSpec {
                                    // plan as the literal formulation
       "pipeline_incremental_agg" -> 2, // state is a parquet leaf; delta
                                    // agg + the |users|-row merge join
-      "ts_active_users_hll" -> 2)  // day-sketch agg + the day re-union on
+      "ts_active_users_hll" -> 2,  // day-sketch agg + the day re-union on
                                    // the |days|×7 sketch frame
+      "sessionize_funnel" -> 1,    // session flags + user rollup ride the
+                                   // one withSessionSeq user exchange
+      "sim_ann_multiprobe" -> 2)   // band equi-join (probes exploded
+                                   // query-side only) + top-k window
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
