@@ -138,12 +138,16 @@ object DedupOps {
     // this answers "what is each doc's closest neighborhood" (threshold
     // tuning, boilerplate diagnosis, doc-level novelty). Pair mining
     // cost is IDENTICAL to dedup_containment (the τ filter was always
-    // post-agg); the only additions are the symmetric expansion (2×
-    // pair rows, ids + one double) and a per-doc top-3 window whose
-    // partition is each doc's own candidate list — bounded by posting-
-    // list co-occurrence, never |docs|. Ordering ties break on the
-    // neighbor id; the unrounded jaccard doubles are identical integer
-    // ratios in both engines, so the pick is deterministic.
+    // post-agg); the additions are the symmetric expansion (2× pair
+    // rows, ids + one double) and the top-3 pick — which runs as the
+    // mergeable bounded-heap TopKAgg (agg_topk_heap's aggregator, same
+    // (score desc, id asc) total order the row_number oracle states),
+    // NOT a window: a per-doc window would re-shuffle and sort ALL 2×
+    // pair rows, the heap truncates map-side so only docs×3 pairs cross
+    // the exchange — at the 10× point that is the difference between a
+    // ~20M-row sort and a 50k×3 aggregate. The unrounded jaccard
+    // doubles are identical integer ratios in both engines, so the pick
+    // is deterministic.
     "text_jaccard_knn" -> ((s, dir) => {
       val pairs = tau0Pairs(s, dir).filter(col("inter") >= 2)
       // Symmetric expansion via explode, NOT union: a union's two
@@ -156,11 +160,12 @@ object DedupOps {
           .as("e"))
         .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"),
           col("e.jaccard").as("jaccard"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("jaccard").desc, col("nbr"))
-      sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select(col("doc_id"), col("rk"), col("nbr"),
-          round(col("jaccard"), 6).as("jaccard"))
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      sym.groupBy("doc_id")
+        .agg(topk(col("jaccard"), col("nbr")).as("topk"))
+        .select(col("doc_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("rk"),
+          col("e._2").as("nbr"), round(col("e._1"), 6).as("jaccard"))
         .orderBy("doc_id", "rk")
     }),
 

@@ -302,9 +302,12 @@ class PlanSpec extends SparkSpec {
                                    // behind it: degree agg + 2 semi joins each)
       "graph_common_neighbors" -> 0, // localCheckpoint leaf (wedge join +
                                    // count agg + anti join behind it)
-      "text_jaccard_knn" -> 4,     // miner (or memo leaf) + one per-doc
-                                   // top-k window; symmetric expansion is
-                                   // an explode, never a union re-plan
+      "text_jaccard_knn" -> 4,     // miner (or memo leaf) + the bounded-
+                                   // heap TopKAgg exchange (docs×3 pairs,
+                                   // round 7: replaced the per-doc window
+                                   // that re-shuffled ALL 2×pair rows);
+                                   // symmetric expansion is an explode,
+                                   // never a union re-plan
       "fn_variant_extract" -> 0,   // pure projection — parse_json +
                                    // variant_get stay scan-stage
       "pipeline_importance_resample" -> 0, // scan-stage score + md5 gate
