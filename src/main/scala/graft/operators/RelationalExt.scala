@@ -647,6 +647,29 @@ object RelationalExt {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // LABEL REBALANCE — equalize class sizes by deterministically
+    // downsampling every language to the minority class's count (the
+    // classifier-training prep step: a 90/10 skew otherwise dominates
+    // the loss). The keep-set is an md5-ranked prefix per class — salted
+    // hash order, so it is corpus-stable (adding docs to one class
+    // cannot evict another class's keeps), engine-portable, and replays
+    // bit-identically; no rand(), no global sort (the rank window is
+    // per-class). The 1-row n_min aggregate broadcasts onto the
+    // class-partitioned rank frame.
+    "pipeline_label_balance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nMin = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("n_min"))
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(concat(lit("bal7:"), col("doc_id"))), col("doc_id"))
+      docs.select(col("lang"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(nMin))
+        .filter(col("rk") <= col("n_min"))
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // EPOCH SHUFFLE — the training-loop reshuffle: each epoch needs a
     // different-but-DETERMINISTIC global permutation of the corpus
     // (resumable, reproducible, no rand()). The permutation key is the
@@ -960,6 +983,15 @@ object RelationalExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_label_balance" ->
+      """WITH r AS (SELECT lang, doc_id, row_number() OVER (
+        |   PARTITION BY lang
+        |   ORDER BY md5('bal7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents),
+        | m AS (SELECT min(n) AS n_min FROM
+        |   (SELECT count(*) AS n FROM documents GROUP BY lang))
+        |SELECT lang, doc_id FROM r, m WHERE rk <= n_min
+        |ORDER BY lang, doc_id""".stripMargin,
     // DuckDB has no base-conv builtin: the shard nibble decodes
     // positionally from the hex alphabet (strpos is 1-based).
     "pipeline_epoch_shuffle" ->

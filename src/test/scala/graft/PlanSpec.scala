@@ -382,8 +382,10 @@ class PlanSpec extends SparkSpec {
                                    // the |days|×7 sketch frame
       "sessionize_funnel" -> 1,    // session flags + user rollup ride the
                                    // one withSessionSeq user exchange
-      "sim_ann_multiprobe" -> 2)   // band equi-join (probes exploded
+      "sim_ann_multiprobe" -> 2,   // band equi-join (probes exploded
                                    // query-side only) + top-k window
+      "pipeline_label_balance" -> 2) // class counts + the per-class rank
+                                   // window; n_min broadcasts back
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
