@@ -143,6 +143,33 @@ object AnalyticsExt {
         .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
         .orderBy("event_type", "dow", "hr")),
 
+    // Seasonal decomposition (classical additive, weekly period): the
+    // hourly series minus its (dow × hour) seasonal profile leaves the
+    // residual an anomaly detector actually monitors — raw traffic
+    // series are dominated by daily/weekly rhythm, and ts_anomaly_sigma
+    // on the RAW series flags every Monday 9am instead of real shifts.
+    // Shape: one events pass → hourly buckets (two-phase hash agg,
+    // DECIMAL-exact), then the 168-row profile aggregates FROM THE
+    // BUCKETS (not the raw events — at 100 TB the second pass touches
+    // only |hours| rows) and broadcasts back onto them. Determinism:
+    // bucket sums ride dsum6; the profile mean divides an exact DECIMAL
+    // sum by an exact count, terminally rounded before the residual
+    // subtraction (one IEEE op on two 6-dp-rounded doubles).
+    "ts_seasonal_decompose" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(round(dsum6(col("value")), 6).as("actual"))
+        .withColumn("dow", dayofweek(col("hour_ts")))
+        .withColumn("hr", hour(col("hour_ts")))
+      val profile = hourly.groupBy("dow", "hr")
+        .agg(round(sum(col("actual").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 6).as("expected"))
+      hourly.join(broadcast(profile), Seq("dow", "hr"))
+        .select(col("hour_ts"), col("dow"), col("hr"), col("actual"),
+          col("expected"), round(col("actual") - col("expected"), 6).as("residual"))
+        .orderBy("hour_ts")
+    }),
+
     "ts_ewma" -> ((s, dir) =>
       events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
@@ -911,6 +938,20 @@ object AnalyticsExt {
         | min(value) AS low_value, arg_max(value, ts) AS close_value,
         | count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_seasonal_decompose" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS actual
+        |  FROM events GROUP BY 1),
+        | h2 AS (SELECT hour_ts, CAST(dayofweek(hour_ts) + 1 AS INT) AS dow,
+        |    CAST(hour(hour_ts) AS INT) AS hr, actual FROM hourly),
+        | prof AS (SELECT dow, hr,
+        |    round(CAST(sum(CAST(actual AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |      AS expected
+        |  FROM h2 GROUP BY 1, 2)
+        |SELECT h2.hour_ts, h2.dow, h2.hr, h2.actual, prof.expected,
+        | round(h2.actual - prof.expected, 6) AS residual
+        |FROM h2 JOIN prof USING (dow, hr) ORDER BY hour_ts""".stripMargin,
     "ts_dow_hour_profile" ->
       s"""SELECT event_type,
          | CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,

@@ -251,6 +251,37 @@ object GraphOps {
     out
   }
 
+  /** Local clustering coefficient per node of degree ≥ 2:
+    * 2·T(v) / (d(v)·(d(v)−1)), where T(v) counts triangles through v.
+    * Near-1 nodes sit inside near-cliques (true duplicate sets, safe to
+    * collapse); near-0 high-degree nodes are the chain/star centers
+    * (boilerplate hubs) — the per-NODE refinement of the per-cluster
+    * cohesion verdict, and the standard feature a cluster-quality
+    * classifier consumes. Cost is one [[orientedTriangles]] pass
+    * (O(m^1.5) oriented wedges) plus id-keyed longs-only aggs; the
+    * coefficient itself is exact integer arithmetic in a double. */
+  def clusteringCoeff(pairs: DataFrame): DataFrame = {
+    val ownCache = pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val p = if (ownCache) pairs.persist() else pairs
+    val (e, deg, _) = edgeFrames(p)
+    val tri = orientedTriangles(p, deg)
+    val triPerNode = tri.select(col("a").as("doc_id"))
+      .unionAll(tri.select(col("b").as("doc_id")))
+      .unionAll(tri.select(col("c").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    val out = deg.select(col("u").as("doc_id"), col("outdeg").as("degree"))
+      .filter(col("degree") >= 2)
+      .join(triPerNode, Seq("doc_id"), "left").na.fill(0L, Seq("n_tri"))
+      .select(col("doc_id"), col("degree"), col("n_tri"),
+        round(col("n_tri") * lit(2.0)
+          / (col("degree") * (col("degree") - 1)), 6).as("coeff"))
+      .localCheckpoint()
+    e.unpersist()
+    deg.unpersist()
+    if (ownCache) p.unpersist()
+    out
+  }
+
   /** k-core decomposition membership via iterative peeling: drop every
     * node of residual degree < k, restrict the edge set to survivors,
     * repeat `rounds` times; return survivors with their residual degree.
@@ -361,6 +392,11 @@ object GraphOps {
     "graph_degree_dist" -> ((s, dir) =>
       degreeDist(nearDupPairs(s, dir)).orderBy("degree")),
 
+    // Per-node clustering coefficient over the near-dup graph — the
+    // node-level clique-vs-hub verdict (see clusteringCoeff).
+    "graph_clustering_coeff" -> ((s, dir) =>
+      clusteringCoeff(nearDupPairs(s, dir)).orderBy("doc_id")),
+
     // Per-cluster cohesion report: (nodes, edges, triangles) for every
     // near-dup component — the diagnostic that separates true duplicate
     // sets (near-cliques: edges ≈ n(n−1)/2, triangle-rich) from chained
@@ -461,6 +497,21 @@ object GraphOps {
     "graph_degree_dist" -> (GraphCtes + "\n" +
       """SELECT outdeg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "graph_clustering_coeff" -> (GraphCtes + ",\n" +
+      """ tri AS (SELECT x.d1 AS a, x.d2 AS b, y.d2 AS c
+        |   FROM pj x JOIN pj y ON x.d2 = y.d1
+        |    JOIN pj z ON z.d1 = x.d1 AND z.d2 = y.d2),
+        | tn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT a AS doc_id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT deg.u AS doc_id, deg.outdeg AS degree,
+        | coalesce(tn.n_tri, 0) AS n_tri,
+        | round(coalesce(tn.n_tri, 0) * 2.0
+        |   / (deg.outdeg * (deg.outdeg - 1)), 6) AS coeff
+        |FROM deg LEFT JOIN tn ON deg.u = tn.doc_id
+        |WHERE deg.outdeg >= 2 ORDER BY doc_id""".stripMargin),
 
     // Four unrolled peel rounds, identical to kCore(k=2, rounds=4):
     // k<i> = surviving nodes after peel i, e<i> = edges among them,

@@ -431,6 +431,27 @@ object RelationalExt {
           |FROM orders_sq2 o ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // IN + quantified-ALL subqueries — the remaining ANSI subquery forms
+    // next to EXISTS/scalar. The IN decorrelates to a left-semi join
+    // against the (tiny, broadcast) high-balance customer set. Spark's
+    // parser has no `>= ALL (subquery)`, so the engine states the
+    // decorrelation a quantified comparison reduces to — a correlated
+    // MAX scalar subquery (aggregate per custkey + join back, exactly
+    // what an ALL-rewrite rule would emit); the oracle keeps the literal
+    // `>= ALL` to pin that the two forms agree. Each premium customer's
+    // most expensive order, no row compared more than once per group.
+    "subquery_in_any_all" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq3")
+      t(s, dir, "customer").createOrReplaceTempView("customer_sq3")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_sq3 o
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer_sq3
+          |    WHERE c_acctbal > 9000)
+          |  AND o_totalprice >= (SELECT max(i.o_totalprice) FROM orders_sq3 i
+          |    WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // The SQL entry path: same engine, same Catalyst plan, declared in
     // ANSI SQL over a temp view instead of the DataFrame DSL.
     "sql_api_q1" -> ((s, dir) => {
@@ -1258,6 +1279,13 @@ object RelationalExt {
         | round(o_totalprice / (SELECT avg(i.o_totalprice) FROM orders i
         |   WHERE i.o_custkey = o.o_custkey), 6) AS rel_price
         |FROM orders o ORDER BY o_orderkey""".stripMargin,
+    "subquery_in_any_all" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |    WHERE c_acctbal > 9000)
+        |  AND o_totalprice >= ALL (SELECT i.o_totalprice FROM orders i
+        |    WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "sql_api_parameterized" ->
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total

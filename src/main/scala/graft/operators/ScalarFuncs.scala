@@ -74,6 +74,28 @@ object ScalarFuncs {
         .orderBy("o_orderkey")
     }),
 
+    // CSV as a SCALAR codec (`to_csv`/`from_csv`) — the embedded-record
+    // twin of the fn_json/fn_xml keys: serialize a struct to one CSV
+    // line per row, parse it back with an explicit DDL schema, and prove
+    // the field round-trip (including a double — both writers emit
+    // shortest-round-trip decimals, the scan_csv_roundtrip pin). This is
+    // the cell-level path for corpora whose props arrive as embedded CSV
+    // fragments inside another container, where a file-level CSV scan
+    // never runs. Pure projection — codegen'd, no shuffle.
+    "fn_csv_parse" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem")
+      src.select(col("l_orderkey"), col("l_linenumber"),
+          to_csv(struct(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"))).as("line"))
+        .withColumn("parsed", from_csv(col("line"),
+          lit("rf STRING, qty DOUBLE, price DOUBLE"),
+          new java.util.HashMap[String, String]()))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("parsed.rf").as("rf"), col("parsed.qty").as("qty"),
+          col("parsed.price").as("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "fn_regexp" -> ((s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),
@@ -245,6 +267,12 @@ object ScalarFuncs {
         | o_custkey AS fx_cust, o_orderstatus AS xp_status,
         | o_orderkey AS xp_id
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // from_csv(to_csv(x)) is field-exact (double parse inverts the
+    // shortest-round-trip render), so the oracle is the identity select.
+    "fn_csv_parse" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag AS rf,
+        | l_quantity AS qty, l_extendedprice AS price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_regexp" ->
       """SELECT p_partkey, regexp_extract(p_type, '^(\w+)', 1) AS type_head,
         | regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels

@@ -146,6 +146,55 @@ object Scans {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+
+    // Line-oriented text interchange — the raw-crawl ingest format (WET
+    // dumps, jsonl-adjacent logs arrive as one record per line). Write
+    // `doc_id<SOH>text` lines via the text source, read them back with
+    // `spark.read.text`, and re-split on the first separator. The corpus
+    // text is newline/tab-free by construction (FIXTURES.md), and \u0001
+    // (the classic Hive field separator, absent from any printable
+    // corpus) is a collision-free field delimiter. Splits stream
+    // line-by-line — a text scan is the one source whose input split
+    // boundary is a row boundary, so 100 TB of lines parallelizes to
+    // byte-range splits with no footer metadata at all.
+    "scan_text_lines" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_rt_text"
+      t(s, dir, "documents")
+        .select(concat_ws("\u0001", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").format("text").save(tmp)
+      s.read.text(tmp)
+        .select(
+          substring_index(col("value"), "\u0001", 1).cast("long").as("doc_id"),
+          substring_index(col("value"), "\u0001", -1).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Whole-file binary ingest (`binaryFile`) — the opaque-payload path a
+    // multimodal corpus starts from (images/audio arrive as files, not
+    // rows). Lay the corpus out as one text file per language partition
+    // (lang=xx/part-*.txt), then read the directory back as binary blobs
+    // and account bytes per partition dir. The scan never decodes —
+    // content stays an opaque BINARY column (the multimodal contract,
+    // MultimodalOps) and the only computed value is the blob's octet
+    // length. Each written line is `text\n`, so per-lang bytes must equal
+    // Σ(octet_length(text)+1) — the oracle states that closed form from
+    // the parquet side, which simultaneously checks the writer emitted
+    // exactly the rows and the binary reader saw every byte once (file
+    // COUNT is deliberately not surfaced: it is a parallelism artifact,
+    // not data).
+    "scan_binary_files" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_binary_docs"
+      t(s, dir, "documents").select(col("lang"), col("text").as("value"))
+        .write.mode("overwrite").partitionBy("lang").format("text").save(tmp)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(s"$tmp/lang=*")
+        .select(regexp_extract(col("path"), "lang=([a-z]+)", 1).as("lang"),
+          octet_length(col("content")).cast("long").as("nbytes"))
+        .groupBy("lang")
+        .agg(sum(col("nbytes")).as("total_bytes"))
+        .orderBy("lang")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -187,5 +236,10 @@ object Scans {
       """SELECT doc_id, 'documents.parquet' AS file_name,
         | doc_id AS row_index
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "scan_text_lines" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "scan_binary_files" ->
+      """SELECT lang, CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -142,6 +142,55 @@ object SimilarityOps {
         .orderBy("q_id", "rk")
     }),
 
+    // HYBRID retrieval via Reciprocal Rank Fusion (Cormack 2009,
+    // k=60) — the production search stack's standard fusion of a lexical
+    // ranker and an embedding ranker, here for query doc/vec 0 (the two
+    // id domains are 1:1 by construction, FIXTURES.md). Scale shape:
+    // neither ranked list is a global sort — each list is a top-100
+    // TakeOrderedAndProject (per-partition heap + driver merge of 100-row
+    // partials), and ranks are assigned by a window over that bounded
+    // 100-row candidate frame, so the only corpus-sized work is the two
+    // embarrassingly-parallel scoring scans (broadcast 1-row query).
+    // Fusion is a full-outer join of two 100-row frames. Determinism:
+    // the dot is the sequential-order FloatVecDot both engines share;
+    // Jaccard is integer-rational; RRF scores are sums of distinct unit
+    // fractions rounded AFTER ordering is fixed by (score, doc_id).
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qEmb = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val topCos = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qEmb))
+        .select(col("vec_id").as("doc_id"),
+          vecDot(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id")).limit(100)
+        .withColumn("rank_cos",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+        .select("doc_id", "rank_cos")
+      val qWords = docs.filter(col("doc_id") === 0)
+        .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      val nq = qWords.agg(count(lit(1)).as("nq"))
+      val dWords = docs.filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      val inter = dWords.join(broadcast(qWords), "term")
+        .groupBy("doc_id").agg(count(lit(1)).as("inter"))
+      val topJac = dWords.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+        .join(inter, Seq("doc_id"), "left").na.fill(0L, Seq("inter"))
+        .crossJoin(broadcast(nq))
+        .select(col("doc_id"), (col("inter").cast("double")
+          / (col("nd") + col("nq") - col("inter"))).as("jac_sim"))
+        .orderBy(col("jac_sim").desc, col("doc_id")).limit(100)
+        .withColumn("rank_jac",
+          row_number().over(Window.orderBy(col("jac_sim").desc, col("doc_id"))))
+        .select("doc_id", "rank_jac")
+      topCos.join(topJac, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_score", round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_cos")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rank_jac")), lit(0.0)), 6))
+        .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("rank_cos"), col("rank_jac"), col("rrf_score"))
+    }),
+
     // RANGE search (radius query): every candidate within cosine ≥ 0.30
     // of each query vector — the "all sufficiently similar" dual of
     // sim_knn_per_query's top-k (retrieval-augmented dedup and contamination
@@ -873,6 +922,40 @@ object SimilarityOps {
          |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |WHERE a.vec_id < 10 AND $oracleDot >= 0.30
          |ORDER BY q_id, c_id""".stripMargin,
+
+    "sim_hybrid_rrf" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        | cos AS (SELECT vec_id AS doc_id,
+        |    list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(q_emb, x -> CAST(x AS DOUBLE))) AS cos_sim
+        |   FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+        | rc AS (SELECT doc_id, rank_cos FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY cos_sim DESC, doc_id) AS INT) AS rank_cos FROM cos)
+        |   WHERE rank_cos <= 100),
+        | qw AS (SELECT DISTINCT term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |    WHERE doc_id = 0)),
+        | nq AS (SELECT count(*) AS nq FROM qw),
+        | dw AS (SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |    WHERE doc_id <> 0)),
+        | nd AS (SELECT doc_id, count(*) AS nd FROM dw GROUP BY 1),
+        | i AS (SELECT doc_id, count(*) AS inter FROM dw JOIN qw USING (term)
+        |   GROUP BY 1),
+        | jac AS (SELECT nd.doc_id,
+        |    CAST(coalesce(i.inter, 0) AS DOUBLE)
+        |      / (nd.nd + nq.nq - coalesce(i.inter, 0)) AS jac_sim
+        |   FROM nd LEFT JOIN i ON nd.doc_id = i.doc_id CROSS JOIN nq),
+        | rj AS (SELECT doc_id, rank_jac FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY jac_sim DESC, doc_id) AS INT) AS rank_jac FROM jac)
+        |   WHERE rank_jac <= 100)
+        |SELECT coalesce(rc.doc_id, rj.doc_id) AS doc_id, rc.rank_cos, rj.rank_jac,
+        | round(coalesce(1.0 / (60 + rc.rank_cos), 0)
+        |   + coalesce(1.0 / (60 + rj.rank_jac), 0), 6) AS rrf_score
+        |FROM rc FULL OUTER JOIN rj ON rc.doc_id = rj.doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
 
     "sim_nearest_exemplar" ->
       s"""SELECT c_id, exemplar_id, round(sim, 6) AS sim FROM (

@@ -202,6 +202,43 @@ object TextOps {
         .orderBy("doc_id", "rk")
     }),
 
+    // BM25 ranked retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75) for
+    // a fixed 3-term query — the lexical half of every corpus search /
+    // contamination-lookup stack, and the standard candidate generator
+    // the hybrid RRF key fuses with the embedding ranker. Shape is
+    // scale-first: the token stream is FILTERED TO THE QUERY TERMS
+    // before any aggregation (posting-list discipline — the tf table is
+    // |docs containing a query term|, not the corpus), df and the
+    // (N, avgdl) scalars are 1-row/3-row broadcasts, and the only
+    // corpus-sized pass is the doc-length agg the scorer joins against.
+    // Determinism: integer tf/df/dl throughout; each term's contribution
+    // is rounded to 6 dp and summed on the DECIMAL lattice (term order
+    // cannot matter), the text_lm_score pin.
+    "text_bm25" -> ((s, dir) => {
+      val qTerms = Seq("spark", "hash", "merge")
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = tok.filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfc), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("contrib", round(
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+          6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          round(graft.Tables.dsum6(col("contrib")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Statistical bigram-LM quality score — the CCNet/KenLM-style
     // perplexity signal: train an add-one-smoothed bigram model on the
     // corpus itself (P(w2|w1) = (c(w1w2)+1)/(c(w1·)+V)), score each doc
@@ -617,6 +654,23 @@ object TextOps {
         |   GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT test_id, count(*) AS n_train_matches, max(shared) AS max_shared
         |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin,
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        | stats AS (SELECT count(*) AS n_docs,
+        |     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |   WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+        | dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT tf.doc_id,
+        |     round(ln((stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+        |       * (tf.tf * 2.2)
+        |       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
+        |   FROM tf, dfc, dl, stats
+        |   WHERE tf.term = dfc.term AND tf.doc_id = dl.doc_id)
+        |SELECT doc_id, count(*) AS n_terms,
+        | round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

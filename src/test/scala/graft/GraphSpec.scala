@@ -157,6 +157,39 @@ class GraphSpec extends SparkSpec {
     assert(GraphOps.triangles(star.toDF("d1", "d2")).count() == 0)
   }
 
+  test("clusteringCoeff matches brute force on an irregular graph") {
+    val pairs = (testPairs ++ (0L until 20L by 2).map(i => i -> (i + 2)) ++
+      Seq(3L -> 5L, 7L -> 9L)).distinct
+    val edges = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toSet }
+    val ref = adj.collect { case (v, ns) if ns.size >= 2 =>
+      val nbrs = ns.toSeq.sorted
+      val closed = (for {
+        i <- nbrs.indices; j <- (i + 1) until nbrs.size
+        if edges((math.min(nbrs(i), nbrs(j)), math.max(nbrs(i), nbrs(j))))
+      } yield 1).size.toLong
+      v -> ((ns.size.toLong, closed,
+        BigDecimal(closed * 2.0 / (ns.size.toLong * (ns.size - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = GraphOps.clusteringCoeff(pairs.toDF("d1", "d2")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(ref.values.exists(_._2 > 0), "test graph should close some wedges")
+    assert(got == ref, s"coeff mismatch: got ${got.size} rows vs ${ref.size}")
+  }
+
+  test("clusteringCoeff: clique nodes are 1, star center and leaves are 0") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val star = (11L to 15L).map(i => (10L, i))
+    val got = GraphOps.clusteringCoeff((k4 ++ star).toDF("d1", "d2")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert((1L to 4L).forall(got(_) == 1.0))
+    assert(got(10L) == 0.0)
+    assert(!(11L to 15L).exists(got.contains), "degree-1 leaves are excluded")
+  }
+
   test("clusterCohesion separates a clique from a chain") {
     // K4 on {1..4} (a true duplicate set) ∪ a 3-path on {10,11,12}
     // (a chained false merge): the report must show the clique as

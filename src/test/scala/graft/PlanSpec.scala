@@ -122,7 +122,9 @@ class PlanSpec extends SparkSpec {
             "agg_ab_ttest",  // self-cross of the |types|-row stats aggregate
             "agg_hll_overlap", // self-cross of the |types|-row sketch aggregate
             "sim_mrl_prefix_rerank", // bounded broadcast query set (as sim_knn)
-            "pipeline_label_balance" // 1-row n_min aggregate cross join
+            "pipeline_label_balance", // 1-row n_min aggregate cross join
+            "text_bm25",     // 1-row (N, avgdl) corpus-stats cross join (as text_tfidf)
+            "sim_hybrid_rrf" // 1-row broadcast query vector + 1-row |q| aggregate
           ).contains(key), p)
       }
     }
