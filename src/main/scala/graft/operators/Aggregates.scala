@@ -38,6 +38,27 @@ object Aggregates {
       t(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
 
+    // EXACT distinct via fixed-size bitmap partials — the third point on
+    // the distinct-count spectrum next to countDistinct (exact, shuffles
+    // an Expand of the raw keys) and HLL (mergeable but approximate):
+    // each (group, 4096-value bucket) collapses to a 512-byte bitmap in
+    // the partial aggregate, bitmaps OR-merge associatively, and the
+    // final count is exact. At 100 TB the shuffle carries
+    // |groups|·|id-range|/4096 half-KB rows instead of one row per
+    // distinct (user, type) pair — the dense-int-key regime (user ids,
+    // doc ids) where bitmaps beat both alternatives. The oracle is plain
+    // COUNT(DISTINCT): bitmap partials are an execution strategy, not a
+    // semantics change.
+    "agg_bitmap_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"),
+          bitmap_bucket_number(col("user_id")).as("bkt"))
+        .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id")))
+          .as("bm"))
+        .groupBy("event_type")
+        .agg(sum(bitmap_count(col("bm"))).as("n_users"))
+        .orderBy("event_type")),
+
     // Sketch-based percentile (the 100 TB default — exact percentile
     // collects per-group value multisets; the sketch is mergeable and
     // bounded). No SQL oracle (sketch internals differ across engines);
@@ -426,6 +447,9 @@ object Aggregates {
     "agg_distinct_count" ->
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS distinct_parts, count(*) AS cnt
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 6) AS sd_qty,

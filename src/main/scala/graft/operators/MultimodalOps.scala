@@ -176,6 +176,35 @@ object MultimodalOps {
           max(length(col("content")).cast("long")).as("n_bytes"))
         .select(col("keep_id"), col("dup_cnt"), col("n_bytes"), col("content_md5"))
         .orderBy("keep_id")),
+
+    // Container-format sniffing by magic bytes — the first gate of any
+    // media ingest (the claimed extension/MIME lies; the leading bytes
+    // don't): payloads are minted with real JPEG/PNG/RIFF magics
+    // (doc_id mod 3 chooses) over the UTF-8 text body, then detection
+    // reads ONLY a 4-byte hex prefix — a pure scan-stage projection that
+    // never decodes and never moves the payload (at 100 TB the sniff
+    // rides the binaryFile/metadata scan; unknown formats route to
+    // quarantine instead of a crashing decoder). The oracle re-derives
+    // the closed form from doc_id, which pins both the minting and the
+    // prefix-compare logic.
+    "multimodal_codec_detect" -> ((s, dir) => {
+      val magic = when(col("doc_id") % 3 === 0, lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)))
+        .when(col("doc_id") % 3 === 1, lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)))
+        .otherwise(lit("RIFF".getBytes("UTF-8")))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(magic, encode(col("text"), "UTF-8")).as("content"))
+      media.select(col("doc_id"),
+          hex(substring(col("content"), 1, 4)).as("magic_hex"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .withColumn("codec",
+          when(col("magic_hex").startsWith("FFD8FF"), "jpeg")
+            .when(col("magic_hex") === "89504E47", "png")
+            .when(col("magic_hex") === "52494646", "riff")
+            .otherwise("unknown"))
+        .select("doc_id", "codec", "magic_hex", "n_bytes")
+        .orderBy("doc_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -207,6 +236,16 @@ object MultimodalOps {
         | md5(text) AS content_md5
         |FROM documents GROUP BY 4
         |ORDER BY keep_id""".stripMargin,
+    // Closed form from the minting rule: doc_id mod 3 chose the magic,
+    // payload length = 4 magic bytes + the ASCII body.
+    "multimodal_codec_detect" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |   ELSE 'riff' END AS codec,
+        | CASE doc_id % 3 WHEN 0 THEN 'FFD8FFE0' WHEN 1 THEN '89504E47'
+        |   ELSE '52494646' END AS magic_hex,
+        | CAST(strlen(text) + 4 AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_join" ->
       """SELECT d.lang, CAST(i AS INT) AS pos,
         | round(avg(e.embedding[i + 1]), 6) AS avg_val, count(*) AS n

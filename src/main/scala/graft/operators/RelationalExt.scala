@@ -276,6 +276,36 @@ object RelationalExt {
     // mix config in general) broadcast onto the corpus — the corpus side
     // is a zero-shuffle scan→filter projection; the only exchange is the
     // spec's own distinct-sources agg.
+    // Curriculum staging: order the corpus easiest→hardest by quality
+    // score and cut it into 4 equal stages (curriculum learning's data
+    // schedule — train on clean high-quality text first, widen later).
+    // ntile makes the cut integer-exact cross-engine (the quality-gate
+    // pin); within a stage, presentation order is the deterministic
+    // salted-md5 permutation (pipeline_epoch_shuffle's), surfaced here
+    // as each stage's first document under that order so the schedule
+    // itself is part of the verified contract. Scale note: the global
+    // ntile is the oracle-checkable contract; at 100 TB swap the exact
+    // rank for approx_percentile stage thresholds broadcast back
+    // (agg_histogram_equidepth's documented twin) — same stages,
+    // bounded memory, approximate only at stage boundaries.
+    "pipeline_curriculum_stages" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"),
+          size(split(col("text"), " ")).as("n_tok"))
+      scored
+        .withColumn("stage", ntile(4).over(
+          Window.orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("shuffle_key",
+          md5(concat(lit("cur42:"), col("doc_id"))))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)), 6).as("mean_quality"),
+          sum(col("n_tok")).as("total_tokens"),
+          min_by(col("doc_id"), col("shuffle_key")).as("first_doc"))
+        .orderBy("stage")
+    }),
+
     "pipeline_domain_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val spec = docs.select("source").distinct()
@@ -1202,6 +1232,18 @@ object RelationalExt {
         |     ORDER BY md5('strat42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 < 4
         |   THEN 'train' ELSE 'test' END AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_curriculum_stages" ->
+      s"""WITH q AS (SELECT doc_id, ${TextOps.qualitySql("text")} AS quality,
+         |    len(string_split(text, ' ')) AS n_tok FROM documents),
+         | r AS (SELECT doc_id, quality, n_tok,
+         |    CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id) AS INT) AS stage,
+         |    md5('cur42:' || CAST(doc_id AS VARCHAR)) AS sk FROM q)
+         |SELECT stage, count(*) AS n_docs,
+         | round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |   AS mean_quality,
+         | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         | min_by(doc_id, sk) AS first_doc
+         |FROM r GROUP BY stage ORDER BY stage""".stripMargin,
     "pipeline_domain_mix" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE substring(md5('mix42:' || CAST(doc_id AS VARCHAR)), 1, 2) <

@@ -74,6 +74,21 @@ object ScalarFuncs {
         .orderBy("o_orderkey")
     }),
 
+    // The `inline` generator — the remaining Catalyst generator form next
+    // to explode/posexplode/stack (unpivot_metrics): one array<struct>
+    // cell fans out to N typed rows with the struct fields as columns.
+    // This is the denormalization step for nested corpus metadata
+    // (per-document annotation lists, per-image region lists) — a
+    // map-side row expansion with zero shuffle; the derived value uses
+    // +10.0 (an exact IEEE op) rather than per-row round(), which is
+    // engine-divergent at .xx5 boundaries.
+    "fn_inline_explode" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), expr(
+          "inline(array(struct('base' AS tag, o_totalprice AS v)," +
+            " struct('plus10' AS tag, o_totalprice + 10.0 AS v)))"))
+        .orderBy("o_orderkey", "tag")),
+
     // CSV as a SCALAR codec (`to_csv`/`from_csv`) — the embedded-record
     // twin of the fn_json/fn_xml keys: serialize a struct to one CSV
     // line per row, parse it back with an explicit DDL schema, and prove
@@ -267,6 +282,12 @@ object ScalarFuncs {
         | o_custkey AS fx_cust, o_orderstatus AS xp_status,
         | o_orderkey AS xp_id
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_inline_explode" ->
+      """SELECT o_orderkey, tag, v FROM (
+        |  SELECT o_orderkey, 'base' AS tag, o_totalprice AS v FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'plus10', o_totalprice + 10.0 FROM orders)
+        |ORDER BY o_orderkey, tag""".stripMargin,
     // from_csv(to_csv(x)) is field-exact (double parse inverts the
     // shortest-round-trip render), so the oracle is the identity select.
     "fn_csv_parse" ->

@@ -169,6 +169,36 @@ object Scans {
         .orderBy("doc_id")
     }),
 
+    // PERMISSIVE corrupt-record accounting — the ingest reality check: a
+    // crawl's jsonl shards always contain some malformed lines, and the
+    // pipeline must COUNT and QUARANTINE them, never crash
+    // (FAILFAST) or silently drop them (DROPMALFORMED). Every 50th doc
+    // is minted as a truncated JSON line; the read runs PERMISSIVE with
+    // an explicit `_corrupt_record` column, so malformed lines surface
+    // as NULL-field rows carrying the raw line. The per-lang rollup
+    // (corrupt rows land in the NULL-lang group) is the shard-health
+    // report an ingest job emits; the oracle re-derives it from the
+    // minting rule. Schema is explicit — no inference pass over 100 TB.
+    "scan_json_corrupt" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_corrupt"
+      t(s, dir, "documents")
+        .select(when(col("doc_id") % 50 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": \"")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .as("value"))
+        .write.mode("overwrite").format("text").save(tmp)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // Whole-file binary ingest (`binaryFile`) — the opaque-payload path a
     // multimodal corpus starts from (images/audio arrive as files, not
     // rows). Lay the corpus out as one text file per language partition
@@ -238,6 +268,17 @@ object Scans {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "scan_text_lines" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    // Closed form from the minting rule: doc_id % 50 = 0 lines are
+    // malformed → NULL-lang group with n_corrupt = n_rows; the rest
+    // aggregate normally per lang.
+    "scan_json_corrupt" ->
+      """SELECT lang, count(*) AS n_rows, CAST(0 AS BIGINT) AS n_corrupt,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 50 <> 0 GROUP BY lang
+        |UNION ALL
+        |SELECT NULL, count(*), count(*), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 50 = 0
+        |ORDER BY lang""".stripMargin,
     "scan_binary_files" ->
       """SELECT lang, CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -38,6 +38,13 @@ object TextOps {
     else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
   })
 
+  /** Adjacent character pairs of a word (BPE symbol pairs, n=2 over
+    * chars) — same tight-UDF pattern as [[shingles]]. */
+  private val charPairUdf = udf((w: String) => {
+    if (w.length < 2) Array.empty[String]
+    else Array.tabulate(w.length - 1)(i => w.substring(i, i + 2))
+  })
+
   private val stopwords = Seq("the", "a")
 
   /** The 100 TB form of `pipeline_quality_gate`: per-language thresholds
@@ -200,6 +207,26 @@ object TextOps {
         .select(col("doc_id"), col("term"), col("tf"),
           round(col("score"), 6).as("score"), col("rk"))
         .orderBy("doc_id", "rk")
+    }),
+
+    // BPE merge-candidate mining (Sennrich 2016) — the pair-count step
+    // every byte-pair-encoding tokenizer trainer iterates: which adjacent
+    // symbol pair is most frequent across the corpus. The load-bearing
+    // scale trick is the one real trainers use: collapse the corpus to
+    // its VOCABULARY first (word, freq — a map-side-combined agg), then
+    // mine character pairs over the vocab weighted by freq — pair
+    // expansion touches |vocab| rows, not |corpus tokens|, a ~1000×
+    // working-set cut on natural text. One merge step is stated (the
+    // top-30 candidates); iterating merge→re-pair is a driver loop over
+    // the same two-agg shape with the chosen pair fused.
+    "pipeline_bpe_pairs" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      vocab.select(explode(charPairUdf(col("word"))).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(30)
     }),
 
     // BM25 ranked retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75) for
@@ -654,6 +681,16 @@ object TextOps {
         |   GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT test_id, count(*) AS n_train_matches, max(shared) AS max_shared
         |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin,
+    "pipeline_bpe_pairs" ->
+      """WITH vocab AS (SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |   GROUP BY word),
+        | c AS (SELECT string_split(word, '') AS chs, freq FROM vocab),
+        | p AS (SELECT chs[i] || chs[i+1] AS pair, freq
+        |   FROM (SELECT chs, freq,
+        |     unnest(generate_series(1, len(chs) - 1)) AS i FROM c))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
     "text_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         | dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
