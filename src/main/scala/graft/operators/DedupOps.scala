@@ -249,6 +249,23 @@ object DedupOps {
     "dedup_cluster" -> ((s, dir) =>
       clusterLabels(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // INCREMENTAL ingest form of dedup_cluster: the corpus (80% of docs)
+    // carries persisted labels; the ingest batch (doc_id % 5 = 0) mines
+    // its pairs by PROBING the band index (simhashPairsProbe — never a
+    // corpus self-join) and labels update through the bounded root graph
+    // (incrementalClusters). The oracle is the full-recompute fixpoint
+    // over the union pair set — incremental maintenance must be
+    // bit-identical to recomputation, which is exactly what makes it
+    // safe to run per-batch at 100 TB instead of re-clustering the
+    // corpus on every ingest.
+    "dedup_cluster_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldLabels = clusterLabels(docs.filter(col("doc_id") % 5 =!= 0))
+      val newPairs = simhashPairsProbe(docs, col("doc_id") % 5 === 0,
+        maxHamming = 3).select("d1", "d2")
+      incrementalClusters(oldLabels, newPairs).orderBy("doc_id")
+    }),
+
     // MinHash(64) + LSH(16 bands × 4 rows). No SQL oracle (sketch path);
     // property-tested against exact Jaccard in the unit suite. Output:
     // top-50 candidate pairs by estimated Jaccard (deterministic order).
@@ -569,18 +586,25 @@ object DedupOps {
     * block always matches). 16-bit blocks keep bucket collisions ~256×
     * rarer than 8-bit ones — the 8-bit variant measured 7.5M candidate
     * pairs at sf0.1 on this clustery corpus. Returns (d1, d2, hamming). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "4-block banding is exact only for hamming <= 3")
+  /** Banded 64-bit simhash frame shared by [[simhashPairs]] (symmetric
+    * self-join) and [[simhashPairsProbe]] (batch-vs-all probe):
+    * (doc_id, sh_lo, sh_hi, band, blk) with 4 disjoint 16-bit blocks. */
+  private[graft] def banded64(docs: DataFrame): DataFrame = {
     val blocks = Seq(
       col("sh_lo").bitwiseAND(lit(65535L)),
       shiftright(col("sh_lo"), 16).bitwiseAND(lit(65535L)),
       col("sh_hi").bitwiseAND(lit(65535L)),
       shiftright(col("sh_hi"), 16).bitwiseAND(lit(65535L)))
-    val banded = simhashes64(docs).select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+    simhashes64(docs).select(col("doc_id"), col("sh_lo"), col("sh_hi"),
       explode(array(blocks.zipWithIndex.map { case (c, b) =>
         struct(lit(b).as("band"), c.as("blk")) }: _*)).as("bb"))
       .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
         col("bb.band"), col("bb.blk"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-block banding is exact only for hamming <= 3")
+    val banded = banded64(docs)
     val a = banded.select(col("doc_id").as("d1"), col("sh_lo").as("lo1"),
       col("sh_hi").as("hi1"), col("band"), col("blk"))
     val b = banded.select(col("doc_id").as("d2"), col("sh_lo").as("lo2"),
@@ -602,6 +626,77 @@ object DedupOps {
     * Returns (doc_id, cluster_id = smallest doc_id in the component). */
   def clusterLabels(docs: DataFrame): DataFrame =
     connectedComponents(simhashPairs(docs, maxHamming = 3))
+
+  /** Ingest-probe variant of [[simhashPairs]]: near-dup pairs TOUCHING
+    * the rows selected by `batchPred` only — the batch's banded
+    * simhashes (bounded) probe the full banded set, never a corpus
+    * self-join (the [[dedupAgainstIndex]] shape; at scale the full side
+    * is the persisted band index and only the probe side is computed).
+    * Pair ids are min/max-normalized so the output matches the symmetric
+    * miner's (d1 < d2) convention. */
+  def simhashPairsProbe(docs: DataFrame, batchPred: org.apache.spark.sql.Column,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-block banding is exact only for hamming <= 3")
+    // One banding pass feeds both sides (probe = filtered subset).
+    val banded = banded64(docs).persist()
+    val a = banded.filter(batchPred).select(col("doc_id").as("d1"),
+      col("sh_lo").as("lo1"), col("sh_hi").as("hi1"), col("band"), col("blk"))
+    val b = banded.select(col("doc_id").as("d2"), col("sh_lo").as("lo2"),
+      col("sh_hi").as("hi2"), col("band"), col("blk"))
+    val out = a.join(b, Seq("band", "blk")).filter(col("d1") =!= col("d2"))
+      .withColumn("hamming",
+        (bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
+          bit_count(col("hi1").bitwiseXOR(col("hi2")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"), col("hamming"))
+      .distinct()
+      .localCheckpoint()
+    banded.unpersist()
+    out
+  }
+
+  /** INCREMENTAL cluster maintenance — the ingest-time form of
+    * [[clusterLabels]]: given the existing corpus labels and the pair
+    * batch a new ingest mined (via [[simhashPairsProbe]] /
+    * [[dedupAgainstIndex]]), update labels by running CC over the
+    * bounded ROOT GRAPH — one node per touched cluster or new doc, one
+    * edge per new pair, quotiented through the current labels — instead
+    * of re-running CC over the corpus-wide pair graph. Untouched
+    * clusters are never read past the one labels join; cost scales with
+    * the batch and the clusters it bridges, not the corpus. Labels stay
+    * canonical (min doc_id per merged component), so the result is
+    * bit-identical to a full [[clusterLabels]] recompute over the union
+    * pair set — the contract the `dedup_cluster_incremental` oracle and
+    * DedupSimilaritySpec pin. */
+  def incrementalClusters(oldLabels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val l1 = oldLabels.select(col("doc_id").as("d1"), col("cluster_id").as("c1"))
+    val l2 = oldLabels.select(col("doc_id").as("d2"), col("cluster_id").as("c2"))
+    // Quotient each new edge through the current labels: endpoints not in
+    // any cluster yet (new docs, old singletons) stand for themselves.
+    val rootEdges = newPairs
+      .join(l1, Seq("d1"), "left")
+      .join(l2, Seq("d2"), "left")
+      .select(coalesce(col("c1"), col("d1")).as("d1"),
+        coalesce(col("c2"), col("d2")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    val merged = connectedComponents(rootEdges)
+      .select(col("doc_id").as("root"), col("cluster_id").as("merged"))
+    // Re-point affected old labels through their merged root; keep the
+    // rest. Then add every doc that appears only in the new pair batch.
+    val updatedOld = oldLabels
+      .join(merged, oldLabels("cluster_id") === merged("root"), "left")
+      .select(oldLabels("doc_id"),
+        coalesce(col("merged"), oldLabels("cluster_id")).as("cluster_id"))
+    val newDocs = newPairs.select(col("d1").as("doc_id"))
+      .union(newPairs.select(col("d2").as("doc_id"))).distinct()
+      .join(oldLabels.select("doc_id"), Seq("doc_id"), "left_anti")
+    val added = newDocs
+      .join(merged, newDocs("doc_id") === merged("root"), "left")
+      .select(newDocs("doc_id"),
+        coalesce(col("merged"), newDocs("doc_id")).as("cluster_id"))
+    updatedOld.unionByName(added)
+  }
 
   /** Directed edge rows per shuffle partition for the propagation rounds:
     * 4M rows of two longs ≈ 64 MB per task — partitioning is driven by the
@@ -896,6 +991,11 @@ object DedupOps {
     // True connected-components fixpoint via recursive CTE over the same
     // brute-force 64-bit-hamming pair set the pairs oracle uses.
     "dedup_cluster" ->
+      s"""WITH ${clusterLabelsSql("documents")}
+         |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin,
+    // Incremental maintenance ≡ full recompute: same fixpoint CTE as
+    // dedup_cluster — the equality IS the contract under test.
+    "dedup_cluster_incremental" ->
       s"""WITH ${clusterLabelsSql("documents")}
          |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin,
     "dedup_cluster_stats" ->

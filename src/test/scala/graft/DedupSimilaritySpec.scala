@@ -440,6 +440,25 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS mh_test_idx_sigs")
   }
 
+  test("incrementalClusters is bit-identical to full CC recompute") {
+    // Old graph: cluster {10,11,12}, cluster {20,21}, untouched {30,31}.
+    val oldPairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L))
+      .toDF("d1", "d2")
+    val oldLabels = DedupOps.connectedComponents(oldPairs)
+    // Batch: doc 40 bridges the 10- and 20-clusters; 41-42 form a fresh
+    // cluster; doc 5 (smaller than every old root) joins the 20-cluster —
+    // the merged label must drop to 5; 50 pairs with old singleton 60.
+    val newPairs = Seq((10L, 40L), (40L, 21L), (41L, 42L), (5L, 20L),
+      (50L, 60L)).toDF("d1", "d2")
+    val got = DedupOps.incrementalClusters(oldLabels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupOps.connectedComponents(oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+    assert(got(21L) == 5L && got(12L) == 5L && got(40L) == 5L)
+    assert(got(42L) == 41L && got(30L) == 30L && got(60L) == 50L)
+  }
+
   test("approx quality gate tracks the exact ntile gate per language") {
     val docs = graft.Tables.t(spark, sfDir, "documents")
     val exact = SparkEntry.queries("pipeline_quality_gate")(spark, sfDir)

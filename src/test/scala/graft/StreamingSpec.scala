@@ -806,6 +806,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming bitmap DAU ≡ batch agg_bitmap_distinct (exact, any order, re-delivery)") {
+    import graft.streaming.StreamingBitmapDau
+    import graft.streaming.StreamingBitmapDau.EventIn
+    withRocksDb {
+      // bit-set state is idempotent and order-free: feed the rows in a
+      // deterministic NON-event-time order (reversed by event hash) and
+      // re-deliver the middle wave to simulate at-least-once upstream —
+      // the counts must still match the batch exactly.
+      val rows = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"))
+        .as[EventIn].collect().toSeq
+        .sortBy(e => (e.user_id * 2654435761L + e.event_type.hashCode) % 997)
+      val waves = rows.grouped((rows.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingBitmapDau.bitmapDau(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_bitmap_dau")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+        ms.addData(waves(waves.size / 2)) // duplicate delivery
+        q.processAllAvailable()
+      } finally q.stop()
+      // latest emission per (type, bucket) = max count (monotone), DAU
+      // per type = sum over its disjoint buckets
+      val streamed = spark.table("stream_bitmap_dau")
+        .groupBy("event_type", "bucket").agg(max("n_users").as("n"))
+        .groupBy("event_type").agg(sum("n").as("n_users"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = SparkEntry.queries("agg_bitmap_distinct")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    }
+  }
+
   test("streaming weighted reservoir ≡ batch sample_weighted (exact, any chunking)") {
     import graft.streaming.StreamingWeightedSample
     import graft.streaming.StreamingWeightedSample.DocIn
