@@ -227,6 +227,29 @@ object RelationalExt {
       ).orderBy("doc_id")
     }),
 
+    // TEMPORAL split — the leakage-safe fold for time-dependent data
+    // (forecasting/session models must never train on the future of a
+    // user they are tested on): per user, the chronologically FIRST 80%
+    // of events train, the last 20% test. The rank rides the user-keyed
+    // window (one exchange, each user's history sorts in its own task);
+    // the cut uses integer rank vs count (ceil via ×5 ≥ ×4 comparison),
+    // not percent_rank floats, so the boundary is engine-exact. Summary
+    // output (per user: fold sizes + the train/test time boundary)
+    // keeps the contract checkable without materializing the event copy.
+    "train_test_split_temporal" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("fold",
+          when(col("rk") * 5 <= col("n") * 4, "train").otherwise("test"))
+        .groupBy("user_id", "fold")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("from_ts"), max(col("ts")).as("to_ts"))
+        .orderBy("user_id", "fold")
+    }),
+
     // Leakage-safe split: the fold is keyed by the near-dup CLUSTER id
     // (simhash hamming≤3 connected components), so near-duplicate
     // documents can never straddle train/test — the contamination vector
@@ -1189,6 +1212,16 @@ object RelationalExt {
         |SELECT doc_id,
         | unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS ztok
         |FROM z ORDER BY doc_id, ztok""".stripMargin,
+    "train_test_split_temporal" ->
+      """WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id,
+        | CASE WHEN rk * 5 <= n * 4 THEN 'train' ELSE 'test' END AS fold,
+        | count(*) AS n_events, min(ts) AS from_ts, max(ts) AS to_ts
+        |FROM r GROUP BY 1, 2 ORDER BY user_id, fold""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id,
         | CASE WHEN substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
