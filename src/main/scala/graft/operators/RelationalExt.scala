@@ -1042,6 +1042,42 @@ object RelationalExt {
         .orderBy("user_id", "valid_from")
     }),
 
+    // POINT-IN-TIME join against the SCD2 dimension (ts_scd2's): every
+    // event annotated with the status that was valid AT its timestamp —
+    // the "what did we believe about this entity then" join behind every
+    // leakage-free temporal feature. Implemented the scale-correct way:
+    // NOT an interval join (fact × per-user-dim-rows intermediate blowup)
+    // but one union + one user-keyed window — dim-change rows interleave
+    // into the fact stream ordered by (ts, event_id, dim-first) and the
+    // running last non-null status is by construction the valid row.
+    // One exchange, zero row multiplication, at any history depth. The
+    // ORACLE states the interval-join semantics directly (validity
+    // boundaries at (ts, event_id) granularity) — passing pins that the
+    // window form equals the declarative spec.
+    "join_scd2_pointintime" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dim = ev.withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("status"))
+      val tagged = ev.select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("string").as("status"), lit(0).as("is_dim"))
+        .unionByName(dim.withColumn("is_dim", lit(1)))
+      val w2 = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"), col("is_dim").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("status_at", last(col("status"), ignoreNulls = true).over(w2))
+        .withColumn("status_since",
+          last(when(col("is_dim") === 1, col("ts")), ignoreNulls = true).over(w2))
+        .filter(col("is_dim") === 0)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("status_at"), col("status_since"))
+        .orderBy("event_id")
+    }),
+
     // Bitwise scalar surface: & | ^ << >> and popcount — the bit-packing
     // toolkit the SimHash/banding operators build on, exposed directly.
     "fn_bit_scalar" -> ((s, dir) =>
@@ -1500,6 +1536,25 @@ object RelationalExt {
          |FROM big JOIN orders ON l_orderkey = o_orderkey
          | JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "join_scd2_pointintime" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events),
+        | ch AS (SELECT * FROM ev WHERE prev_type IS NULL OR prev_type <> event_type),
+        | dim AS (SELECT user_id, event_type AS status, ts AS valid_from,
+        |    event_id AS from_eid,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_eid
+        |   FROM ch)
+        |SELECT f.event_id, f.user_id, CAST(f.ts AS TIMESTAMP) AS ts,
+        | d.status AS status_at, d.valid_from AS status_since
+        |FROM events f JOIN dim d ON f.user_id = d.user_id
+        | AND (CAST(f.ts AS TIMESTAMP) > d.valid_from
+        |   OR (CAST(f.ts AS TIMESTAMP) = d.valid_from AND f.event_id >= d.from_eid))
+        | AND (d.valid_to IS NULL OR CAST(f.ts AS TIMESTAMP) < d.valid_to
+        |   OR (CAST(f.ts AS TIMESTAMP) = d.valid_to AND f.event_id < d.to_eid))
+        |ORDER BY f.event_id""".stripMargin,
     "ts_scd2" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
         |   lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)

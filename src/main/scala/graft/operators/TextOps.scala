@@ -45,6 +45,73 @@ object TextOps {
     else Array.tabulate(w.length - 1)(i => w.substring(i, i + 2))
   })
 
+  /** Word → initial BPE symbol sequence (one symbol per character). */
+  private val charSymsUdf = udf((w: String) => w.map(_.toString))
+
+  /** Adjacent symbol pairs, `\u001f`-joined (symbols are corpus-text
+    * substrings and can never contain the separator). */
+  private val symPairUdf = udf((syms: Seq[String]) =>
+    if (syms.length < 2) Array.empty[String]
+    else Array.tabulate(syms.length - 1)(i => syms(i) + "\u001f" + syms(i + 1)))
+
+  /** One BPE merge application: greedy left-to-right non-overlapping
+    * replacement of the adjacent pair (a, b) by the fused symbol —
+    * the exact convention BPE training and inference share. */
+  private def mergeUdf(a: String, b: String) = udf((syms: Seq[String]) => {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  })
+
+  /** Iterated BPE training (Sennrich 2016), `nMerges` steps: each round
+    * counts adjacent symbol pairs over the VOCABULARY (weighted by word
+    * frequency — the same working-set cut `pipeline_bpe_pairs` states),
+    * picks the most frequent pair (count desc, pair asc — fully
+    * deterministic), fuses it everywhere, repeats. The driver holds ONE
+    * ROW per round (the chosen merge) — the standard trainer loop shape;
+    * the vocabulary itself never leaves the cluster. Returns the merge
+    * table (step, left, right, pair_count). Properties pinned in the
+    * unit suite: the classic hug/pug/pun/bun/hugs fixture's known merge
+    * sequence, non-increasing merge counts, and exact symbol-mass
+    * accounting (each merge removes precisely pair_count symbols). */
+  def bpeMerges(vocab: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var v = vocab.select(col("freq"), charSymsUdf(col("word")).as("syms"))
+      .localCheckpoint()
+    var step = 1
+    while (step <= nMerges) {
+      val top = v.select(explode(symPairUdf(col("syms"))).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) { step = nMerges + 1 }
+      else {
+        val Array(a, b) = top(0).getString(0).split('\u001f')
+        merges += ((step, a, b, top(0).getLong(1)))
+        v = v.select(col("freq"), mergeUdf(a, b)(col("syms")).as("syms"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Total symbol instances in a [[bpeMerges]] working vocabulary —
+    * the mass-accounting probe the unit suite uses. */
+  private[graft] def symbolMass(v: DataFrame): Long =
+    v.select(sum(size(col("syms")) * col("freq"))).collect()(0).getLong(0)
+
+  /** The [[bpeMerges]] working frame for external probes (tests). */
+  private[graft] def bpeInitFrame(vocab: DataFrame): DataFrame =
+    vocab.select(col("freq"), charSymsUdf(col("word")).as("syms"))
+
+  /** [[mergeUdf]] exposed for the unit suite's mass-accounting replay. */
+  private[graft] def applyMerge(a: String, b: String) = mergeUdf(a, b)
+
   private val stopwords = Seq("the", "a")
 
   /** The 100 TB form of `pipeline_quality_gate`: per-language thresholds
@@ -227,6 +294,23 @@ object TextOps {
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(30)
+    }),
+
+    // The ITERATED form of pipeline_bpe_pairs: 5 actual BPE merge
+    // rounds over the corpus vocabulary (see bpeMerges — driver holds
+    // one chosen merge per round, the vocab never leaves the cluster).
+    // No SQL oracle (the merge loop is a driver iteration); the
+    // algorithm is pinned in the unit suite against the classic
+    // hug/pug/pun/bun/hugs fixture plus mass-accounting and
+    // monotonicity properties, and the rows-only driver check still
+    // guards the key's shape.
+    "pipeline_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      bpeMerges(vocab, nMerges = 5)
+        .toDF("step", "left", "right", "pair_count")
     }),
 
     // BM25 ranked retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75) for

@@ -440,6 +440,29 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS mh_test_idx_sigs")
   }
 
+  test("bpeMerges reproduces the classic fixture and conserves symbol mass") {
+    // The canonical BPE walkthrough vocabulary: merges must be
+    // (u,g):20 → (u,n):16 → (h,ug):15.
+    val vocab = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L),
+      ("hugs", 5L)).toDF("word", "freq")
+    val merges = TextOps.bpeMerges(vocab, nMerges = 3)
+    assert(merges == Seq((1, "u", "g", 20L), (2, "u", "n", 16L),
+      (3, "h", "ug", 15L)))
+    // merge counts never increase (fused symbols can only appear as
+    // often as the pair they replaced)
+    assert(merges.map(_._4) == merges.map(_._4).sorted.reverse)
+    // symbol-mass accounting: each merge removes exactly pair_count
+    // symbol instances from the working vocabulary
+    val before = TextOps.symbolMass(TextOps.bpeInitFrame(vocab))
+    var frame = TextOps.bpeInitFrame(vocab)
+    merges.foreach { case (_, a, b, cnt) =>
+      frame = frame.select(col("freq"),
+        TextOps.applyMerge(a, b)(col("syms")).as("syms"))
+      () // mass checked cumulatively below
+    }
+    assert(TextOps.symbolMass(frame) == before - merges.map(_._4).sum)
+  }
+
   test("incrementalClusters is bit-identical to full CC recompute") {
     // Old graph: cluster {10,11,12}, cluster {20,21}, untouched {30,31}.
     val oldPairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L))
