@@ -112,6 +112,25 @@ object TextOps {
   /** [[mergeUdf]] exposed for the unit suite's mass-accounting replay. */
   private[graft] def applyMerge(a: String, b: String) = mergeUdf(a, b)
 
+  /** Tokenize one word under an ordered BPE merge list — merges apply in
+    * training order, each greedy left-to-right (the inference-time
+    * convention that mirrors [[bpeMerges]] exactly). */
+  private[graft] def tokenizeWord(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    merges.foreach { case (a, b) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
   private val stopwords = Seq("the", "a")
 
   /** The 100 TB form of `pipeline_quality_gate`: per-language thresholds
@@ -296,6 +315,35 @@ object TextOps {
         .limit(30)
     }),
 
+    // OOV RATE of a held-out split against the training vocabulary —
+    // the tokenizer/corpus-coverage diagnostic that decides whether a
+    // word-level vocab is viable or the pipeline needs subword units
+    // (BPE's raison d'être, measured): using the same 80/20 doc split
+    // convention as dedup_cluster_incremental, count what fraction of
+    // the held-out split's token INSTANCES and distinct TYPES never
+    // occur in the training split, per language. Shape: train vocab =
+    // one distinct agg; test tokens left-anti-ish via a word-keyed left
+    // join (the vocab is word-keyed, never broadcast as a whole) — two
+    // exchanges at any corpus size.
+    "text_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val trainVocab = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(explode(split(col("text"), " ")).as("word")).distinct()
+        .withColumn("in_train", lit(1))
+      val testTok = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      testTok.join(trainVocab, Seq("word"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_train").isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct(col("word")).as("n_types"),
+          countDistinct(when(col("in_train").isNull, col("word")))
+            .as("n_oov_types"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .orderBy("lang")
+    }),
+
     // The ITERATED form of pipeline_bpe_pairs: 5 actual BPE merge
     // rounds over the corpus vocabulary (see bpeMerges — driver holds
     // one chosen merge per round, the vocab never leaves the cluster).
@@ -311,6 +359,31 @@ object TextOps {
         .groupBy("word").agg(count(lit(1)).as("freq"))
       bpeMerges(vocab, nMerges = 5)
         .toDF("step", "left", "right", "pair_count")
+    }),
+
+    // INFERENCE with the learned tokenizer: apply the 5 trained merges
+    // ([[bpeMerges]]) to the corpus and report per-language token
+    // accounting — whitespace words vs BPE symbols and the compression
+    // the merges bought. The merge list is a 5-pair closure constant
+    // (broadcast with the task), application is a map-side UDF; the only
+    // aggregation is the per-lang rollup. The token-count-per-corpus
+    // number this produces is THE quantity a training-data pipeline
+    // budgets by. Rows-only driver check; the tokenizer itself is pinned
+    // by the fixture spec (hugs → [hug, s], pun → [p, un]).
+    "pipeline_bpe_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = docs.select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val merges = bpeMerges(vocab, nMerges = 5).map(m => (m._2, m._3))
+      val nBpeUdf = udf((text: String) =>
+        text.split(' ').iterator.map(w => tokenizeWord(w, merges).length.toLong).sum)
+      docs.select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_words"),
+          nBpeUdf(col("text")).as("n_bpe"))
+        .groupBy("lang")
+        .agg(sum(col("n_words")).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
+        .withColumn("tokens_per_word",
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+        .orderBy("lang")
     }),
 
     // BM25 ranked retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75) for
@@ -765,6 +838,21 @@ object TextOps {
         |   GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT test_id, count(*) AS n_train_matches, max(shared) AS max_shared
         |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin,
+    "text_oov_rate" ->
+      """WITH tv AS (SELECT DISTINCT word FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |    WHERE doc_id % 5 <> 0)),
+        | tt AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |   FROM documents WHERE doc_id % 5 = 0),
+        | j AS (SELECT tt.lang, tt.word,
+        |    CASE WHEN tv.word IS NULL THEN 1 ELSE 0 END AS oov
+        |   FROM tt LEFT JOIN tv ON tt.word = tv.word)
+        |SELECT lang, count(*) AS n_tokens,
+        | CAST(sum(oov) AS BIGINT) AS n_oov,
+        | count(DISTINCT word) AS n_types,
+        | count(DISTINCT CASE WHEN oov = 1 THEN word END) AS n_oov_types,
+        | round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "pipeline_bpe_pairs" ->
       """WITH vocab AS (SELECT word, count(*) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -461,6 +461,13 @@ class DedupSimilaritySpec extends SparkSpec {
       () // mass checked cumulatively below
     }
     assert(TextOps.symbolMass(frame) == before - merges.map(_._4).sum)
+    // inference mirrors training: the learned merges tokenize the
+    // fixture words to the canonical BPE segmentations
+    val ms = merges.map(m => (m._2, m._3))
+    assert(TextOps.tokenizeWord("hugs", ms) == Seq("hug", "s"))
+    assert(TextOps.tokenizeWord("pun", ms) == Seq("p", "un"))
+    assert(TextOps.tokenizeWord("hug", ms) == Seq("hug"))
+    assert(TextOps.tokenizeWord("zap", ms) == Seq("z", "a", "p"))
   }
 
   test("incrementalClusters is bit-identical to full CC recompute") {
