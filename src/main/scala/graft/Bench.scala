@@ -68,7 +68,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    println(run(spark, sfDir, SparkEntry.queries, reps))
+    val line = run(spark, sfDir, SparkEntry.queries, reps)
+    println(line)
+    // Also persist the full line to a file: the driver's artifact keeps
+    // only a 2000-char tail of stdout, and the 272-key JSON no longer
+    // fits — the committed file is the durable per-key record
+    // (SPARK_GRAFT_BENCH_OUT overrides the default repo-root path).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LOCAL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"bench: could not persist $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -41,14 +41,18 @@ object Aggregates {
     // EXACT distinct via fixed-size bitmap partials — the third point on
     // the distinct-count spectrum next to countDistinct (exact, shuffles
     // an Expand of the raw keys) and HLL (mergeable but approximate):
-    // each (group, 4096-value bucket) collapses to a 512-byte bitmap in
-    // the partial aggregate, bitmaps OR-merge associatively, and the
-    // final count is exact. At 100 TB the shuffle carries
-    // |groups|·|id-range|/4096 half-KB rows instead of one row per
+    // each (group, 32768-value bucket) collapses to a 4 KB bitmap in
+    // the partial aggregate (Spark's bitmap_bucket_number spans 32768
+    // bits per bucket), bitmaps OR-merge associatively, and the final
+    // count is exact. At 100 TB the shuffle carries
+    // |groups|·|id-range|/32768 4-KB rows instead of one row per
     // distinct (user, type) pair — the dense-int-key regime (user ids,
-    // doc ids) where bitmaps beat both alternatives. The oracle is plain
-    // COUNT(DISTINCT): bitmap partials are an execution strategy, not a
-    // semantics change.
+    // doc ids) where bitmaps beat both alternatives. The streaming twin
+    // (StreamingBitmapDau) deliberately uses a SMALLER 4096-value /
+    // 512-byte bucket span — finer state granularity per streaming key —
+    // so the two share the partial-bitmap idea, not the bucket geometry.
+    // The oracle is plain COUNT(DISTINCT): bitmap partials are an
+    // execution strategy, not a semantics change.
     "agg_bitmap_distinct" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"),

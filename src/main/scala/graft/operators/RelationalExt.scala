@@ -232,8 +232,10 @@ object RelationalExt {
     // user they are tested on): per user, the chronologically FIRST 80%
     // of events train, the last 20% test. The rank rides the user-keyed
     // window (one exchange, each user's history sorts in its own task);
-    // the cut uses integer rank vs count (ceil via ×5 ≥ ×4 comparison),
-    // not percent_rank floats, so the boundary is engine-exact. Summary
+    // the cut uses integer rank vs count (rk×5 ≤ n×4 is FLOOR(0.8n) —
+    // a 1-event user gets an empty train fold, all test; the oracle
+    // applies the identical predicate), not percent_rank floats, so the
+    // boundary is engine-exact. Summary
     // output (per user: fold sizes + the train/test time boundary)
     // keeps the contract checkable without materializing the event copy.
     "train_test_split_temporal" -> ((s, dir) => {

@@ -45,7 +45,10 @@ object StreamingBitmapDau {
         timerValues: TimerValues): Iterator[DauOut] = {
       val bits = if (st.exists()) st.get().bits else new Array[Byte](512)
       rows.foreach { e =>
-        val pos = (e.user_id % BucketSpan).toInt
+        // floorMod keeps the processor total over the whole long domain:
+        // truncating % would give negative ids a negative bit position
+        // (AIOOBE) and collide ids in (-4096, 4096) into bucket 0.
+        val pos = Math.floorMod(e.user_id, BucketSpan).toInt
         bits(pos >> 3) = (bits(pos >> 3) | (1 << (pos & 7))).toByte
       }
       st.update(Bitmap(bits))
@@ -62,7 +65,7 @@ object StreamingBitmapDau {
   def bitmapDau(events: Dataset[EventIn]): Dataset[DauOut] = {
     import events.sparkSession.implicits._
     events
-      .groupByKey(e => (e.event_type, e.user_id / BucketSpan))
+      .groupByKey(e => (e.event_type, Math.floorDiv(e.user_id, BucketSpan)))
       .transformWithState(new BitmapProcessor,
         TimeMode.None(), OutputMode.Update())
   }
