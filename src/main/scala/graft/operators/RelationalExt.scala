@@ -407,6 +407,30 @@ object RelationalExt {
         .orderBy("bucket")
     }),
 
+    // The 100 TB form of agg_histogram_equidepth: identical two-agg
+    // bucketing shape, but the decile boundaries come from ONE mergeable
+    // approx_percentile sketch (GK, rank error ≤ n/accuracy) instead of
+    // the exact percentile agg that buffers per-group value multisets —
+    // the swap every heavy exact key in this repo documents, here as its
+    // own key. accuracy=10000 bounds each bucket's mass drift to ~0.1%
+    // of n (pinned vs the exact key in the unit suite). Sketch values
+    // differ across engines, so no SQL oracle — the exact key is the
+    // semantic anchor; this key is the plan that survives the scale-up.
+    "agg_histogram_equidepth_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pcts = array((1 to 9).map(i => lit(i / 10.0)): _*)
+      val bounds = li.agg(
+        approx_percentile(col("l_extendedprice"), pcts, lit(10000)).as("bs"))
+      li.select(col("l_extendedprice").as("x"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          size(filter(col("bs"), b => b < col("x"))).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), min(col("x")).as("lo"),
+          max(col("x")).as("hi"), dsum(col("x")).as("sum_x"))
+        .orderBy("bucket")
+    }),
+
     // Multi-distinct aggregation: three DISTINCT aggregates (one of them
     // multi-column) + a plain count in ONE groupBy — Catalyst plans this
     // with a single Expand (row multiplier = #distinct groups), not one
@@ -586,10 +610,19 @@ object RelationalExt {
           ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
-    // Seeded Bernoulli sample — deterministic for a fixed seed (pinned in
-    // DeterminismSpec) but engine-specific RNG, so no SQL oracle.
+    // Seeded Bernoulli sample via the repo's standard salted-md5 gate
+    // (seed = the salt): substring(md5('samp7:' || doc_id), 1, 2) < '40'
+    // keeps exactly the 64/256 = 25% of the hash space below 0x40.
+    // Deliberately NOT Spark's .sample(seed): the XORShift row gate is
+    // engine-internal (no SQL oracle, partition-layout-sensitive),
+    // whereas the md5 gate is bit-identical in any engine, partition-
+    // and run-stable, and monotone in the rate (lowering the cutoff
+    // keeps an exact subset) — the same reproducible-membership contract
+    // every sampler in this repo rides. Zero-shuffle scan→filter.
     "sample_seeded" -> ((s, dir) =>
-      t(s, dir, "documents").sample(withReplacement = false, 0.25, seed = 7)
+      t(s, dir, "documents")
+        .filter(substring(md5(concat(lit("samp7:"), col("doc_id"))), 1, 2)
+          < "40")
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
@@ -1260,6 +1293,10 @@ object RelationalExt {
         | CASE WHEN rk * 5 <= n * 4 THEN 'train' ELSE 'test' END AS fold,
         | count(*) AS n_events, min(ts) AS from_ts, max(ts) AS to_ts
         |FROM r GROUP BY 1, 2 ORDER BY user_id, fold""".stripMargin,
+    "sample_seeded" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5('samp7:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |ORDER BY doc_id""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id,
         | CASE WHEN substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'

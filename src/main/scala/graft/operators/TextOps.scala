@@ -374,11 +374,13 @@ object TextOps {
     // The ITERATED form of pipeline_bpe_pairs: 5 actual BPE merge
     // rounds over the corpus vocabulary (see bpeMerges — driver holds
     // one chosen merge per round, the vocab never leaves the cluster).
-    // No SQL oracle (the merge loop is a driver iteration); the
-    // algorithm is pinned in the unit suite against the classic
-    // hug/pug/pun/bun/hugs fixture plus mass-accounting and
-    // monotonicity properties, and the rows-only driver check still
-    // guards the key's shape.
+    // Hash-verified against a DuckDB replay: the fixed 5-round loop
+    // unrolls to chained CTEs (bpeCtes) where each merge is one greedy
+    // string replace over a chr(31)-delimited symbol encoding — the
+    // trainer is deterministic, so the two engines must agree exactly.
+    // The algorithm is additionally pinned in the unit suite against the
+    // classic hug/pug/pun/bun/hugs fixture plus mass-accounting and
+    // monotonicity properties.
     "pipeline_bpe_merges" -> ((s, dir) => {
       import s.implicits._
       bpeMergesFor(s, dir).toDF("step", "left", "right", "pair_count")
@@ -392,8 +394,11 @@ object TextOps {
     // (broadcast with the task), application is a map-side UDF; the only
     // aggregation is the per-lang rollup. The token-count-per-corpus
     // number this produces is THE quantity a training-data pipeline
-    // budgets by. Rows-only driver check; the tokenizer itself is pinned
-    // by the fixture spec (hugs → [hug, s], pun → [p, un]).
+    // budgets by. Hash-verified: the oracle re-trains the 5 merges via
+    // the bpeCtes replay and applies them as a chain of greedy string
+    // replaces (training order = replace order, exactly tokenizeWord's
+    // convention); the tokenizer is additionally pinned by the fixture
+    // spec (hugs → [hug, s], pun → [p, un]).
     "pipeline_bpe_apply" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = bpeMergesFor(s, dir).map(m => (m._2, m._3))
@@ -813,7 +818,80 @@ object TextOps {
       .orderBy("test_id")
   }
 
+  /** Unrolled-CTE DuckDB replay of [[bpeMerges]] (`n` rounds). The
+    * vocabulary is encoded as ONE string per word with every symbol
+    * wrapped in chr(31) delimiters ("<1f>" + sym + "<1f>",
+    * concatenated), so that fusing the round's winning pair (a, b) is a
+    * single `replace(s, '<1f>a<1f><1f>b<1f>', '<1f>ab<1f>')`
+    * — string replace is greedy left-to-right non-overlapping, which is
+    * EXACTLY the trainer's merge convention (verified on the aaaaa →
+    * [aa, aa, a] overlap case), and the wrapping makes symbol boundaries
+    * unambiguous (corpus text contains no chr(31); probed). Each round k:
+    * p_k re-counts adjacent pairs freq-weighted, t_k picks the winner
+    * under the trainer's exact tie-break (count desc, then the
+    * chr(31)-joined pair string asc — binary collation in both engines),
+    * v_k applies it. No recursion needed: nMerges is a fixed constant,
+    * so the loop unrolls to 3·n chained CTEs. */
+  private def bpeCtes(n: Int): String = {
+    val v0 =
+      """v0 AS (
+        |  SELECT list_aggregate(list_transform(string_split(word, ''),
+        |      c -> chr(31) || c || chr(31)), 'string_agg', '') AS s, freq
+        |  FROM (SELECT word, count(*) AS freq FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |    GROUP BY 1))""".stripMargin
+    val rounds = (1 to n).flatMap { k =>
+      val p =
+        s"""p$k AS (
+           |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+           |        i -> sy[i] || chr(31) || sy[i + 1])) AS pair, freq
+           |    FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31)) AS sy,
+           |        freq FROM v${k - 1}))
+           |  GROUP BY 1)""".stripMargin
+      val t =
+        s"""t$k AS (
+           |  SELECT string_split(pair, chr(31))[1] AS a,
+           |    string_split(pair, chr(31))[2] AS b, cnt
+           |  FROM p$k ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+      val v =
+        if (k < n) Seq(
+          s"""v$k AS (
+             |  SELECT replace(v.s, chr(31) || t.a || chr(31) || chr(31) || t.b || chr(31),
+             |      chr(31) || t.a || t.b || chr(31)) AS s, v.freq
+             |  FROM v${k - 1} v CROSS JOIN t$k t)""".stripMargin)
+        else Seq.empty
+      Seq(p, t) ++ v
+    }
+    (v0 +: rounds).mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "pipeline_bpe_merges" ->
+      ("WITH " + bpeCtes(5) + "\n" +
+        (1 to 5).map(k =>
+          s"""SELECT CAST($k AS INT) AS step, a AS "left", b AS "right", cnt AS pair_count FROM t$k""")
+          .mkString("\nUNION ALL\n") + "\nORDER BY step"),
+    "pipeline_bpe_apply" -> {
+      val rep = (1 to 5).foldLeft("enc.s") { (acc, k) =>
+        s"replace($acc, chr(31) || t$k.a || chr(31) || chr(31) || t$k.b || chr(31), chr(31) || t$k.a || t$k.b || chr(31))"
+      }
+      "WITH " + bpeCtes(5) +
+        s""",
+           |wrds AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+           |enc AS (SELECT lang, w,
+           |  list_aggregate(list_transform(string_split(w, ''),
+           |      c -> chr(31) || c || chr(31)), 'string_agg', '') AS s FROM wrds),
+           |ap AS (SELECT enc.lang, enc.w, $rep AS s2
+           |  FROM enc CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3 CROSS JOIN t4 CROSS JOIN t5)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(CASE WHEN w = '' THEN 0 ELSE
+           |    len(string_split(s2, chr(31) || chr(31))) END) AS BIGINT) AS n_bpe_tokens,
+           |  round(CAST(sum(CASE WHEN w = '' THEN 0 ELSE
+           |    len(string_split(s2, chr(31) || chr(31))) END) AS DOUBLE) / count(*), 6)
+           |    AS tokens_per_word
+           |FROM ap GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "text_wordcount" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

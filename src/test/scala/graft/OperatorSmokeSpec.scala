@@ -211,6 +211,33 @@ class OperatorSmokeSpec extends SparkSpec {
     }
   }
 
+  test("pinned: approx equidepth histogram tracks the exact key at sf0.1") {
+    // the scale twin's GK sketch at accuracy=10000 displaces each decile
+    // boundary by ≤ n/10000 ranks, so each bucket's mass drifts ≤ ~0.2%
+    // of n from the exact n/10; 1% is multiple-σ slack. Run at sf0.1
+    // (the bench SF) so the bound is exercised on real mass, not on a
+    // tiny frame where the sketch is exact.
+    val dir = "/root/testdata/sf0.1"
+    val approx = SparkEntry.queries("agg_histogram_equidepth_approx")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("agg_histogram_equidepth")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == (0 to 9).toSet, s"buckets ${approx.keySet}")
+    val n = exact.values.map(_._1).sum.toDouble
+    (0 to 9).foreach { b =>
+      val (ac, alo, ahi) = approx(b)
+      val (ec, elo, ehi) = exact(b)
+      assert(math.abs(ac - ec) <= 0.01 * n,
+        s"bucket $b mass drift: approx=$ac exact=$ec (n=$n)")
+      // boundary drift: each bucket's [lo, hi] endpoints within 1% of
+      // the exact bucket's — the sketch moved the cut, not the data
+      assert(math.abs(alo - elo) <= 0.01 * math.abs(elo),
+        s"bucket $b lo drift: approx=$alo exact=$elo")
+      assert(math.abs(ahi - ehi) <= 0.01 * math.abs(ehi),
+        s"bucket $b hi drift: approx=$ahi exact=$ehi")
+    }
+  }
+
   test("pinned: merged HLL sketches within 5% of exact distinct docs") {
     val approx = SparkEntry.queries("agg_hll_sketch_merge")(spark, sfDir)
       .head.getLong(0).toDouble
