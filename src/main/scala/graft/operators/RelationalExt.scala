@@ -331,6 +331,43 @@ object RelationalExt {
         .orderBy("stage")
     }),
 
+    // TRAINED quality-curation gate — the missing piece between the
+    // text_quality_score heuristic and a learnable classifier: distill
+    // the heuristic labeler (quality ≥ 0.6875, ≈ the corpus median →
+    // balanced classes) into a logistic model over the SAME three
+    // features the heuristic reads (TextOps.qualityFeats — exact-share,
+    // no drift). The label is a linear threshold of a linear function of
+    // the features, so the problem is separable by construction and the
+    // trainer's convex-descent trace is the verifiable contract: loss
+    // strictly decreases from ln 2 and final train accuracy recovers
+    // most of the labeler (≥ 0.75 pinned; the margin near the median cut
+    // bounds what 8 full-batch steps can reach). 8 passes over a cached
+    // 4-column projection; see [[logisticTrain]] for the decimal-lattice
+    // determinism contract. No SQL oracle (iterative trainer, like
+    // sim_kmeans_train); ClassifierSpec pins monotone loss, planted-
+    // separation recovery and bit-determinism across partitionings.
+    "pipeline_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val Seq(uniq, stop, lsat) = TextOps.qualityFeats(col("text"))
+      val feats = t(s, dir, "documents").select(
+        uniq.cast("double").as("x_uniq"),
+        stop.cast("double").as("x_stop"),
+        lsat.cast("double").as("x_len"),
+        when(TextOps.qualityScore(col("text")) >= 0.6875, 1.0)
+          .otherwise(0.0).as("y")).persist()
+      try {
+        logisticTrain(feats, Seq("x_uniq", "x_stop", "x_len"), "y",
+          iters = 8, lr = 2.0)
+          .map { case (i, loss, acc, w) => (i, loss, acc, w(0), w(1), w(2), w(3)) }
+          .toDF("iter", "loss", "acc", "w_bias", "w_uniq", "w_stop", "w_len")
+          .select(col("iter"), round(col("loss"), 6).as("loss"),
+            round(col("acc"), 6).as("acc"), round(col("w_bias"), 6).as("w_bias"),
+            round(col("w_uniq"), 6).as("w_uniq"), round(col("w_stop"), 6).as("w_stop"),
+            round(col("w_len"), 6).as("w_len"))
+          .orderBy("iter")
+      } finally feats.unpersist()
+    }),
+
     "pipeline_domain_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val spec = docs.select("source").distinct()
@@ -1615,4 +1652,56 @@ object RelationalExt {
         | CAST(bit_count(o_orderkey) AS INT) AS b_pop
         |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
+
+  /** Full-batch logistic-regression trainer: fixed-`iters` gradient
+    * descent, one corpus pass per step — [[SimilarityOps.sphericalKmeans]]'s
+    * determinism recipe applied to supervised learning. Each pass is ONE
+    * two-phase hash aggregate computing the loss, the accuracy count and
+    * every gradient component together; per-row double contributions
+    * (sigmoid, softplus loss — the max(z,0) − z·y + log1p(e^−|z|) form,
+    * overflow-free at any |z|) are cast to DECIMAL(28,12) before summing,
+    * so the reduction is exact and partition-order-independent —
+    * bit-deterministic under any repartitioning, like every trainer here.
+    * The weight vector (|features|+1 doubles) is the only driver state.
+    * At 100 TB each step is a map-side-combined agg over the feature
+    * projection — no shuffle of the corpus, `iters` passes by contract
+    * (cache the projected features, as the corpus key does).
+    *
+    * Returns `iters + 1` trace rows (iter, mean loss and accuracy
+    * evaluated at the PRE-update weights, weights AFTER the update); the
+    * final row is evaluation-only at the trained weights, so the loss
+    * column is the full GD trajectory from w=0 (row 1 loss = ln 2) and
+    * the last row carries the final model + its training metrics. */
+  def logisticTrain(feats: org.apache.spark.sql.DataFrame, xCols: Seq[String],
+      yCol: String, iters: Int, lr: Double): Seq[(Long, Double, Double, Seq[Double])] = {
+    require(iters >= 1, "at least one gradient step")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    var w = Array.fill(xCols.length + 1)(0.0)
+    val trace = Seq.newBuilder[(Long, Double, Double, Seq[Double])]
+    val y = col(yCol)
+    for (k <- 1 to iters + 1) {
+      val z = xCols.zipWithIndex.foldLeft(lit(w(0)): org.apache.spark.sql.Column) {
+        case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c)
+      }
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val lossRow = greatest(z, lit(0.0)) - z * y + log1p(exp(-abs(z)))
+      val aggs = Seq(
+        sum(lossRow.cast(dec)).as("loss_sum"),
+        sum(when((z >= lit(0.0)) === (y === lit(1.0)), 1L).otherwise(0L)).as("n_ok"),
+        count(lit(1)).as("n"),
+        sum((p - y).cast(dec)).as("g0")) ++
+        xCols.zipWithIndex.map { case (c, j) =>
+          sum(((p - y) * col(c)).cast(dec)).as(s"g${j + 1}")
+        }
+      val r = feats.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long]("n").toDouble
+      val loss = r.getAs[java.math.BigDecimal]("loss_sum").doubleValue() / n
+      val acc = r.getAs[Long]("n_ok") / n
+      if (k <= iters)
+        w = w.indices.map(j =>
+          w(j) - lr * r.getAs[java.math.BigDecimal](s"g$j").doubleValue() / n).toArray
+      trace += ((k.toLong, loss, acc, w.toSeq))
+    }
+    trace.result()
+  }
 }

@@ -177,16 +177,27 @@ object TextOps {
       .select("doc_id", "lang", "quality")
   }
 
+  /** The three raw components of [[qualityScore]] — (uniq_ratio,
+    * stop_ratio, length saturation) — shared with the trained
+    * `pipeline_quality_classifier` gate so the classifier distills
+    * EXACTLY the heuristic labeler's feature space, never a drifted
+    * reimplementation. */
+  private[operators] def qualityFeats(text: Column): Seq[Column] = {
+    val toks = split(text, " ")
+    val nTok = size(toks)
+    Seq(
+      size(array_distinct(toks)) / nTok,
+      size(filter(toks, w => w.isin(stopwords: _*))) / nTok,
+      least(lit(1.0), nTok / lit(100.0)))
+  }
+
   /** The composite quality score (uniqueness + non-stopword + length
     * saturation, rounded to 6 dp) — shared by `text_quality_score` and
     * the per-language gate so the two keys can never drift apart. */
   private[operators] def qualityScore(text: Column): Column = {
-    val toks = split(text, " ")
-    val nTok = size(toks)
-    val stopRatio = size(filter(toks, w => w.isin(stopwords: _*))) / nTok
-    val uniqRatio = size(array_distinct(toks)) / nTok
+    val Seq(uniqRatio, stopRatio, lenSat) = qualityFeats(text)
     round(lit(0.3) * uniqRatio + lit(0.4) * (lit(1.0) - stopRatio)
-      + lit(0.3) * least(lit(1.0), nTok / lit(100.0)), 6)
+      + lit(0.3) * lenSat, 6)
   }
 
   /** DuckDB twin of [[qualityScore]] over a text column reference —
