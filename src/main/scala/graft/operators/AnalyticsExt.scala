@@ -677,23 +677,21 @@ object AnalyticsExt {
     // the bound is a data-derived constant, not a semantic one).
     // Adjacency matters, which is
     // what separates this from funnel_steps' anywhere-in-order funnel.
-    // Two leads over the same total order = one user-key exchange; the
-    // pattern predicate is a pure row-local conjunction, and the µs gap
-    // test is exact integer arithmetic.
-    "ts_pattern_detect" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      events(s, dir)
-        .withColumn("t2", lead(col("event_type"), 1).over(w))
-        .withColumn("t3", lead(col("event_type"), 2).over(w))
-        .withColumn("ts3", lead(col("ts"), 2).over(w))
-        .groupBy("user_id")
-        .agg(count(when(col("event_type") === "view" && col("t2") === "click"
-            && col("t3") === "purchase"
-            && unix_micros(col("ts3")) - unix_micros(col("ts")) <= 24L * 3600 * 1000000,
-          1)).as("n_patterns"))
-        .filter(col("n_patterns") > 0)
-        .orderBy("user_id")
-    }),
+    // Detection runs through the shared [[Cep]] template engine (one
+    // lead per non-first step over the same total order = one user-key
+    // exchange; row-local conjunction predicate; exact µs integer gap
+    // test) — the template object is ALSO what the streaming DFA twin
+    // consumes, so batch and stream can never drift.
+    "ts_pattern_detect" -> ((s, dir) =>
+      Cep.detectBatch(events(s, dir), Cep.ViewClickPurchase)),
+
+    // A second template through the identical engine: signup→purchase
+    // within 12 h (the activation funnel, length 2 — the minimum DFA,
+    // one streaming slot). Parity with StreamingPattern on this template
+    // is pinned in StreamingSpec; the oracle SQL is GENERATED from the
+    // same CepTemplate object as the Spark plan.
+    "ts_pattern_template" -> ((s, dir) =>
+      Cep.detectBatch(events(s, dir), Cep.SignupPurchase)),
 
     // AUDIENCE OVERLAP: distinct users per event-type PAIR (the co-
     // occurrence / cross-feature matrix behind "users who error also
@@ -764,18 +762,8 @@ object AnalyticsExt {
         |SELECT from_type, to_type, n,
         | n / sum(n) OVER (PARTITION BY from_type) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
-    "ts_pattern_detect" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-        |  FROM events),
-        | l AS (SELECT user_id, event_type, ts,
-        |    lead(event_type, 1) OVER w AS t2,
-        |    lead(event_type, 2) OVER w AS t3,
-        |    lead(ts, 2) OVER w AS ts3
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT user_id, count(*) FILTER (WHERE event_type = 'view'
-        |   AND t2 = 'click' AND t3 = 'purchase'
-        |   AND epoch_us(ts3) - epoch_us(ts) <= 86400000000) AS n_patterns
-        |FROM l GROUP BY 1 HAVING n_patterns > 0 ORDER BY 1""".stripMargin,
+    "ts_pattern_detect" -> Cep.detectSql(Cep.ViewClickPurchase),
+    "ts_pattern_template" -> Cep.detectSql(Cep.SignupPurchase),
     "agg_audience_overlap" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -60,6 +60,23 @@ object Sessionization {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** The dynamic gap RULE `sessionize_dynamic_gap` and its streaming twin
+    * share (one expression object — the two modes cannot drift): a
+    * purchase holds the session open 60 minutes, everything else 30. */
+  val dynamicGap: org.apache.spark.sql.Column =
+    when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+
+  /** Test-facing: dynamic-gap sessions via session_window's gap
+    * EXPRESSION form, over any (user_id, ts, value, event_type) frame —
+    * the exact plan of the `sessionize_dynamic_gap` key minus the
+    * presentation sort. */
+  def dynamicSessions(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.groupBy(col("user_id"), session_window(col("ts"), dynamicGap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
   val queries: Map[String, Q] = Map(
     // The classic batch sessionization: lag + cumulative sum.
     "sessionize_batch" -> ((s, dir) =>
@@ -133,9 +150,7 @@ object Sessionization {
     // the oracle's running-max CTE exercises.
     "sessionize_dynamic_gap" -> ((s, dir) =>
       events(s, dir)
-        .groupBy(col("user_id"), session_window(col("ts"),
-          when(col("event_type") === "purchase", lit("60 minutes"))
-            .otherwise(lit("30 minutes"))).as("sw"))
+        .groupBy(col("user_id"), session_window(col("ts"), dynamicGap).as("sw"))
         .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"), col("sum_value"))

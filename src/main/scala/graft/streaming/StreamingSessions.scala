@@ -29,6 +29,23 @@ object StreamingSessions {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Dynamic-gap sessionization: session_window's gap EXPRESSION form
+    * (per-event gap — purchases hold the session open longer) in
+    * streaming mode, watermarked and Append-compatible. The gap rule is
+    * [[graft.operators.Sessionization.dynamicGap]], the SAME expression
+    * object the batch `sessionize_dynamic_gap` key groups by — the
+    * §2.8-family parity contract (pinned in StreamingSpec) extends to
+    * gap expressions, not just gap literals. */
+  def sessionizeDynamicGap(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), graft.operators.Sessionization.dynamicGap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Tumbling-window aggregation with watermark (Append-compatible). */
   def tumbling(events: DataFrame, width: String = "1 hour",
       watermark: String = "10 minutes"): DataFrame =

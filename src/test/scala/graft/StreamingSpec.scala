@@ -62,6 +62,39 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("streaming dynamic-gap session_window ≡ batch sessionize_dynamic_gap") {
+    import StreamingSpec.TEv
+    def tev(id: Long, user: Long, offMin: Long, typ: String): TEv =
+      TEv(id, user, ts(offMin), 1.0, typ)
+    // purchases hold a 60-min gap: user 1's purchase@0 → click@45 MERGE
+    // (45 < 60; a static 30-min gap would split), click@45 → view@90
+    // SPLIT (30-min gap from a click). user 2: two 30-min-gap singletons.
+    val data = Seq(
+      tev(1, 1, 0, "purchase"), tev(2, 1, 45, "click"), tev(3, 1, 90, "view"),
+      tev(4, 2, 0, "view"), tev(5, 2, 45, "view"))
+    val flush = Seq(tev(98, 9, 10000, "view"), tev(99, 9, 20000, "view"))
+    val ms = MemoryStream[TEv]
+    val q = StreamingSessions.sessionizeDynamicGap(ms.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("stream_dyn_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      Seq(data, flush, Seq.empty).foreach { b =>
+        if (b.nonEmpty) ms.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.table("stream_dyn_sessions").filter(col("user_id") < 9)
+    val batch = Sessionization.dynamicSessions(data.toDF())
+    val canon = (df: DataFrame) => df
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(canon(out) == canon(batch))
+    // the dynamic rule actually fired: purchase@0 + click@45 are ONE
+    // session (2 events) — a static 30-min gap would have made 2+0
+    assert(out.filter(col("user_id") === 1 && col("n_events") === 2).count() == 1)
+    assert(out.count() == 4)
+  }
+
   test("late event beyond watermark is dropped; in-grace event merges") {
     val ms = MemoryStream[Event]
     val df = StreamingSessions.sessionize(ms.toDF(), "30 minutes", "10 minutes")
@@ -777,6 +810,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming pattern detector ≡ batch ts_pattern_template (second template)") {
+    import graft.operators.Cep
+    import graft.streaming.StreamingPattern
+    import graft.streaming.StreamingPattern.EventIn
+    withRocksDb {
+      // the SAME CepTemplate object drives both modes — a length-2
+      // template (one DFA slot), covering the minimum state bound
+      val keyed = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_micros"), col("event_id"))
+        .as[EventIn].collect().toSeq.sortBy(e => (e.ts_micros, e.event_id))
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingPattern.patterns(ms.toDS(), Cep.SignupPurchase).toDF()
+        .writeStream.format("memory").queryName("stream_pattern2")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      val latest = spark.table("stream_pattern2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (_, ts) => ts.maxBy(_._2) }
+        .collect { case (u, _, n) if n > 0 => (u, n) }.toSet
+      assert(latest.nonEmpty, "second template never fired at test scale")
+      val batch = SparkEntry.queries("ts_pattern_template")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(latest == batch)
+    }
+  }
+
   test("streaming running-distinct ≡ batch win_running_distinct (exact, ordered feed)") {
     import graft.streaming.StreamingRunningDistinct
     import graft.streaming.StreamingRunningDistinct.EventIn
@@ -880,4 +943,11 @@ class StreamingSpec extends SparkSpec {
       assert(verCounts == expected)
     }
   }
+}
+
+object StreamingSpec {
+  /** Typed event WITH event_type — the dynamic-gap parity fixture
+    * (StatefulSessionizer.Event has no type column). */
+  case class TEv(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      value: Double, event_type: String)
 }
