@@ -118,6 +118,7 @@ class PlanSpec extends SparkSpec {
             "text_entropy_kl", // 1-row corpus-total aggregate cross join (as text_tfidf)
             "text_pmi_bigrams", // two 1-row totals (N tokens, N bigrams) cross-joined
             "agg_histogram_equidepth", // 1-row decile-boundary aggregate cross join
+            "agg_histogram_equidepth_approx", // same 1-row boundary frame, sketch-built
             "pipeline_mix_temperature", // 1-row n_min aggregate cross-joined onto the tiny per-source spec
             "agg_ab_ttest",  // self-cross of the |types|-row stats aggregate
             "agg_hll_overlap", // self-cross of the |types|-row sketch aggregate
