@@ -436,8 +436,12 @@ object RelationalExt {
       val bounds = li.agg(percentile(col("l_extendedprice"), pcts).as("bs"))
       li.select(col("l_extendedprice").as("x"))
         .crossJoin(broadcast(bounds))
+        // same codegen'd compare-sum as the approx twin (ArrayFilter's
+        // lambda evaluates interpreted per row); bucket semantics and the
+        // list_filter oracle are unchanged
         .withColumn("bucket",
-          size(filter(col("bs"), b => b < col("x"))).cast("int"))
+          (1 to 9).map(i => (element_at(col("bs"), i) < col("x")).cast("int"))
+            .reduce(_ + _))
         .groupBy("bucket")
         .agg(count(lit(1)).as("cnt"), min(col("x")).as("lo"),
           max(col("x")).as("hi"), dsum(col("x")).as("sum_x"))
@@ -460,8 +464,12 @@ object RelationalExt {
         approx_percentile(col("l_extendedprice"), pcts, lit(10000)).as("bs"))
       li.select(col("l_extendedprice").as("x"))
         .crossJoin(broadcast(bounds))
+        // bucket = #boundaries strictly below x, as 9 codegen'd compares
+        // summed (ArrayFilter's lambda evaluates interpreted per row —
+        // measured 2x slower on this 600k-row scan stage)
         .withColumn("bucket",
-          size(filter(col("bs"), b => b < col("x"))).cast("int"))
+          (1 to 9).map(i => (element_at(col("bs"), i) < col("x")).cast("int"))
+            .reduce(_ + _))
         .groupBy("bucket")
         .agg(count(lit(1)).as("cnt"), min(col("x")).as("lo"),
           max(col("x")).as("hi"), dsum(col("x")).as("sum_x"))
