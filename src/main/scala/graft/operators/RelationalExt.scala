@@ -476,6 +476,61 @@ object RelationalExt {
         .orderBy("bucket")
     }),
 
+    // WINSORIZED mean (the robust-stats staple quality dashboards use
+    // when a handful of outlier rows would otherwise own the mean):
+    // clip every value into the exact [p05, p95] envelope, then average.
+    // Same two-agg shape as agg_histogram_equidepth — ONE 2-double
+    // percentile frame broadcast back onto the scan, clip is a pure
+    // codegen'd least/greatest projection, and the mean accumulates on
+    // the decimal lattice (order-independent, engine-exact). The clip
+    // counts make the key self-auditing: n_lo + n_hi ≈ 10% of n by
+    // construction. Exact percentile is the oracle-checkable stand-in;
+    // at 100 TB the boundary frame swaps to approx_percentile exactly
+    // like the equidepth twin.
+    "agg_winsorized_mean" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val b = li.agg(
+        percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("hi"))
+      li.select(col("l_returnflag"), col("l_extendedprice").as("x"))
+        .crossJoin(broadcast(b))
+        .withColumn("w", least(greatest(col("x"), col("lo")), col("hi")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          round(dsum(col("w")) / count(lit(1)), 6).as("winsorized_mean"),
+          round(dsum(col("x")) / count(lit(1)), 6).as("raw_mean"))
+        .orderBy("l_returnflag")
+    }),
+
+    // DIFFERENTIALLY-PRIVATE count release (the Laplace mechanism,
+    // Dwork 2006) over per-language document counts — the privacy-
+    // preserving aggregate a dataset card publishes when the corpus
+    // membership itself is sensitive. Noise is Laplace(b = 2) =
+    // sensitivity 1 / ε 0.5 via inverse-CDF: u ~ U(0,1) from the salted
+    // md5 of the GROUP key (the repo's standard deterministic-uniform:
+    // engine/partition/run-stable — a reproducible DP release under a
+    // fixed release salt), lap = −b·sign(u−½)·ln(1−2|u−½|). The true
+    // count is also emitted because this key's job is to VERIFY the
+    // mechanism cross-engine (a production release would drop it and
+    // rotate the salt per release). Shape: one hash agg; the noise is a
+    // scalar projection on the |groups|-row result — zero extra cost at
+    // any corpus size.
+    "pipeline_dp_count_noise" -> ((s, dir) => {
+      val b = 2.0
+      val h = md5(concat(lit("dp42:"), col("lang")))
+      val u = (conv(substring(h, 1, 8), 16, 10).cast("long") + lit(0.5)) /
+        lit(4294967296.0)
+      val lap = lit(-b) * signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      t(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("noisy_n", round(col("n") + lap, 6))
+        .select(col("lang"), col("n"), col("noisy_n"))
+        .orderBy("lang")
+    }),
+
     // Multi-distinct aggregation: three DISTINCT aggregates (one of them
     // multi-column) + a plain count in ONE groupBy — Catalyst plans this
     // with a single Expand (row multiplier = #distinct groups), not one
@@ -1427,6 +1482,38 @@ object RelationalExt {
          | count(*) AS cnt, min(x) AS lo, max(x) AS hi, ${dsumSql("x")} AS sum_x
          |FROM (SELECT l_extendedprice AS x FROM lineitem) CROSS JOIN b
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_winsorized_mean" ->
+      s"""WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+         |    quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
+         |SELECT l_returnflag, count(*) AS n,
+         | CAST(sum(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         | CAST(sum(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         | round(${dsumSql("least(greatest(x, lo), hi)")} / count(*), 6)
+         |   AS winsorized_mean,
+         | round(${dsumSql("x")} / count(*), 6) AS raw_mean
+         |FROM (SELECT l_returnflag, l_extendedprice AS x FROM lineitem)
+         | CROSS JOIN b
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // same hex₁₋₈ → u decode as sample_weighted's oracle; ln/sign/abs are
+    // correctly-rounded in both engines and the release rounds to 6 dp
+    "pipeline_dp_count_noise" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        | h AS (SELECT lang, n, md5('dp42:' || lang) AS h FROM c),
+        | u AS (SELECT lang, n,
+        |    ((CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) * 268435456
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 2, 1)) AS BIGINT) - 1) * 16777216
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 3, 1)) AS BIGINT) - 1) * 1048576
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 4, 1)) AS BIGINT) - 1) * 65536
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 5, 1)) AS BIGINT) - 1) * 4096
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 6, 1)) AS BIGINT) - 1) * 256
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 7, 1)) AS BIGINT) - 1) * 16
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 8, 1)) AS BIGINT) - 1)
+        |     + 0.5) / 4294967296.0 AS u
+        |   FROM h)
+        |SELECT lang, n,
+        | round(n + (-2.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+        |   AS noisy_n
+        |FROM u ORDER BY lang""".stripMargin,
     "agg_distinct_multi" ->
       """WITH g AS (SELECT l_returnflag,
         |   count(DISTINCT l_partkey) AS n_p,

@@ -119,6 +119,7 @@ class PlanSpec extends SparkSpec {
             "text_pmi_bigrams", // two 1-row totals (N tokens, N bigrams) cross-joined
             "agg_histogram_equidepth", // 1-row decile-boundary aggregate cross join
             "agg_histogram_equidepth_approx", // same 1-row boundary frame, sketch-built
+            "agg_winsorized_mean", // 1-row [p05,p95] clip-envelope cross join
             "pipeline_mix_temperature", // 1-row n_min aggregate cross-joined onto the tiny per-source spec
             "agg_ab_ttest",  // self-cross of the |types|-row stats aggregate
             "agg_hll_overlap", // self-cross of the |types|-row sketch aggregate
