@@ -840,6 +840,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint restart recovers the CEP detector's DFA slots") {
+    import graft.operators.Cep
+    import graft.streaming.StreamingPattern
+    import graft.streaming.StreamingPattern.EventIn
+    withRocksDb {
+      // batch 1 leaves every user mid-pattern (view, click in the DFA
+      // slots); batch 2 delivers the completing purchase AFTER a query
+      // restart — a hit can only be counted if the checkpoint restored
+      // the slot state, so n_patterns = 1 per user IS the recovery proof.
+      val m = 60L * 1000000
+      val base = java.nio.file.Files.createTempDirectory("graft_ckpt_cep").toString
+      val src = s"$base/src"; val ckpt = s"$base/ckpt"
+      val batch1 = Seq(
+        EventIn(1, "view", 0 * m, 1), EventIn(1, "click", 10 * m, 2),
+        EventIn(2, "view", 0 * m, 3), EventIn(2, "click", 12 * m, 4))
+      val batch2 = Seq(
+        EventIn(1, "purchase", 20 * m, 5), EventIn(2, "purchase", 25 * m, 6))
+      val schema = batch1.toDF().schema
+      def write(events: Seq[EventIn]): Unit =
+        events.toDF().coalesce(1).write.mode("append").parquet(src)
+      def runOnce(outDir: String): Unit = {
+        // memory sink can't resume from a checkpoint; foreachBatch can —
+        // each run appends its Update-mode emissions to its own dir
+        val stream = spark.readStream.schema(schema).parquet(src).as[EventIn]
+        val q = StreamingPattern.patterns(stream, Cep.ViewClickPurchase).toDF()
+          .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt).outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      write(batch1); runOnce(s"$base/out1") // slots live only in state now
+      write(batch2); runOnce(s"$base/out2") // restart must restore them
+      // the post-restart run saw ONLY the purchases; its emissions carry
+      // the completed-pattern counts iff the two slots were recovered
+      val got = spark.read.parquet(s"$base/out2").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L), got.toString)
+      // and the recovered totals equal the batch detector over all events
+      val all = (batch1 ++ batch2).toDF()
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("ts_micros")).as("ts"), col("event_id"))
+      val batch = Cep.detectBatch(all, Cep.ViewClickPurchase).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == batch)
+    }
+  }
+
   test("streaming running-distinct ≡ batch win_running_distinct (exact, ordered feed)") {
     import graft.streaming.StreamingRunningDistinct
     import graft.streaming.StreamingRunningDistinct.EventIn
