@@ -469,6 +469,50 @@ object TextOps {
     // drops. Model tables are vocab-bounded (≤V² rows) and broadcast;
     // the per-doc mean rides one hash agg with DECIMAL accumulation
     // (order-independent, engine-exact under the 6-dp per-term cast).
+    // CHARACTER-n-gram language ID (Cavnar–Trenkle lite — the n-gram
+    // heuristic proper, next to text_lang_id's marker-token shortcut):
+    // per-language char-BIGRAM profiles are trained from the corpus's
+    // own labels (add-one-smoothed multinomial over the full
+    // langs×bigram-vocab grid, so unseen bigrams score ln(1/(N+V))
+    // instead of silently dropping), every doc is scored against all 5
+    // profiles, and the key returns the CONFUSION MATRIX (actual ×
+    // predicted counts) — the evaluation artifact a lang-ID gate ships
+    // with. Scale: the profile grid is |langs|·|bigram vocab| ≈ 3.6k
+    // rows (chars are a bounded alphabet — the whole point of char
+    // n-grams) and broadcasts; the corpus-side cost is one bigram
+    // explode + two hash aggs; the per-doc argmax folds map-side via
+    // min_by on a (−score, lang) struct (sim_nearest_exemplar's
+    // pattern), so nothing doc-keyed crosses twice. Determinism: the
+    // per-(doc,lang) score accumulates cnt·ln(p) on the decimal lattice
+    // (text_lm_score's pin); ties break to the smallest language code.
+    "text_lang_id_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val db = docs.select(col("doc_id"), col("lang"),
+        explode(charPairUdf(col("text"))).as("bg"))
+      val dbc = db.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("cnt"))
+      val prof = db.groupBy(col("lang").as("p_lang"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+      val tot = prof.groupBy("p_lang").agg(sum("c").as("n_l"))
+      val vv = prof.agg(countDistinct(col("bg")).as("v"))
+      val grid = prof.select("bg").distinct()
+        .crossJoin(prof.select("p_lang").distinct())
+        .join(prof, Seq("p_lang", "bg"), "left")
+        .join(tot, "p_lang")
+        .crossJoin(vv)
+        .select(col("p_lang"), col("bg"),
+          log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("n_l") + col("v")))
+            .as("lp"))
+      val scored = dbc.join(broadcast(grid), "bg")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(dsum6(col("cnt") * col("lp")).as("score"))
+      scored.groupBy("doc_id", "lang")
+        .agg(min_by(col("p_lang"), struct((-col("score")).as("ns"),
+          col("p_lang"))).as("predicted"))
+        .groupBy(col("lang").as("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual", "predicted")
+    }),
+
     "text_lm_score" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val db = docs.select(col("doc_id"),
@@ -974,6 +1018,30 @@ object TextOps {
         |     unnest(generate_series(1, len(chs) - 1)) AS i FROM c))
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+    "text_lang_id_ngram" ->
+      """WITH db AS (SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(text) - 1),
+        |      i -> substr(text, i, 2))) AS bg FROM documents),
+        | dbc AS (SELECT doc_id, lang, bg, count(*) AS cnt FROM db GROUP BY 1, 2, 3),
+        | prof AS (SELECT lang AS p_lang, bg, count(*) AS c FROM db GROUP BY 1, 2),
+        | tot AS (SELECT p_lang, CAST(sum(c) AS BIGINT) AS n_l FROM prof GROUP BY 1),
+        | vv AS (SELECT count(DISTINCT bg) AS v FROM prof),
+        | grid AS (SELECT l.p_lang, b.bg,
+        |     ln((COALESCE(p.c, 0) + 1.0) / (t.n_l + vv.v)) AS lp
+        |   FROM (SELECT DISTINCT bg FROM prof) b
+        |   CROSS JOIN (SELECT DISTINCT p_lang FROM prof) l
+        |   LEFT JOIN prof p ON p.p_lang = l.p_lang AND p.bg = b.bg
+        |   JOIN tot t ON t.p_lang = l.p_lang
+        |   CROSS JOIN vv),
+        | scored AS (SELECT dbc.doc_id, dbc.lang, g.p_lang,
+        |     CAST(sum(CAST(dbc.cnt * g.lp AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |   FROM dbc JOIN grid g ON dbc.bg = g.bg GROUP BY 1, 2, 3),
+        | pred AS (SELECT doc_id, lang, p_lang AS predicted FROM (
+        |   SELECT doc_id, lang, p_lang,
+        |     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
+        |   FROM scored) WHERE rk = 1)
+        |SELECT lang AS actual, predicted, count(*) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         | dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),

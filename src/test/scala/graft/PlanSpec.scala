@@ -120,6 +120,7 @@ class PlanSpec extends SparkSpec {
             "agg_histogram_equidepth", // 1-row decile-boundary aggregate cross join
             "agg_histogram_equidepth_approx", // same 1-row boundary frame, sketch-built
             "agg_winsorized_mean", // 1-row [p05,p95] clip-envelope cross join
+            "text_lang_id_ngram", // profile-grid build: bounded |bigram vocab| × |langs| cross (≈3.6k rows) + 1-row V aggregate
             "pipeline_mix_temperature", // 1-row n_min aggregate cross-joined onto the tiny per-source spec
             "agg_ab_ttest",  // self-cross of the |types|-row stats aggregate
             "agg_hll_overlap", // self-cross of the |types|-row sketch aggregate
