@@ -445,14 +445,14 @@ object DedupOps {
     * is exactly the materialize-once accounting a production pipeline
     * uses for its pair table. Values are checkpointed leaves, so a
     * consumer's persist/unpersist cannot free them; keyed on the session
-    * instance so a restarted session re-mines. */
-  private val tau0Memo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+    * instance so a restarted session re-mines (stopped sessions are
+    * evicted, race losers' checkpoints freed — see [[graft.SessionMemo]]). */
+  private val tau0Memo = new graft.SessionMemo[DataFrame](graft.SessionMemo.freeCheckpoint)
 
   /** The memoized τ=0 exact-Jaccard pair frame for `dir`'s documents
     * table: (d1, d2, inter, n1, n2, jaccard), every co-occurring pair. */
   def tau0Pairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    tau0Memo.computeIfAbsent((s, dir), _ =>
+    tau0Memo.getOrCompute(s, dir)(
       jaccardPairs(t(s, dir, "documents"), tau = 0.0).localCheckpoint())
 
   /** Session-scoped memo of the 80%-corpus cluster labels the incremental
@@ -461,12 +461,12 @@ object DedupOps {
     * batch would defeat the operator's whole point; the graph keys'
     * pair-frame memo is the same pattern). Checkpointed leaf, keyed on
     * the session instance. */
-  private val corpusLabelsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  private val corpusLabelsMemo =
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.freeCheckpoint)
 
   /** Memoized [[clusterLabels]] of the `doc_id % 5 != 0` corpus subset. */
   def corpusLabels80(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    corpusLabelsMemo.computeIfAbsent((s, dir), _ =>
+    corpusLabelsMemo.getOrCompute(s, dir)(
       clusterLabels(t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0))
         .localCheckpoint())
 

@@ -149,15 +149,15 @@ object GraphOps {
     * session (test suites) can never serve blocks from a dead context, and
     * values are checkpointed leaves, so a consumer's persist/unpersist on
     * top cannot free them. */
-  private val pairMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  private val pairMemo =
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.freeCheckpoint)
 
   /** The near-dup pair graph every graph key ranks: exact 3-gram Jaccard
     * pairs at τ = 0.6 ([[DedupOps.jaccardPairs]]), memoized per (session,
     * dir) — see [[pairMemo]]. */
   private def nearDupPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    pairMemo.computeIfAbsent((s, dir), _ =>
+    pairMemo.getOrCompute(s, dir)(
       // Derived from the session-wide τ=0 memo (DedupOps.tau0Pairs), so
       // the graph keys and the dedup/threshold/kNN keys all pay the
       // inverted-index miner ONCE per session; this frame is just the

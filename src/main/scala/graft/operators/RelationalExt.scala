@@ -522,8 +522,17 @@ object RelationalExt {
       val h = md5(concat(lit("dp42:"), col("lang")))
       val u = (conv(substring(h, 1, 8), 16, 10).cast("long") + lit(0.5)) /
         lit(4294967296.0)
-      val lap = lit(-b) * signum(u - lit(0.5)) *
-        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      // The ln output is snapped to a 1e-3 lattice BEFORE the 6-dp
+      // release: neither engine guarantees correctly-rounded ln, and a
+      // 1-ulp divergence on a value that lands within an ulp of a 6-dp
+      // rounding boundary would flake the cross-engine hash. Quantizing
+      // 1000x coarser first shrinks that boundary-collision window by
+      // three orders of magnitude (the residual risk — ln landing within
+      // an ulp of a 1e-3 boundary — is theoretically nonzero but
+      // vanishing, and is the documented limit of float-releasing
+      // mechanisms here).
+      val lap = round(lit(-b) * signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 3)
       t(s, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .withColumn("noisy_n", round(col("n") + lap, 6))
@@ -1494,8 +1503,10 @@ object RelationalExt {
          |FROM (SELECT l_returnflag, l_extendedprice AS x FROM lineitem)
          | CROSS JOIN b
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // same hex₁₋₈ → u decode as sample_weighted's oracle; ln/sign/abs are
-    // correctly-rounded in both engines and the release rounds to 6 dp
+    // same hex₁₋₈ → u decode as sample_weighted's oracle; the ln output
+    // is snapped to a 1e-3 lattice before the 6-dp release (ln is NOT
+    // guaranteed correctly-rounded in either engine — the coarse snap is
+    // what keeps a 1-ulp divergence away from the release boundary)
     "pipeline_dp_count_noise" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         | h AS (SELECT lang, n, md5('dp42:' || lang) AS h FROM c),
@@ -1511,7 +1522,7 @@ object RelationalExt {
         |     + 0.5) / 4294967296.0 AS u
         |   FROM h)
         |SELECT lang, n,
-        | round(n + (-2.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+        | round(n + round((-2.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 3), 6)
         |   AS noisy_n
         |FROM u ORDER BY lang""".stripMargin,
     "agg_distinct_multi" ->

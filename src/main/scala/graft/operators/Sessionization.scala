@@ -50,13 +50,13 @@ object Sessionization {
       .agg(count(lit(1)).as("n_events"),
         min("ts").as("session_start"),
         (timestamp_micros(unix_micros(max(col("ts"))) + GapUs)).as("session_end"),
-        sum("value").as("sum_value"))
+        dsum6(col("value")).as("sum_value"))
       .drop("session_seq")
 
   /** Test-facing: same sessions via the native session_window operator. */
   def nativeSessions(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
@@ -73,7 +73,7 @@ object Sessionization {
     * presentation sort. */
   def dynamicSessions(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.groupBy(col("user_id"), session_window(col("ts"), dynamicGap).as("sw"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 

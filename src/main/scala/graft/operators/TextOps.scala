@@ -39,14 +39,21 @@ object TextOps {
   })
 
   /** Adjacent character pairs of a word (BPE symbol pairs, n=2 over
-    * chars) — same tight-UDF pattern as [[shingles]]. */
+    * chars) — same tight-UDF pattern as [[shingles]]. Iterates by CODE
+    * POINT, not UTF-16 code unit: the DuckDB oracles' substr/len count
+    * characters, so a String.substring version would split surrogate
+    * pairs (emoji, rare CJK) and silently break cross-engine parity on
+    * any non-BMP corpus (round-8 ADVICE). */
   private val charPairUdf = udf((w: String) => {
-    if (w.length < 2) Array.empty[String]
-    else Array.tabulate(w.length - 1)(i => w.substring(i, i + 2))
+    val cps = w.codePoints.toArray
+    if (cps.length < 2) Array.empty[String]
+    else Array.tabulate(cps.length - 1)(i => new String(cps, i, 2))
   })
 
-  /** Word → initial BPE symbol sequence (one symbol per character). */
-  private val charSymsUdf = udf((w: String) => w.map(_.toString))
+  /** Word → initial BPE symbol sequence (one symbol per code point —
+    * same non-BMP-safe convention as [[charPairUdf]]). */
+  private val charSymsUdf = udf((w: String) =>
+    w.codePoints.toArray.map(cp => new String(Character.toChars(cp))))
 
   /** Adjacent symbol pairs, `\u001f`-joined (symbols are corpus-text
     * substrings and can never contain the separator). */
@@ -80,9 +87,10 @@ object TextOps {
     * sequence, non-increasing merge counts, and exact symbol-mass
     * accounting (each merge removes precisely pair_count symbols). */
   def bpeMerges(vocab: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val spark = vocab.sparkSession
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var v = vocab.select(col("freq"), charSymsUdf(col("word")).as("syms"))
-      .localCheckpoint()
+    var (v, vIds) = DedupOps.checkpointTracked(
+      vocab.select(col("freq"), charSymsUdf(col("word")).as("syms")))
     var step = 1
     while (step <= nMerges) {
       val top = v.select(explode(symPairUdf(col("syms"))).as("pair"), col("freq"))
@@ -92,17 +100,21 @@ object TextOps {
       else {
         val Array(a, b) = top(0).getString(0).split('\u001f')
         merges += ((step, a, b, top(0).getLong(1)))
-        val next = v.select(col("freq"), mergeUdf(a, b)(col("syms")).as("syms"))
-          .localCheckpoint()
+        val (next, nextIds) = DedupOps.checkpointTracked(
+          v.select(col("freq"), mergeUdf(a, b)(col("syms")).as("syms")))
         // The superseded round's checkpoint blocks are dead the moment
-        // the next round materializes — free them, or each trainer run
-        // leaks nMerges cached RDD block sets.
-        v.unpersist(blocking = false)
+        // the next round materializes — free the pinned RDD blocks
+        // themselves (`Dataset.unpersist` would be a no-op here:
+        // localCheckpoint persists the RDD directly, outside the
+        // CacheManager), or each trainer run leaks nMerges block sets
+        // until the RDDs happen to be GC'd.
+        DedupOps.freeRddBlocks(spark, vIds)
         v = next
+        vIds = nextIds
         step += 1
       }
     }
-    v.unpersist(blocking = false)
+    DedupOps.freeRddBlocks(spark, vIds)
     merges.toSeq
   }
 
@@ -113,19 +125,20 @@ object TextOps {
     * contract each would otherwise re-run the 5-round driver loop. A
     * production pipeline trains the tokenizer ONCE and ships the merge
     * table to every consumer; the memo is that accounting in-session.
-    * Keyed on the session instance so a restarted session re-trains. */
-  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), Seq[(Int, String, String, Long)]]()
+    * Keyed on the session instance so a restarted session re-trains;
+    * stopped sessions are evicted and the multi-job trainer runs outside
+    * any map lock (see [[graft.SessionMemo]]). */
+  private val bpeMemo = new graft.SessionMemo[Seq[(Int, String, String, Long)]]()
 
   /** The memoized merge list for `dir`'s documents word-frequency vocab. */
   def bpeMergesFor(s: org.apache.spark.sql.SparkSession, dir: String,
       nMerges: Int = 5): Seq[(Int, String, String, Long)] =
-    bpeMemo.computeIfAbsent((s, dir), _ => {
+    bpeMemo.getOrCompute(s, dir) {
       val vocab = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
       bpeMerges(vocab, nMerges)
-    })
+    }
 
   /** Total symbol instances in a [[bpeMerges]] working vocabulary —
     * the mass-accounting probe the unit suite uses. */
@@ -500,7 +513,12 @@ object TextOps {
         .join(tot, "p_lang")
         .crossJoin(vv)
         .select(col("p_lang"), col("bg"),
-          log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("n_l") + col("v")))
+          // ln snapped to a 1e-4 lattice: neither engine guarantees
+          // correctly-rounded ln, and the downstream cnt*lp products are
+          // cast to DECIMAL(18,6) — quantizing the log first keeps a
+          // 1-ulp ln divergence three orders of magnitude away from any
+          // 6-dp cast boundary (pipeline_dp_count_noise's pattern).
+          round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("n_l") + col("v"))), 4)
             .as("lp"))
       val scored = dbc.join(broadcast(grid), "bg")
         .groupBy("doc_id", "lang", "p_lang")
@@ -1027,7 +1045,7 @@ object TextOps {
         | tot AS (SELECT p_lang, CAST(sum(c) AS BIGINT) AS n_l FROM prof GROUP BY 1),
         | vv AS (SELECT count(DISTINCT bg) AS v FROM prof),
         | grid AS (SELECT l.p_lang, b.bg,
-        |     ln((COALESCE(p.c, 0) + 1.0) / (t.n_l + vv.v)) AS lp
+        |     round(ln((COALESCE(p.c, 0) + 1.0) / (t.n_l + vv.v)), 4) AS lp
         |   FROM (SELECT DISTINCT bg FROM prof) b
         |   CROSS JOIN (SELECT DISTINCT p_lang FROM prof) l
         |   LEFT JOIN prof p ON p.p_lang = l.p_lang AND p.bg = b.bg

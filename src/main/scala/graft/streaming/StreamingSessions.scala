@@ -25,7 +25,7 @@ object StreamingSessions {
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), Tables.dsum6(col("value")).as("sum_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
@@ -35,14 +35,17 @@ object StreamingSessions {
     * [[graft.operators.Sessionization.dynamicGap]], the SAME expression
     * object the batch `sessionize_dynamic_gap` key groups by — the
     * §2.8-family parity contract (pinned in StreamingSpec) extends to
-    * gap expressions, not just gap literals. */
+    * gap expressions, not just gap literals. Like every helper here,
+    * sum_value rides the decimal accumulator (`Tables.dsum6`) exactly as
+    * the batch keys do, so the float column is inside the parity
+    * contract — it cannot drift with partitioning or arrival order. */
   def sessionizeDynamicGap(events: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"),
         session_window(col("ts"), graft.operators.Sessionization.dynamicGap).as("sw"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), Tables.dsum6(col("value")).as("sum_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
@@ -52,7 +55,7 @@ object StreamingSessions {
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), window(col("ts"), width).as("w"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), Tables.dsum6(col("value")).as("sum_value"))
       .select(col("user_id"), col("w.start").as("w_start"),
         col("n_events"), col("sum_value"))
 
@@ -63,7 +66,7 @@ object StreamingSessions {
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), window(col("ts"), width, slide).as("w"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), Tables.dsum6(col("value")).as("sum_value"))
       .select(col("user_id"), col("w.start").as("w_start"),
         col("n_events"), col("sum_value"))
 

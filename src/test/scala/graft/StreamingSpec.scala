@@ -85,8 +85,10 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val out = spark.table("stream_dyn_sessions").filter(col("user_id") < 9)
     val batch = Sessionization.dynamicSessions(data.toDF())
+    // sum_value is IN the canon: both modes accumulate it on the dsum6
+    // decimal lattice, so the float column is part of the parity contract
     val canon = (df: DataFrame) => df
-      .select("user_id", "session_start", "session_end", "n_events")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
       .collect().map(_.toSeq).toSet
     assert(canon(out) == canon(batch))
     // the dynamic rule actually fired: purchase@0 + click@45 are ONE
@@ -298,7 +300,7 @@ class StreamingSpec extends SparkSpec {
       .filter(col("user_id") < 9)
     val batch = data.toDF()
       .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.Tables.dsum6(col("value")).as("sum_value"))
       .select(col("user_id"), col("w.start").as("w_start"),
         col("n_events"), col("sum_value"))
     val canon = (df: DataFrame) => df.collect().map(_.toSeq).toSet
@@ -346,7 +348,7 @@ class StreamingSpec extends SparkSpec {
       .filter(col("user_id") < 9)
     val batch = data.toDF()
       .groupBy(col("user_id"), window(col("ts"), "1 hour", "15 minutes").as("w"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.Tables.dsum6(col("value")).as("sum_value"))
       .select(col("user_id"), col("w.start").as("w_start"),
         col("n_events"), col("sum_value"))
     val canon = (df: DataFrame) => df.collect().map(_.toSeq).toSet
