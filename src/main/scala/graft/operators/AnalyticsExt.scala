@@ -629,6 +629,57 @@ object AnalyticsExt {
         .orderBy("type_a", "type_b")
     }),
 
+    // SAMPLE-RATIO-MISMATCH check (the experimentation-platform health
+    // gate: is the 50/50 variant assignment actually landing 50/50?) —
+    // chi-square goodness-of-fit per experiment readout (one per
+    // event_type). Variant assignment is the repo's standard
+    // deterministic-uniform: first hex nibble of the salted md5 of the
+    // UNIT (user_id) < '8' -> A else B (8/16 = exactly 0.5 expected).
+    // The statistic releases as (O_A-E)^2/E + (O_B-E)^2/E over exact
+    // integer counts — nothing but correctly-rounded IEEE +,-,*,/ on
+    // identical inputs, so it is bit-identical cross-engine with no
+    // lattice games; the flag compares against the df=1, alpha=0.05
+    // critical value 3.841459. Shape: one two-phase hash agg over the
+    // events scan; the chi-square arithmetic runs on the |types|-row
+    // aggregate. At 100 TB the unit-level hash rides the scan
+    // projection — no shuffle beyond the one agg exchange.
+    "agg_srm_chisq" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("variant",
+        when(substring(md5(concat(lit("srm42:"), col("user_id"))), 1, 1) < "8",
+          lit("A")).otherwise(lit("B")))
+      ev.groupBy("event_type").agg(
+          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+        .withColumn("e", (col("n_a") + col("n_b")) / lit(2.0))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round((col("n_a") - col("e")) * (col("n_a") - col("e")) / col("e")
+            + (col("n_b") - col("e")) * (col("n_b") - col("e")) / col("e"), 6)
+            .as("chisq"))
+        .withColumn("srm_flag", col("chisq") > 3.841459)
+        .orderBy("event_type")
+    }),
+
+    // RATE LIMITER / THROTTLE — keep the first 3 events per (user, hour)
+    // by event time, drop the rest: the ingest-side guard a pipeline
+    // puts in front of a hot key (runaway client, bot burst) so one
+    // producer cannot flood a partition. row_number over the composite
+    // (user, hour-window) key — ONE exchange on exactly the key the
+    // downstream sessionizer already partitions by; the per-partition
+    // sort is bounded by a user-hour's fan-in, never corpus-wide. The
+    // streaming twin (StreamingThrottle) enforces the same rule with
+    // O(1) counter state per open (user, window) and is parity-pinned
+    // against this key's rule in StreamingSpec.
+    "ts_throttle" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("event_id"), col("user_id"),
+          date_trunc("hour", col("ts")).as("w_start"), col("ts"), col("rk"))
+        .orderBy("event_id")
+    }),
+
     // Median absolute deviation per group — the robust dispersion measure
     // (outliers move stddev, not MAD). Two passes by definition (the
     // deviations need the median first): each is one two-phase agg with
@@ -896,6 +947,29 @@ object AnalyticsExt {
          |   + (b.sxx - b.sx * b.sx / b.n) / (b.n - 1.0) / b.n), 6) AS t_stat
          |FROM st a CROSS JOIN st b WHERE a.event_type < b.event_type
          |ORDER BY 1, 2""".stripMargin,
+    "agg_srm_chisq" ->
+      """WITH v AS (SELECT event_type,
+        |   CASE WHEN substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |     THEN 'A' ELSE 'B' END AS variant
+        | FROM events),
+        | c AS (SELECT event_type,
+        |   CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        | FROM v GROUP BY 1),
+        | x AS (SELECT event_type, n_a, n_b, (n_a + n_b) / 2.0 AS e FROM c)
+        |SELECT event_type, n_a, n_b,
+        | round((n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e, 6) AS chisq,
+        | (round((n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e, 6)
+        |   > 3.841459) AS srm_flag
+        |FROM x ORDER BY event_type""".stripMargin,
+    "ts_throttle" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | r AS (SELECT event_id, user_id, date_trunc('hour', ts) AS w_start, ts,
+        |     CAST(row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |       ORDER BY ts, event_id) AS BIGINT) AS rk
+        |   FROM e)
+        |SELECT event_id, user_id, w_start, ts, rk
+        |FROM r WHERE rk <= 3 ORDER BY event_id""".stripMargin,
     "agg_mad" ->
       """WITH med AS (SELECT l_returnflag,
         |   percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med

@@ -222,6 +222,35 @@ object TextOps {
       s" / len(string_split($t,' ')))" +
       s" + 0.3 * least(1.0, len(string_split($t,' ')) / 100.0), 6)"
 
+  /** Per-doc average add-one-smoothed bigram log-likelihood — the
+    * corpus-trained "LM score" frame behind `text_lm_score` AND
+    * `pipeline_perplexity_buckets` (one scorer, two consumers — the keys
+    * cannot drift). Returns (doc_id, n_bigrams, avg_ll). The ln output
+    * is snapped to a 1e-4 lattice before the DECIMAL(18,6) accumulation
+    * (pipeline_dp_count_noise's pattern: neither engine guarantees
+    * correctly-rounded ln, and the snap keeps a 1-ulp divergence three
+    * orders of magnitude away from the decimal-cast boundary). Shape:
+    * one bigram explode, two broadcast-joined count tables, one per-doc
+    * hash agg — word-keyed, never a vocabulary collect. */
+  private def lmDocScores(docs: DataFrame): DataFrame = {
+    val db = docs.select(col("doc_id"),
+      explode(bigramUdf(col("text"))).as("bigram"))
+    val c2 = db.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c1 = c2.withColumn("w1", split(col("bigram"), " ")(0))
+      .groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    db.withColumn("w1", split(col("bigram"), " ")(0))
+      .join(broadcast(c2), "bigram")
+      .join(broadcast(c1), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("ll",
+        round(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))), 4))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(graft.Tables.dsum6(col("ll")) / count(lit(1)), 6).as("avg_ll"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_wordcount" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -531,24 +560,90 @@ object TextOps {
         .orderBy("actual", "predicted")
     }),
 
-    "text_lm_score" -> ((s, dir) => {
+    "text_lm_score" -> ((s, dir) =>
+      lmDocScores(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // GOPHER QUALITY RULES (Rae et al. 2021, "Scaling Language Models:
+    // Methods, Analysis & Insights from Training Gopher", App. A1.1) —
+    // the published rule-based document filter, restricted to the rules
+    // computable on whitespace-tokenized text: word count in [25, 1e5],
+    // mean word length in [3, 10], >= 2 stop words, top-word fraction
+    // <= 1/8 (the unigram form of Gopher's repetition caps). The key
+    // returns the AUDIT REPORT a filtering run ships: per-rule violation
+    // counts + the pass-all count, reconciling against docs_total.
+    // Determinism: every rule is an INTEGER comparison (sum_len >= 3n,
+    // 8*top_c <= n — never a float ratio), so the gate is bit-exact in
+    // any engine. Scale: two doc-keyed hash aggs + a 1-row final agg;
+    // the report is 6 rows regardless of corpus size.
+    "pipeline_gopher_rules" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val per = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n"),
+          sum(col("c") * length(col("w"))).as("sum_len"),
+          sum(when(col("w").isin(stopwords: _*), col("c")).otherwise(0L))
+            .as("n_stop"),
+          max("c").as("top_c"))
+      val flags = per.select(
+        when(col("n") < 25 || col("n") > 100000, 1L).otherwise(0L).as("f_wc"),
+        when(col("sum_len") < col("n") * 3 || col("sum_len") > col("n") * 10, 1L)
+          .otherwise(0L).as("f_mwl"),
+        when(col("n_stop") < 2, 1L).otherwise(0L).as("f_stop"),
+        when(col("top_c") * 8 > col("n"), 1L).otherwise(0L).as("f_rep"))
+      flags.agg(
+          count(lit(1)).as("docs_total"),
+          sum("f_wc").as("fail_word_count"),
+          sum("f_mwl").as("fail_mean_word_len"),
+          sum("f_stop").as("fail_stopwords"),
+          sum("f_rep").as("fail_repetition"),
+          sum(when(col("f_wc") + col("f_mwl") + col("f_stop") + col("f_rep")
+            === 0, 1L).otherwise(0L)).as("pass_all"))
+        .select(explode(array(
+          struct(lit("docs_total").as("rule"), col("docs_total").as("n_docs")),
+          struct(lit("fail_mean_word_len").as("rule"),
+            col("fail_mean_word_len").as("n_docs")),
+          struct(lit("fail_repetition").as("rule"),
+            col("fail_repetition").as("n_docs")),
+          struct(lit("fail_stopwords").as("rule"),
+            col("fail_stopwords").as("n_docs")),
+          struct(lit("fail_word_count").as("rule"),
+            col("fail_word_count").as("n_docs")),
+          struct(lit("pass_all").as("rule"), col("pass_all").as("n_docs"))))
+          .as("r"))
+        .select(col("r.rule").as("rule"), col("r.n_docs").as("n_docs"))
+        .orderBy("rule")
+    }),
+
+    // CCNET PERPLEXITY BUCKETS (Wenzek et al. 2020, "CCNet: Extracting
+    // High Quality Monolingual Datasets from Web Crawl Data"): rank each
+    // document by its per-LANGUAGE LM score and cut the corpus into
+    // head / middle / tail terciles — the curation step that keeps the
+    // best third and discards (or down-samples) the tail. Scores come
+    // from [[lmDocScores]] (the exact frame `text_lm_score` releases, so
+    // the two keys reconcile); tercile boundaries are exact per-language
+    // percentiles (5 langs x a tiny two-phase agg; the documented 100 TB
+    // swap is approx_percentile, mergeable partials — the
+    // agg_histogram_equidepth/_approx pair's pattern), broadcast back
+    // onto the scored frame for a zero-shuffle bucket assign. Higher
+    // avg_ll = lower perplexity = head.
+    "pipeline_perplexity_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val db = docs.select(col("doc_id"),
-        explode(bigramUdf(col("text"))).as("bigram"))
-      val c2 = db.groupBy("bigram").agg(count(lit(1)).as("c2"))
-      val c1 = c2.withColumn("w1", split(col("bigram"), " ")(0))
-        .groupBy("w1").agg(sum("c2").as("c1"))
-      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
-        .agg(countDistinct(col("w")).as("v"))
-      db.withColumn("w1", split(col("bigram"), " ")(0))
-        .join(broadcast(c2), "bigram")
-        .join(broadcast(c1), "w1")
-        .crossJoin(broadcast(vocab))
-        .withColumn("ll", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(graft.Tables.dsum6(col("ll")) / count(lit(1)), 6).as("avg_ll"))
-        .orderBy("doc_id")
+      val scored = lmDocScores(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val bounds = scored.groupBy("lang").agg(
+        percentile(col("avg_ll"), lit(1.0 / 3)).as("b33"),
+        percentile(col("avg_ll"), lit(2.0 / 3)).as("b66"))
+      scored.join(broadcast(bounds), "lang")
+        .withColumn("bucket",
+          when(col("avg_ll") >= col("b66"), lit("head"))
+            .when(col("avg_ll") >= col("b33"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(graft.Tables.dsum6(col("avg_ll")) / count(lit(1)), 6)
+            .as("mean_ll"))
+        .orderBy("lang", "bucket")
     }),
 
     // ZIPF SLOPE — the corpus-health diagnostic (natural text follows
@@ -1142,7 +1237,7 @@ object TextOps {
         | v AS (SELECT count(DISTINCT w) AS v
         |   FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)),
         | s AS (SELECT doc_id,
-        |     CAST(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS DECIMAL(18,6)) AS ll
+        |     CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + v.v)), 4) AS DECIMAL(18,6)) AS ll
         |   FROM b
         |   JOIN c2 USING (bigram)
         |   JOIN c1 ON string_split(b.bigram,' ')[1] = c1.w1
@@ -1150,6 +1245,67 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_bigrams,
         | round(CAST(sum(ll) AS DOUBLE) / count(*), 6) AS avg_ll
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_gopher_rules" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        | per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |     CAST(sum(c * len(w)) AS BIGINT) AS sum_len,
+        |     CAST(sum(CASE WHEN w IN ('the','a') THEN c ELSE 0 END) AS BIGINT) AS n_stop,
+        |     CAST(max(c) AS BIGINT) AS top_c
+        |   FROM (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2)
+        |   GROUP BY 1),
+        | f AS (SELECT
+        |     CASE WHEN n < 25 OR n > 100000 THEN 1 ELSE 0 END AS f_wc,
+        |     CASE WHEN sum_len < n * 3 OR sum_len > n * 10 THEN 1 ELSE 0 END AS f_mwl,
+        |     CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
+        |     CASE WHEN top_c * 8 > n THEN 1 ELSE 0 END AS f_rep
+        |   FROM per),
+        | a AS (SELECT count(*) AS docs_total,
+        |     CAST(sum(f_wc) AS BIGINT) AS fail_word_count,
+        |     CAST(sum(f_mwl) AS BIGINT) AS fail_mean_word_len,
+        |     CAST(sum(f_stop) AS BIGINT) AS fail_stopwords,
+        |     CAST(sum(f_rep) AS BIGINT) AS fail_repetition,
+        |     CAST(sum(CASE WHEN f_wc + f_mwl + f_stop + f_rep = 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS pass_all
+        |   FROM f)
+        |SELECT rule, n_docs FROM (
+        | SELECT 'docs_total' AS rule, docs_total AS n_docs FROM a
+        | UNION ALL SELECT 'fail_mean_word_len', fail_mean_word_len FROM a
+        | UNION ALL SELECT 'fail_repetition', fail_repetition FROM a
+        | UNION ALL SELECT 'fail_stopwords', fail_stopwords FROM a
+        | UNION ALL SELECT 'fail_word_count', fail_word_count FROM a
+        | UNION ALL SELECT 'pass_all', pass_all FROM a)
+        |ORDER BY rule""".stripMargin,
+    "pipeline_perplexity_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | b AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        |   FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        | c2 AS (SELECT bigram, count(*) AS c2 FROM b GROUP BY 1),
+        | c1 AS (SELECT string_split(bigram,' ')[1] AS w1, sum(c2) AS c1
+        |   FROM c2 GROUP BY 1),
+        | v AS (SELECT count(DISTINCT w) AS v
+        |   FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)),
+        | s AS (SELECT doc_id,
+        |     CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + v.v)), 4) AS DECIMAL(18,6)) AS ll
+        |   FROM b
+        |   JOIN c2 USING (bigram)
+        |   JOIN c1 ON string_split(b.bigram,' ')[1] = c1.w1
+        |   CROSS JOIN v),
+        | sc0 AS (SELECT doc_id, count(*) AS n_bigrams,
+        |     round(CAST(sum(ll) AS DOUBLE) / count(*), 6) AS avg_ll
+        |   FROM s GROUP BY doc_id),
+        | sc AS (SELECT sc0.doc_id, d.lang, sc0.avg_ll
+        |   FROM sc0 JOIN documents d USING (doc_id)),
+        | bo AS (SELECT lang, quantile_cont(avg_ll, 1.0/3) AS b33,
+        |     quantile_cont(avg_ll, 2.0/3) AS b66 FROM sc GROUP BY 1),
+        | bk AS (SELECT sc.lang,
+        |     CASE WHEN avg_ll >= b66 THEN 'head'
+        |          WHEN avg_ll >= b33 THEN 'middle' ELSE 'tail' END AS bucket,
+        |     avg_ll
+        |   FROM sc JOIN bo USING (lang))
+        |SELECT lang, bucket, count(*) AS n_docs,
+        | round(CAST(sum(CAST(avg_ll AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |   AS mean_ll
+        |FROM bk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_pmi_bigrams" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         | tok AS (SELECT unnest(toks) AS w FROM t),

@@ -141,6 +141,28 @@ object WindowFuncs {
     // statistics and the per-row arithmetic is the same correctly-
     // rounded IEEE expression. Constant-valued groups null out via the
     // exact-variance guard rather than dividing by zero.
+    // ROLLING EXACT MEDIAN — the robust smoother (a spike moves a rolling
+    // mean, not a rolling median) over each user's last-7-events frame.
+    // `percentile(0.5)` as a WINDOW aggregate: the frame holds <= 7
+    // values, so the per-row sort is O(7 log 7) — constant — and the
+    // exchange is the same user-key shuffle every other per-user window
+    // rides. Cross-engine: the median of <= 7 doubles is either an input
+    // element or the correctly-rounded midpoint (a+b)/2 of two elements,
+    // and the frame membership is total-ordered by (ts, event_id) — so
+    // it matches DuckDB's quantile_cont window bit-for-bit. At 100 TB
+    // this is the streaming-friendly smoother shape: bounded frame,
+    // single key exchange, no global sort (the presentation orderBy is
+    // the report's, dropped in pipeline use).
+    "win_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          round(percentile(col("value"), lit(0.5)).over(w), 6)
+            .as("rolling_median"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     "win_zscore" -> ((s, dir) => {
       val w = Window.partitionBy("l_returnflag")
       val x = col("l_quantity")
@@ -240,6 +262,14 @@ object WindowFuncs {
         |     THEN 1 ELSE 0 END AS fs
         |  FROM events)
         |ORDER BY event_id""".stripMargin,
+    "win_rolling_median" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events)
+        |SELECT event_id, user_id, ts, value,
+        | round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+        |   AS rolling_median
+        |FROM e ORDER BY user_id, ts, event_id""".stripMargin,
     "win_zscore" ->
       """WITH s AS (SELECT l_returnflag, l_orderkey, l_linenumber,
         |   l_quantity AS qty,

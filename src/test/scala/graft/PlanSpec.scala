@@ -114,6 +114,7 @@ class PlanSpec extends SparkSpec {
                              // the ≤m·k-row codebook and the query LUT frame
             "sim_ivfpq_knn", // same bounded sides + the ≤kCells centroid set
             "text_lm_score", // 1-row vocab-size aggregate cross join (as text_tfidf)
+            "pipeline_perplexity_buckets", // same 1-row vocab cross (shares lmDocScores)
             "funnel_steps",  // three 1-row step-count aggregates cross-joined
             "text_entropy_kl", // 1-row corpus-total aggregate cross join (as text_tfidf)
             "text_pmi_bigrams", // two 1-row totals (N tokens, N bigrams) cross-joined

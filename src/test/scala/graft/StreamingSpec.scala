@@ -785,6 +785,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming throttle ≡ batch ts_throttle (exact, ordered feed)") {
+    import graft.streaming.StreamingThrottle
+    import graft.streaming.StreamingThrottle.EventIn
+    withRocksDb {
+      val keyed = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          unix_micros(date_trunc("hour", col("ts"))).as("w_start"),
+          unix_micros(col("ts")).as("ts_micros"), col("event_id"))
+        .as[EventIn].collect().toSeq.sortBy(e => (e.ts_micros, e.event_id))
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingThrottle.throttle(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_throttle")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      // Append mode: each admitted event is emitted exactly once.
+      val admitted = spark.table("stream_throttle").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(admitted.length == admitted.toSet.size) // no duplicate emission
+      val batch = SparkEntry.queries("ts_throttle")(spark, sfDir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("w_start")).as("w_start"), col("rk"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(admitted.toSet == batch)
+      // the limit actually bites: a 5-event burst in one (user, hour)
+      // admits exactly Limit events, ranks 1..3, earliest-first
+      val burst = (1L to 5L).map(i =>
+        EventIn(999L, 0L, i * 1000000L, 100L + i))
+      val ms2 = MemoryStream[EventIn]
+      val q2 = StreamingThrottle.throttle(ms2.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_throttle_burst")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try { ms2.addData(burst); q2.processAllAvailable() } finally q2.stop()
+      val kept = spark.table("stream_throttle_burst").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+      assert(kept == Seq((101L, 1L), (102L, 2L), (103L, 3L)))
+    }
+  }
+
   test("streaming pattern detector ≡ batch ts_pattern_detect (exact, ordered feed)") {
     import graft.streaming.StreamingPattern
     import graft.streaming.StreamingPattern.EventIn
