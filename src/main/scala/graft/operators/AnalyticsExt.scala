@@ -669,6 +669,23 @@ object AnalyticsExt {
     // streaming twin (StreamingThrottle) enforces the same rule with
     // O(1) counter state per open (user, window) and is parity-pinned
     // against this key's rule in StreamingSpec.
+    // EVENT-TIME DISORDER AUDIT — the measurement that SIZES a streaming
+    // watermark: how far behind its user's event-time high-water mark
+    // does each event arrive (arrival order = event_id, the ingest
+    // sequence)? The report buckets lateness into the delay classes a
+    // pipeline must choose between (on-time / ≤1 min / ≤10 min / ≤1 h /
+    // beyond) with the max observed lateness per class — "bucket d is
+    // empty" is exactly the evidence that a 10-minute watermark loses
+    // nothing. All integer-µs arithmetic over one user-keyed running
+    // max; the histogram is ≤5 rows at any corpus size.
+    // (The driver's synthetic feed happens to be perfectly ordered, so
+    // the oracle pins the all-on-time report; the disorder buckets are
+    // exercised by OperatorSmokeSpec on a scrambled fixture.)
+    "ts_out_of_order_stats" -> ((s, dir) =>
+      outOfOrderStats(
+        events(s, dir).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us")))),
+
     "ts_throttle" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), date_trunc("hour", col("ts")))
         .orderBy(col("ts"), col("event_id"))
@@ -799,6 +816,27 @@ object AnalyticsExt {
       s"(($v3 | ($v3 << 1)) & 1431655765)"
     }
     s"(${spread16(x)} | (${spread16(y)} << 1))"
+  }
+
+  /** Lateness-bucket report over (user_id, event_id, us): each event's
+    * event-time lag behind its user's running high-water mark in ARRIVAL
+    * order (event_id). Factored out of the `ts_out_of_order_stats` key
+    * so the spec can drive the disorder buckets with a scrambled
+    * fixture. */
+  private[graft] def outOfOrderStats(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    ev.withColumn("late_us", max("us").over(w) - col("us"))
+      .select(
+        when(col("late_us") === 0L, "a_on_time")
+          .when(col("late_us") <= 60L * 1000000, "b_within_1m")
+          .when(col("late_us") <= 600L * 1000000, "c_within_10m")
+          .when(col("late_us") <= 3600L * 1000000, "d_within_1h")
+          .otherwise("e_over_1h").as("bucket"),
+        col("late_us"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"), max("late_us").as("max_late_us"))
+      .orderBy("bucket")
   }
 
   val oracle: Map[String, String] = Map(
@@ -962,6 +1000,19 @@ object AnalyticsExt {
         | (round((n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e, 6)
         |   > 3.841459) AS srm_flag
         |FROM x ORDER BY event_type""".stripMargin,
+    "ts_out_of_order_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        | l AS (SELECT user_id, event_id,
+        |     max(us) OVER (PARTITION BY user_id ORDER BY event_id) - us AS late_us
+        |   FROM e),
+        | b AS (SELECT CASE WHEN late_us = 0 THEN 'a_on_time'
+        |     WHEN late_us <= 60000000 THEN 'b_within_1m'
+        |     WHEN late_us <= 600000000 THEN 'c_within_10m'
+        |     WHEN late_us <= 3600000000 THEN 'd_within_1h'
+        |     ELSE 'e_over_1h' END AS bucket, late_us FROM l)
+        |SELECT bucket, count(*) AS n_events, max(late_us) AS max_late_us
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts_throttle" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         | r AS (SELECT event_id, user_id, date_trunc('hour', ts) AS w_start, ts,

@@ -286,6 +286,36 @@ object SimilarityOps {
     // so the result is bit-deterministic on both engines. Pure projection,
     // no shuffle; at scale this runs in the scan stage. QuantizeSpec pins
     // the reconstruction error and that quantized top-k ≈ exact top-k.
+    // EMBEDDING-CORPUS AUDIT — the data-quality gate an ANN pipeline runs
+    // BEFORE building any index: dimension consistency (a ragged corpus
+    // breaks every dot product), zero-norm and NaN vectors (poison
+    // cosine scoring), and the L2-norm envelope (catches an unnormalized
+    // batch sneaking into a normalized corpus). Per-vector norm² is a
+    // per-element double accumulation in INDEX ORDER (both engines
+    // promote each float32 exactly and apply correctly-rounded *,+ in
+    // the same sequence — bit-identical), released at 6 dp. Shape: one
+    // scan-stage projection + a 1-row agg; nothing vector-keyed ever
+    // shuffles, so the audit costs one corpus pass at any scale.
+    "pipeline_embedding_audit" -> ((s, dir) => {
+      val sq = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val per = t(s, dir, "embeddings").select(
+        size(col("embedding")).as("dim"),
+        round(sqrt(sq), 6).as("norm"),
+        when(exists(col("embedding"), x => isnan(x.cast("double"))), 1L)
+          .otherwise(0L).as("has_nan"))
+      per.agg(
+        count(lit(1)).as("n_vecs"),
+        countDistinct(col("dim")).as("n_dims_distinct"),
+        min("dim").as("min_dim"),
+        max("dim").as("max_dim"),
+        sum("has_nan").as("n_nan_vecs"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        min("norm").as("min_norm"),
+        max("norm").as("max_norm"),
+        round(dsum6(col("norm")) / count(lit(1)), 6).as("mean_norm"))
+    }),
+
     "sim_quantize_int8" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
         .withColumn("mx", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
@@ -871,6 +901,25 @@ object SimilarityOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "pipeline_embedding_audit" ->
+      """WITH per AS (SELECT len(embedding) AS dim,
+        |   round(sqrt(list_aggregate(
+        |     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |     'sum')), 6) AS norm,
+        |   CASE WHEN len(list_filter(embedding,
+        |     x -> isnan(CAST(x AS DOUBLE)))) > 0 THEN 1 ELSE 0 END AS has_nan
+        | FROM embeddings)
+        |SELECT count(*) AS n_vecs,
+        | count(DISTINCT dim) AS n_dims_distinct,
+        | CAST(min(dim) AS INT) AS min_dim,
+        | CAST(max(dim) AS INT) AS max_dim,
+        | CAST(sum(has_nan) AS BIGINT) AS n_nan_vecs,
+        | CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        | min(norm) AS min_norm,
+        | max(norm) AS max_norm,
+        | round(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |   AS mean_norm
+        |FROM per""".stripMargin,
     "sim_mrl_prefix_rerank" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
         |   FROM embeddings WHERE vec_id < 10),

@@ -301,4 +301,26 @@ class OperatorSmokeSpec extends SparkSpec {
     val n = SparkEntry.queries("dedup_exact")(spark, sfDir).count()
     assert(n == 500L) // sf0.001 documents are all distinct
   }
+
+  test("pinned: out-of-order buckets fire on a scrambled arrival sequence") {
+    import spark.implicits._
+    // arrival order (event_id) vs event time (us): event 2 arrives 30 s
+    // after the HWM set by event 1 (b bucket), event 4 arrives 5 min
+    // behind (c), event 6 arrives 2 h behind (e); 1, 3, 5 advance the
+    // HWM (a). User 2 is fully ordered — all a.
+    val h = 3600L * 1000000
+    val ev = Seq(
+      (1L, 1L, 10L * h), (2L, 1L, 10L * h - 30L * 1000000),
+      (3L, 1L, 11L * h), (4L, 1L, 11L * h - 300L * 1000000),
+      (5L, 1L, 12L * h), (6L, 1L, 10L * h),
+      (7L, 2L, 1L * h), (8L, 2L, 2L * h))
+      .toDF("event_id", "user_id", "us")
+    val out = graft.operators.AnalyticsExt.outOfOrderStats(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("a_on_time", 5L, 0L),
+      ("b_within_1m", 1L, 30L * 1000000),
+      ("c_within_10m", 1L, 300L * 1000000),
+      ("e_over_1h", 1L, 2L * h)))
+  }
 }

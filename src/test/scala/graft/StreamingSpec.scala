@@ -827,6 +827,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming lateness monitor ≡ batch ts_out_of_order_stats") {
+    import graft.streaming.StreamingLateness
+    import graft.streaming.StreamingLateness.EventIn
+    withRocksDb {
+      val keyed = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .as[EventIn].collect().toSeq.sortBy(_.event_id)
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingLateness.lateness(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_lateness")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      // aggregate the per-event emissions exactly as the batch key does
+      val streamed = spark.table("stream_lateness")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_events"), max("late_us").as("max_late_us"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = SparkEntry.queries("ts_out_of_order_stats")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      // a scrambled burst classifies per the shared bucket rule
+      val burst = Seq(EventIn(999L, 1L, 7200L * 1000000),
+        EventIn(999L, 2L, 7200L * 1000000 - 90L * 1000000),
+        EventIn(999L, 3L, 3600L * 1000000))
+      val ms2 = MemoryStream[EventIn]
+      val q2 = StreamingLateness.lateness(ms2.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_lateness_burst")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try { ms2.addData(burst); q2.processAllAvailable() } finally q2.stop()
+      val got = spark.table("stream_lateness_burst").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      // 2 is 90 s behind the HWM (c bucket); 3 is exactly 1 h behind
+      // (boundary inclusive -> d bucket)
+      assert(got == Set((1L, "a_on_time"), (2L, "c_within_10m"),
+        (3L, "d_within_1h")))
+    }
+  }
+
   test("streaming pattern detector ≡ batch ts_pattern_detect (exact, ordered feed)") {
     import graft.streaming.StreamingPattern
     import graft.streaming.StreamingPattern.EventIn
