@@ -629,6 +629,92 @@ object AnalyticsExt {
         .orderBy("type_a", "type_b")
     }),
 
+    // POISSON-BOOTSTRAP MEDIAN CI (Chamandy et al. 2012, "Estimating
+    // Uncertainty for Massive Data Streams" — the bootstrap that works
+    // at corpus scale: instead of resampling n rows with replacement,
+    // each row enters replica b with weight ~ Poisson(1), so a replica
+    // is ONE extra weight column, never a second pass over the data).
+    // B = 20 replicas; the weight is the inverse-CDF of Poisson(1) over
+    // the salted-md5 uniform (the repo's standard deterministic-uniform,
+    // so replicas are engine/partition/run-stable and the whole machine
+    // is hash-verified). Per-replica weighted median = smallest value
+    // whose running weight reaches half the replica's total (integer
+    // comparison 2·cw ≥ W — no float boundary); the CI reads the 2.5/97.5
+    // percentiles off the B-row replica frame. Shape: one 20× weighted
+    // expansion (broadcast of a 20-row replica frame), one (type,
+    // replica)-keyed window cumsum, then all statistics on |types|·B
+    // rows. The point estimate is the plain exact median, released
+    // beside the interval.
+    "agg_bootstrap_median_ci" -> ((s, dir) => {
+      val bReps = 20L
+      val reps = broadcast(s.range(1, bReps + 1)
+        .select(col("id").cast("int").as("rep")))
+      val ev = events(s, dir).select(col("event_type"), col("event_id"),
+        col("value"))
+      val h = md5(concat(lit("boot:"), col("rep"), lit(":"), col("event_id")))
+      val u = (conv(substring(h, 1, 8), 16, 10).cast("long") + lit(0.5)) /
+        lit(4294967296.0)
+      // Poisson(1) inverse CDF: cumulative e^-1 * (1/0! + 1/1! + ...)
+      // as fixed shared literals (identical in the oracle), capped at 6.
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .otherwise(6L)
+      val wdf = ev.crossJoin(reps).withColumn("w", w).filter(col("w") > 0L)
+      val tot = wdf.groupBy("event_type", "rep").agg(sum("w").as("wtot"))
+      val cum = wdf.withColumn("cw", sum("w").over(
+        Window.partitionBy("event_type", "rep").orderBy("value", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val med = cum.join(tot, Seq("event_type", "rep"))
+        .filter(col("cw") * 2 >= col("wtot"))
+        .groupBy("event_type", "rep").agg(min("value").as("med"))
+      val ci = med.groupBy("event_type").agg(
+        round(percentile(col("med"), lit(0.025)), 6).as("ci_lo"),
+        round(percentile(col("med"), lit(0.975)), 6).as("ci_hi"))
+      ev.groupBy("event_type")
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("median_value"))
+        .join(ci, "event_type")
+        .select(col("event_type"), col("median_value"), col("ci_lo"),
+          col("ci_hi"))
+        .orderBy("event_type")
+    }),
+
+    // DAILY CONVERSION RATE with WILSON 95% CI — the uncertainty-aware
+    // form of the funnel readout (a 3/7 day and a 300/700 day have the
+    // same rate and wildly different evidence; the interval says so).
+    // n = distinct active users per day, k = distinct users who
+    // purchased; the Wilson score interval is nothing but +,-,*,/,sqrt
+    // over those exact counts and the fixed z = 1.959964 — every one an
+    // IEEE correctly-rounded op, so lo/rate/hi are bit-identical
+    // cross-engine before the 6-dp release. Shape: one distinct-agg per
+    // day (two-phase, Expand for the two distincts); the interval is a
+    // scalar projection on the |days|-row aggregate.
+    "agg_conversion_wilson_ci" -> ((s, dir) => {
+      val z = 1.959964
+      val d = events(s, dir).select(
+        to_date(col("ts")).as("day"), col("user_id"),
+        (col("event_type") === "purchase").as("conv"))
+      val agg = d.groupBy("day").agg(
+        count_distinct(col("user_id")).as("n"),
+        count_distinct(when(col("conv"), col("user_id"))).as("k"))
+      val n = col("n").cast("double")
+      val k = col("k").cast("double")
+      val p = k / n
+      val z2 = lit(z * z)
+      val denom = lit(1.0) + z2 / n
+      val center = (p + z2 / (lit(2.0) * n)) / denom
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / n
+        + z2 / (lit(4.0) * n * n)) / denom
+      agg.select(col("day"), col("n"), col("k"),
+          round(p, 6).as("rate"),
+          round(center - half, 6).as("ci_lo"),
+          round(center + half, 6).as("ci_hi"))
+        .orderBy("day")
+    }),
+
     // SAMPLE-RATIO-MISMATCH check (the experimentation-platform health
     // gate: is the 50/50 variant assignment actually landing 50/50?) —
     // chi-square goodness-of-fit per experiment readout (one per
@@ -985,6 +1071,70 @@ object AnalyticsExt {
          |   + (b.sxx - b.sx * b.sx / b.n) / (b.n - 1.0) / b.n), 6) AS t_stat
          |FROM st a CROSS JOIN st b WHERE a.event_type < b.event_type
          |ORDER BY 1, 2""".stripMargin,
+    "agg_bootstrap_median_ci" ->
+      """WITH ev AS (SELECT event_type, event_id, value FROM events),
+        | x AS (SELECT ev.*, rep,
+        |     md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)) AS h
+        |   FROM ev CROSS JOIN (SELECT CAST(unnest(generate_series(1, 20)) AS INT) AS rep)),
+        | uw AS (SELECT event_type, event_id, value, rep,
+        |     ((CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) * 268435456
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 2, 1)) AS BIGINT) - 1) * 16777216
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 3, 1)) AS BIGINT) - 1) * 1048576
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 4, 1)) AS BIGINT) - 1) * 65536
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 5, 1)) AS BIGINT) - 1) * 4096
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 6, 1)) AS BIGINT) - 1) * 256
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 7, 1)) AS BIGINT) - 1) * 16
+        |   + (CAST(strpos('0123456789abcdef', substr(h, 8, 1)) AS BIGINT) - 1)
+        |     + 0.5) / 4294967296.0 AS u
+        |   FROM x),
+        | wd AS (SELECT event_type, event_id, value, rep,
+        |     CASE WHEN u < 0.36787944117144233 THEN 0
+        |          WHEN u < 0.7357588823428847 THEN 1
+        |          WHEN u < 0.9196986029286058 THEN 2
+        |          WHEN u < 0.9810118431238462 THEN 3
+        |          WHEN u < 0.9963401531726563 THEN 4
+        |          WHEN u < 0.9994058151824183 THEN 5
+        |          ELSE 6 END AS w
+        |   FROM uw),
+        | wf AS (SELECT * FROM wd WHERE w > 0),
+        | tot AS (SELECT event_type, rep, CAST(sum(w) AS BIGINT) AS wtot
+        |   FROM wf GROUP BY 1, 2),
+        | cum AS (SELECT event_type, rep, value,
+        |     CAST(sum(w) OVER (PARTITION BY event_type, rep
+        |       ORDER BY value, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |   FROM wf),
+        | med AS (SELECT cum.event_type, cum.rep, min(value) AS med
+        |   FROM cum JOIN tot USING (event_type, rep)
+        |   WHERE cw * 2 >= wtot GROUP BY 1, 2),
+        | ci AS (SELECT event_type,
+        |     round(quantile_cont(med, 0.025), 6) AS ci_lo,
+        |     round(quantile_cont(med, 0.975), 6) AS ci_hi
+        |   FROM med GROUP BY 1),
+        | pt AS (SELECT event_type,
+        |     round(quantile_cont(value, 0.5), 6) AS median_value
+        |   FROM ev GROUP BY 1)
+        |SELECT pt.event_type, median_value, ci_lo, ci_hi
+        |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin,
+    "agg_conversion_wilson_ci" ->
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+        |   event_type = 'purchase' AS conv FROM events),
+        | a AS (SELECT day, count(DISTINCT user_id) AS n,
+        |     count(DISTINCT CASE WHEN conv THEN user_id END) AS k
+        |   FROM d GROUP BY 1),
+        | w AS (SELECT day, n, k,
+        |     CAST(k AS DOUBLE) / n AS p,
+        |     1.959964 * 1.959964 AS z2,
+        |     CAST(n AS DOUBLE) AS nd
+        |   FROM a)
+        |SELECT day, n, k, round(p, 6) AS rate,
+        | round(((p + z2 / (2.0 * nd)) / (1.0 + z2 / nd))
+        |   - (1.959964 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+        |      / (1.0 + z2 / nd)), 6) AS ci_lo,
+        | round(((p + z2 / (2.0 * nd)) / (1.0 + z2 / nd))
+        |   + (1.959964 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+        |      / (1.0 + z2 / nd)), 6) AS ci_hi
+        |FROM w ORDER BY day""".stripMargin,
     "agg_srm_chisq" ->
       """WITH v AS (SELECT event_type,
         |   CASE WHEN substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'

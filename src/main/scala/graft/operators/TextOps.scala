@@ -563,6 +563,36 @@ object TextOps {
     "text_lm_score" -> ((s, dir) =>
       lmDocScores(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // VOCABULARY COVERAGE CURVE — what fraction of the corpus token MASS
+    // do the top-k vocabulary words cover (k = 1, 2, 4, ..., 1024)? The
+    // tokenizer-budget diagnostic: the curve's knee says how small a
+    // vocab gets you 95% coverage, and a too-flat curve flags boilerplate
+    // (Zipf's complement — text_zipf_slope fits the law, this key reads
+    // the budget off it). Shape: one word-count hash agg, then ALL work
+    // happens on the |vocab|-row aggregate — the rank window sorts the
+    // vocabulary, never the corpus, and the answer is |ks| rows. Share =
+    // exact integer cumsum / exact integer total, one correctly-rounded
+    // division — bit-identical cross-engine.
+    "text_vocab_coverage" -> ((s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("word"))
+      val ranked = wc
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy(col("cnt").desc, col("word"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = wc.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
+      val ks = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("rk").isin(ks: _*) || col("rk") === col("vocab"))
+        .select(col("rk").as("top_k"), col("cum").as("tokens_covered"),
+          col("total").as("tokens_total"),
+          round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+        .orderBy("top_k")
+    }),
+
     // GOPHER QUALITY RULES (Rae et al. 2021, "Scaling Language Models:
     // Methods, Analysis & Insights from Training Gopher", App. A1.1) —
     // the published rule-based document filter, restricted to the rules
@@ -1245,6 +1275,22 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_bigrams,
         | round(CAST(sum(ll) AS DOUBLE) / count(*), 6) AS avg_ll
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_vocab_coverage" ->
+      """WITH wc AS (SELECT w AS word, count(*) AS cnt FROM
+        |   (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |   GROUP BY 1),
+        | r AS (SELECT word, cnt,
+        |     CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rk,
+        |     CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |   FROM wc),
+        | t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |     CAST(count(*) AS BIGINT) AS vocab FROM wc)
+        |SELECT rk AS top_k, cum AS tokens_covered, total AS tokens_total,
+        | round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+        |FROM r CROSS JOIN t
+        |WHERE rk IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024) OR rk = vocab
+        |ORDER BY top_k""".stripMargin,
     "pipeline_gopher_rules" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
         | per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
