@@ -263,7 +263,7 @@ object RelationalExt {
     // fraction of the corpus); the md5 fold stays a pure projection.
     "train_test_split_grouped" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val labels = DedupOps.clusterLabels(docs)
+      val labels = DedupOps.corpusLabelsFull(s, dir)
       val gid = coalesce(col("cluster_id"), col("doc_id"))
       val h = md5(concat(lit("split42:"), gid))
       docs.join(labels, Seq("doc_id"), "left")
@@ -1038,7 +1038,7 @@ object RelationalExt {
     // labels are id-pairs, sizes one agg, the gate a scan-stage filter.
     "pipeline_cluster_sample" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val labels = DedupOps.clusterLabels(docs)
+      val labels = DedupOps.corpusLabelsFull(s, dir)
       val grouped = docs.select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -1075,7 +1075,7 @@ object RelationalExt {
 
     "pipeline_dedup_canonical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val labels = DedupOps.clusterLabels(docs)
+      val labels = DedupOps.corpusLabelsFull(s, dir)
       val scored = docs.join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("group_id"),

@@ -434,6 +434,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == 3) // user1: sessions {0,10} and {60}; user2: {5}
   }
 
+  test("checkpoint restart recovers the throttle's admitted counter") {
+    import graft.streaming.StreamingThrottle
+    import graft.streaming.StreamingThrottle.EventIn
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("graft_ckpt_thr").toString
+      val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      // run 1 admits 2 of the 3-per-window budget; run 2 (same window)
+      // must resume the counter from the checkpoint and admit exactly
+      // ONE more — a lost counter would re-admit all three.
+      val batch1 = Seq(EventIn(1L, 0L, 1000000L, 1L), EventIn(1L, 0L, 2000000L, 2L))
+      val batch2 = Seq(EventIn(1L, 0L, 3000000L, 3L), EventIn(1L, 0L, 4000000L, 4L),
+        EventIn(1L, 0L, 5000000L, 5L), EventIn(2L, 0L, 1000000L, 6L))
+      val schema = batch1.toDF().schema
+      def write(events: Seq[EventIn]): Unit =
+        events.toDF().coalesce(1).write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val q = StreamingThrottle.throttle(
+            spark.readStream.schema(schema).parquet(src).as[EventIn])
+          .toDF().writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val k = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val prevChangelog = spark.conf.getOption(k)
+      spark.conf.set(k, "true")
+      try {
+        write(batch1); runOnce()
+        write(batch2); runOnce()
+      } finally prevChangelog match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+      val got = spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got == Set((1L, 1L), (2L, 2L), (3L, 3L), (6L, 1L)))
+    }
+  }
+
   test("checkpoint restart recovers flatMapGroupsWithState custom state") {
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt_fmgws").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
