@@ -629,6 +629,91 @@ object AnalyticsExt {
         .orderBy("type_a", "type_b")
     }),
 
+    // CUPED VARIANCE REDUCTION (Deng et al. 2013, "Improving the
+    // Sensitivity of Online Controlled Experiments by Utilizing
+    // Pre-Experiment Data") — the A/B-platform standard: adjust each
+    // user's experiment-period metric y by their PRE-period metric x,
+    // y_adj = y − θ(x − x̄) with θ = cov(x,y)/var(x), which shrinks
+    // metric variance by the x↔y correlation² without biasing the mean.
+    // Pre-period = days 1–15, experiment = days 16+; variant = the same
+    // salted-md5 unit hash as agg_srm_chisq (the suite shares one
+    // assignment rule). Determinism: per-user x/y are dsum6-exact; the
+    // moment sums (Σx, Σy, Σxy, Σx²) accumulate per-user double products
+    // on the DECIMAL(28,12) lattice, so θ is one correctly-rounded
+    // expression over exact moments — bit-identical cross-engine, as are
+    // the per-variant adjusted moments. Shape: one user-keyed agg, a
+    // 1-row moment frame broadcast back, a pure projection, and one
+    // |variants|-row agg. The readout: mean unchanged, variance cut —
+    // var_reduction_pct is the sensitivity the platform gained.
+    "agg_cuped_adjustment" -> ((s, dir) => {
+      val dec = "decimal(28,12)"
+      val per = events(s, dir).groupBy("user_id").agg(
+        dsum6(when(dayofmonth(col("ts")) <= 15, col("value"))
+          .otherwise(lit(0.0))).as("x"),
+        dsum6(when(dayofmonth(col("ts")) > 15, col("value"))
+          .otherwise(lit(0.0))).as("y"))
+      val st = per.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+      val adj = per.crossJoin(broadcast(st))
+        .withColumn("theta",
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n")))
+        .withColumn("y_adj",
+          col("y") - col("theta") * (col("x") - col("sx") / col("n")))
+        .withColumn("variant",
+          when(substring(md5(concat(lit("srm42:"), col("user_id"))), 1, 1) < "8",
+            lit("A")).otherwise(lit("B")))
+      adj.groupBy("variant").agg(
+          count(lit(1)).as("n_users"),
+          round(max(col("theta")), 6).as("theta"),
+          round(sum(col("y").cast(dec)).cast("double") / count(lit(1)), 6)
+            .as("mean_y"),
+          round(sum(col("y_adj").cast(dec)).cast("double") / count(lit(1)), 6)
+            .as("mean_y_adj"),
+          round(lit(1.0) -
+            (sum((col("y_adj") * col("y_adj")).cast(dec)).cast("double")
+              - sum(col("y_adj").cast(dec)).cast("double")
+                * sum(col("y_adj").cast(dec)).cast("double")
+                / count(lit(1)))
+            / (sum((col("y") * col("y")).cast(dec)).cast("double")
+              - sum(col("y").cast(dec)).cast("double")
+                * sum(col("y").cast(dec)).cast("double")
+                / count(lit(1))), 6).as("var_reduction"))
+        .orderBy("variant")
+    }),
+
+    // SEASONAL-NAIVE FORECAST BACKTEST — the baseline every demand/load
+    // forecaster must beat, evaluated the honest way: walk the hourly
+    // history and score "this hour = same hour last week" (lag 168)
+    // against "this hour = same hour yesterday" (lag 24) by MAE over
+    // exactly the hours where BOTH references exist. Hourly totals are
+    // dsum6-exact; |v − v_lag| is one correctly-rounded subtraction and
+    // the MAE accumulates on the decimal lattice — hash-verified end to
+    // end. The lag window is a single partition BY DESIGN: it ranges
+    // over the hourly AGGREGATE (|calendar hours| rows — 720 for a
+    // month, bounded by time, not by corpus), never raw events.
+    "ts_backtest_snaive" -> ((s, dir) => {
+      val dec = "decimal(28,12)"
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(dsum6(col("value")).as("v"))
+      val w = Window.orderBy("h")
+      hourly
+        .withColumn("v168", lag("v", 168).over(w))
+        .withColumn("v24", lag("v", 24).over(w))
+        .filter(col("v168").isNotNull && col("v24").isNotNull)
+        .agg(
+          count(lit(1)).as("n_hours"),
+          round(sum(abs(col("v") - col("v168")).cast(dec)).cast("double")
+            / count(lit(1)), 6).as("mae_snaive_168"),
+          round(sum(abs(col("v") - col("v24")).cast(dec)).cast("double")
+            / count(lit(1)), 6).as("mae_snaive_24"))
+    }),
+
     // POISSON-BOOTSTRAP MEDIAN CI (Chamandy et al. 2012, "Estimating
     // Uncertainty for Massive Data Streams" — the bootstrap that works
     // at corpus scale: instead of resampling n rows with replacement,
@@ -1071,6 +1156,52 @@ object AnalyticsExt {
          |   + (b.sxx - b.sx * b.sx / b.n) / (b.n - 1.0) / b.n), 6) AS t_stat
          |FROM st a CROSS JOIN st b WHERE a.event_type < b.event_type
          |ORDER BY 1, 2""".stripMargin,
+    "agg_cuped_adjustment" ->
+      """WITH per AS (SELECT user_id,
+        |   CAST(sum(CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15
+        |     THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE) AS x,
+        |   CAST(sum(CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) > 15
+        |     THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE) AS y
+        | FROM events GROUP BY 1),
+        | st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |   CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |   CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        | FROM per),
+        | adj AS (SELECT per.*,
+        |   (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+        |   y - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (x - sx / n) AS y_adj,
+        |   CASE WHEN substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |     THEN 'A' ELSE 'B' END AS variant
+        | FROM per CROSS JOIN st)
+        |SELECT variant, count(*) AS n_users,
+        | round(max(theta), 6) AS theta,
+        | round(CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_y,
+        | round(CAST(sum(CAST(y_adj AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_y_adj,
+        | round(1.0 -
+        |   (CAST(sum(CAST(y_adj * y_adj AS DECIMAL(28,12))) AS DOUBLE)
+        |     - CAST(sum(CAST(y_adj AS DECIMAL(28,12))) AS DOUBLE)
+        |       * CAST(sum(CAST(y_adj AS DECIMAL(28,12))) AS DOUBLE) / count(*))
+        |   / (CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE)
+        |     - CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE)
+        |       * CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) / count(*)), 6)
+        |   AS var_reduction
+        |FROM adj GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_backtest_snaive" ->
+      """WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        | FROM events GROUP BY 1),
+        | lg AS (SELECT h, v,
+        |   lag(v, 168) OVER (ORDER BY h) AS v168,
+        |   lag(v, 24) OVER (ORDER BY h) AS v24
+        | FROM hourly)
+        |SELECT count(*) AS n_hours,
+        | round(CAST(sum(CAST(abs(v - v168) AS DECIMAL(28,12))) AS DOUBLE)
+        |   / count(*), 6) AS mae_snaive_168,
+        | round(CAST(sum(CAST(abs(v - v24) AS DECIMAL(28,12))) AS DOUBLE)
+        |   / count(*), 6) AS mae_snaive_24
+        |FROM lg WHERE v168 IS NOT NULL AND v24 IS NOT NULL""".stripMargin,
     "agg_bootstrap_median_ci" ->
       """WITH ev AS (SELECT event_type, event_id, value FROM events),
         | x AS (SELECT ev.*, rep,

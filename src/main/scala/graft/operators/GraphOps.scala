@@ -358,6 +358,51 @@ object GraphOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // PARTITION MODULARITY of the near-dup graph against the LANGUAGE
+    // attribute (Newman 2004 Q, computed per part): how concentrated are
+    // near-dup edges inside language boundaries vs the degree-preserving
+    // random expectation? A healthy multilingual corpus near-dups almost
+    // entirely within-language (Q near its max); cross-language near-dup
+    // mass flags translation leakage or template boilerplate. Every
+    // input to Q is an exact integer (edge counts, degree sums), so each
+    // q_contrib = m_l/m − (d_l/2m)² is two correctly-rounded divisions
+    // and a multiply — bit-identical cross-engine; the total row sums
+    // raw contributions on the DECIMAL lattice. Shape: the memoized
+    // pair frame joined twice to a broadcast (doc_id, lang) projection;
+    // every aggregate after that is |langs|-sized.
+    "graph_modularity_lang" -> ((s, dir) => {
+      val lang = t(s, dir, "documents").select("doc_id", "lang")
+      val lp = nearDupPairs(s, dir)
+        .join(broadcast(lang.select(col("doc_id").as("d1"), col("lang").as("l1"))), "d1")
+        .join(broadcast(lang.select(col("doc_id").as("d2"), col("lang").as("l2"))), "d2")
+      val m = lp.agg(count(lit(1)).as("m"))
+      val deg = lp.select(col("d1").as("doc_id"), col("l1").as("lang"))
+        .unionAll(lp.select(col("d2"), col("l2")))
+        .groupBy("doc_id", "lang").agg(count(lit(1)).as("d"))
+      val pl = deg.groupBy("lang").agg(
+        count_distinct(col("doc_id")).as("n_nodes"), sum("d").as("d_sum"))
+      val il = lp.filter(col("l1") === col("l2"))
+        .groupBy(col("l1").as("lang")).agg(count(lit(1)).as("m_intra"))
+      val dd = col("d_sum").cast("double") / (lit(2.0) * col("m"))
+      val perLang = pl.join(il, Seq("lang"), "left").crossJoin(broadcast(m))
+        .select(col("lang"), col("n_nodes"),
+          coalesce(col("m_intra"), lit(0L)).as("m_intra"), col("d_sum"),
+          (coalesce(col("m_intra"), lit(0L)).cast("double") / col("m")
+            - dd * dd).as("qc"))
+      val total = perLang.agg(
+        sum("n_nodes").as("n_nodes"), sum("m_intra").as("m_intra"),
+        sum("d_sum").as("d_sum"),
+        sum(col("qc").cast("decimal(28,12)")).cast("double").as("qc"))
+        .select(lit("~total").as("lang"), col("n_nodes"), col("m_intra"),
+          col("d_sum"), col("qc"))
+      perLang.select(col("lang"), col("n_nodes"), col("m_intra"),
+          col("d_sum"), col("qc"))
+        .unionAll(total)
+        .select(col("lang"), col("n_nodes"), col("m_intra"), col("d_sum"),
+          round(col("qc"), 6).as("q_contrib"))
+        .orderBy("lang")
+    }),
+
     // Fixed-3-round PageRank over the near-dup graph: bit-exact vs the
     // DuckDB oracle because the whole recurrence is integer arithmetic —
     // the oracle unrolls the same three rounds as chained CTEs with `//`
@@ -480,6 +525,32 @@ object GraphOps {
        |   FROM deg CROSS JOIN nn LEFT JOIN i$k ON deg.u = i$k.node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "graph_modularity_lang" -> (GraphCtes + ",\n" +
+      """ lp AS (SELECT pj.d1, pj.d2, da.lang AS l1, db.lang AS l2
+        |   FROM pj JOIN documents da ON pj.d1 = da.doc_id
+        |   JOIN documents db ON pj.d2 = db.doc_id),
+        | m AS (SELECT count(*) AS m FROM lp),
+        | dg AS (SELECT doc_id, lang, count(*) AS d FROM (
+        |     SELECT d1 AS doc_id, l1 AS lang FROM lp
+        |     UNION ALL SELECT d2, l2 FROM lp) GROUP BY 1, 2),
+        | pl AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_nodes,
+        |     CAST(sum(d) AS BIGINT) AS d_sum FROM dg GROUP BY 1),
+        | il AS (SELECT l1 AS lang, CAST(count(*) AS BIGINT) AS m_intra
+        |   FROM lp WHERE l1 = l2 GROUP BY 1),
+        | per AS (SELECT pl.lang, n_nodes,
+        |     COALESCE(m_intra, 0) AS m_intra, d_sum,
+        |     CAST(COALESCE(m_intra, 0) AS DOUBLE) / m.m
+        |       - (CAST(d_sum AS DOUBLE) / (2.0 * m.m))
+        |         * (CAST(d_sum AS DOUBLE) / (2.0 * m.m)) AS qc
+        |   FROM pl LEFT JOIN il USING (lang) CROSS JOIN m),
+        | tt AS (SELECT '~total' AS lang, CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+        |     CAST(sum(m_intra) AS BIGINT) AS m_intra,
+        |     CAST(sum(d_sum) AS BIGINT) AS d_sum,
+        |     CAST(sum(CAST(qc AS DECIMAL(28,12))) AS DOUBLE) AS qc FROM per)
+        |SELECT lang, n_nodes, m_intra, d_sum, round(qc, 6) AS q_contrib
+        |FROM (SELECT * FROM per UNION ALL SELECT * FROM tt)
+        |ORDER BY lang""".stripMargin),
+
     "graph_pagerank" -> (GraphCtes + ",\n" +
       """ p0 AS (SELECT deg.u AS node, deg.outdeg, 1000000000000 // cnt AS pr
         |   FROM deg CROSS JOIN nn),""".stripMargin + "\n" +
