@@ -256,6 +256,33 @@ object AnalyticsExt {
     // Scale: one window keyed by (user, type) — millions of independent
     // partitions at corpus scale, each a bounded 20-row rolling state;
     // nothing global, one exchange.
+    // ROBUST anomaly detection — TUKEY FENCES over the trailing frame:
+    // flag a reading outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of its own
+    // trailing 20 observations (min 10). The robust twin of
+    // ts_anomaly_sigma: one wild spike inflates a trailing σ and masks
+    // the next spike, but barely moves the quartiles — the classic
+    // failure mode of z-score monitors. Exactness: quartiles of a ≤20-
+    // double frame interpolate identically cross-engine (the
+    // percentile ↔ quantile_cont pairing agg_percentile pins) and the
+    // fence comparison is correctly-rounded arithmetic on them. Same
+    // one-exchange per-key window shape as the sigma twin.
+    "ts_anomaly_iqr" -> ((s, dir) => {
+      val fr = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .withColumn("cnt", count(lit(1)).over(fr))
+        .withColumn("q1", percentile(col("value"), lit(0.25)).over(fr))
+        .withColumn("q3", percentile(col("value"), lit(0.75)).over(fr))
+        .filter(col("cnt") >= 10 &&
+          (col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1")) ||
+            col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1"))))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"))
+        .orderBy("event_id")
+    }),
+
     "ts_anomaly_sigma" -> ((s, dir) => {
       val fr = Window.partitionBy("user_id", "event_type")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
@@ -1188,6 +1215,21 @@ object AnalyticsExt {
         |       * CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) / count(*)), 6)
         |   AS var_reduction
         |FROM adj GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_anomaly_iqr" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | w AS (SELECT event_id, user_id, event_type, value,
+        |   count(*) OVER fr AS cnt,
+        |   quantile_cont(value, 0.25) OVER fr AS q1,
+        |   quantile_cont(value, 0.75) OVER fr AS q3
+        |  FROM e WINDOW fr AS (PARTITION BY user_id, event_type
+        |   ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, event_type, value,
+        | round(q1, 6) AS q1, round(q3, 6) AS q3
+        |FROM w
+        |WHERE cnt >= 10 AND (value > q3 + 1.5 * (q3 - q1)
+        |  OR value < q1 - 1.5 * (q3 - q1))
+        |ORDER BY event_id""".stripMargin,
     "ts_backtest_snaive" ->
       """WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
         |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v

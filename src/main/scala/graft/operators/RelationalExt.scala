@@ -1073,6 +1073,55 @@ object RelationalExt {
         .orderBy("doc_id")
     }),
 
+    // DATA-CONTRACT AUDIT — the dbt-tests / Great-Expectations analog in
+    // one pass: the named assertions a pipeline's contract declares on
+    // the warehouse (referential integrity, key uniqueness, null-free
+    // columns, value ranges), each returning its VIOLATION count, with
+    // rows_checked beside it so an empty-input run cannot masquerade as
+    // a clean one. Every rule is an exact integer count (anti-join
+    // cardinality, count − count_distinct, boolean sums) — bit-exact in
+    // any engine. Scale: each rule is one pass over its own table (the
+    // FK checks shuffle on the key like any fact join; AQE broadcasts
+    // the dim side where it fits); violations land in a 6-row report
+    // regardless of corpus size. The contract lives HERE, versioned
+    // with the engine, not in a dashboard.
+    "pipeline_data_contract" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val ev = events(s, dir)
+      val docs = t(s, dir, "documents")
+      def rule(name: String, checked: org.apache.spark.sql.DataFrame,
+          violations: org.apache.spark.sql.Column) =
+        checked.agg(count(lit(1)).as("rows_checked"),
+            violations.as("nv"))
+          .select(lit(name).as("rule"), col("rows_checked"),
+            col("nv").cast("long").as("n_violations"))
+      rule("fk_lineitem_orders",
+          li.select("l_orderkey").join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+            .select(col("o_orderkey").isNull.as("viol")),
+          sum(when(col("viol"), 1L).otherwise(0L)))
+        .unionAll(rule("fk_orders_customer",
+          ord.select("o_custkey").join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left")
+            .select(col("c_custkey").isNull.as("viol")),
+          sum(when(col("viol"), 1L).otherwise(0L))))
+        .unionAll(rule("not_null_events_user",
+          ev.select(col("user_id").isNull.as("viol")),
+          sum(when(col("viol"), 1L).otherwise(0L))))
+        .unionAll(rule("range_lineitem_qty",
+          li.select((col("l_quantity") < 1 || col("l_quantity") > 50).as("viol")),
+          sum(when(col("viol"), 1L).otherwise(0L))))
+        .unionAll(rule("range_events_value",
+          ev.select((col("value") < 0).as("viol")),
+          sum(when(col("viol"), 1L).otherwise(0L))))
+        .unionAll(rule("unique_documents_id",
+          docs.select("doc_id"),
+          count(lit(1)) - count_distinct(col("doc_id"))))
+        .orderBy("rule")
+    }),
+
     "pipeline_dedup_canonical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val labels = DedupOps.corpusLabelsFull(s, dir)
@@ -1664,6 +1713,30 @@ object RelationalExt {
          |     + (CAST(strpos('0123456789abcdef', substr(h, 4, 1)) AS BIGINT) - 1))
          |   < floor(quality * 65536.0)
          |ORDER BY doc_id""".stripMargin,
+    "pipeline_data_contract" ->
+      """SELECT * FROM (
+        | SELECT 'fk_lineitem_orders' AS rule,
+        |   (SELECT count(*) FROM lineitem) AS rows_checked,
+        |   (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        |     AS n_violations
+        | UNION ALL SELECT 'fk_orders_customer',
+        |   (SELECT count(*) FROM orders),
+        |   (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        | UNION ALL SELECT 'not_null_events_user',
+        |   (SELECT count(*) FROM events),
+        |   (SELECT count(*) FROM events WHERE user_id IS NULL)
+        | UNION ALL SELECT 'range_lineitem_qty',
+        |   (SELECT count(*) FROM lineitem),
+        |   (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+        | UNION ALL SELECT 'range_events_value',
+        |   (SELECT count(*) FROM events),
+        |   (SELECT count(*) FROM events WHERE value < 0)
+        | UNION ALL SELECT 'unique_documents_id',
+        |   (SELECT count(*) FROM documents),
+        |   (SELECT count(*) - count(DISTINCT doc_id) FROM documents))
+        |ORDER BY rule""".stripMargin,
     "pipeline_dedup_canonical" ->
       s"""WITH ${DedupOps.clusterLabelsSql("documents")},
          | g AS (SELECT d.doc_id,
