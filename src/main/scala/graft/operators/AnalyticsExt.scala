@@ -713,6 +713,83 @@ object AnalyticsExt {
         .orderBy("variant")
     }),
 
+    // NELSON–AALEN CHURN HAZARD — survival analysis over the user base:
+    // a user "churns" on their last active day (observed if it falls
+    // before the day-25 censor boundary; right-censored otherwise), the
+    // day-t risk set is everyone active on t (first_day ≤ t ≤ last_day),
+    // and the release is the per-day hazard d_t/n_t plus the
+    // Nelson–Aalen cumulative hazard Σ_{i≤t} d_i/n_i. The estimator is
+    // chosen over Kaplan–Meier deliberately: it is PURELY ADDITIVE, so
+    // every released number is exact rational arithmetic + a decimal-
+    // lattice cumsum — no product chain, no exp/ln, no float flake.
+    // Shape: one user-keyed span agg, a bounded ≤30-day sequence explode
+    // (calendar-bounded, like ts_gap_fill's grid), two day-keyed counts
+    // and one ≤25-row window. At 100 TB the spans frame IS the user
+    // lifecycle table the retention team already materializes.
+    "ts_survival_hazard" -> ((s, dir) => {
+      val censorDay = 25
+      val spans = events(s, dir)
+        .select(col("user_id"),
+          (datediff(to_date(col("ts")), lit("2024-01-01")) + 1).as("dn"))
+        .groupBy("user_id")
+        .agg(min("dn").as("fd"), max("dn").as("ld"))
+      val risk = spans
+        .select(explode(sequence(col("fd"),
+          least(col("ld"), lit(censorDay)))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_risk"))
+      val churn = spans.filter(col("ld") <= censorDay)
+        .groupBy(col("ld").as("day")).agg(count(lit(1)).as("d_churn"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      risk.join(churn, Seq("day"), "left")
+        .select(col("day"), col("n_risk"),
+          coalesce(col("d_churn"), lit(0L)).as("d_churn"))
+        .withColumn("hazard",
+          col("d_churn").cast("double") / col("n_risk"))
+        .withColumn("cum_hazard",
+          sum(col("hazard").cast("decimal(28,12)")).over(w).cast("double"))
+        .select(col("day"), col("n_risk"), col("d_churn"),
+          round(col("hazard"), 6).as("hazard"),
+          round(col("cum_hazard"), 6).as("cum_hazard"))
+        .orderBy("day")
+    }),
+
+    // POPULATION STABILITY INDEX — the drift monitor a scoring pipeline
+    // runs between a reference window and current traffic: PSI =
+    // Σ_buckets (p_i − q_i)·ln(p_i/q_i) over fixed-width value buckets
+    // (width 25, capped at 20 — fixed edges, never data-dependent, so
+    // reference and current are always comparable), with +0.5/bucket
+    // smoothing so an empty bucket cannot blow up the log. Reference =
+    // week 1, current = the rest. Determinism: p, q are exact rational
+    // divisions, ln(p/q) snaps to the 1e-4 lattice (the dp-noise
+    // pattern), contributions sum on the decimal lattice; the '~total'
+    // row IS the PSI (rule of thumb: <0.1 stable, >0.25 drifted).
+    // Shape: two histogram aggs over the scan + |buckets|-row math.
+    "ts_psi_drift" -> ((s, dir) => {
+      val dn = datediff(to_date(col("ts")), lit("2024-01-01")) + 1
+      val bucketed = events(s, dir)
+        .select(least(floor(col("value") / 25.0), lit(19.0))
+          .cast("long").as("bucket"), (dn <= 7).as("is_ref"))
+      val h = bucketed.groupBy("bucket").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = h.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"),
+        count(lit(1)).as("nb"))
+      val per = h.crossJoin(broadcast(tot))
+        .withColumn("p", (col("n_ref") + lit(0.5)) / (col("tr") + lit(0.5) * col("nb")))
+        .withColumn("q", (col("n_cur") + lit(0.5)) / (col("tc") + lit(0.5) * col("nb")))
+        .withColumn("contrib", (col("p") - col("q")) * round(log(col("p") / col("q")), 4))
+      val total = per.agg(
+          sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"),
+          sum(col("contrib").cast("decimal(28,12)")).cast("double").as("contrib"))
+        .select(lit(-1L).as("bucket"), col("n_ref"), col("n_cur"), col("contrib"))
+      per.select(col("bucket"), col("n_ref"), col("n_cur"), col("contrib"))
+        .unionAll(total)
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          round(col("contrib"), 6).as("psi_contrib"))
+        .orderBy("bucket")
+    }),
+
     // SEASONAL-NAIVE FORECAST BACKTEST — the baseline every demand/load
     // forecaster must beat, evaluated the honest way: walk the hourly
     // history and score "this hour = same hour last week" (lag 168)
@@ -1230,6 +1307,47 @@ object AnalyticsExt {
         |WHERE cnt >= 10 AND (value > q3 + 1.5 * (q3 - q1)
         |  OR value < q1 - 1.5 * (q3 - q1))
         |ORDER BY event_id""".stripMargin,
+    "ts_survival_hazard" ->
+      """WITH spans AS (SELECT user_id,
+        |   min(CAST(ts AS DATE) - DATE '2024-01-01' + 1) AS fd,
+        |   max(CAST(ts AS DATE) - DATE '2024-01-01' + 1) AS ld
+        | FROM events GROUP BY 1),
+        | risk AS (SELECT day, count(*) AS n_risk FROM (
+        |   SELECT unnest(generate_series(fd, least(ld, 25))) AS day FROM spans)
+        |  GROUP BY 1),
+        | churn AS (SELECT ld AS day, count(*) AS d_churn FROM spans
+        |  WHERE ld <= 25 GROUP BY 1),
+        | j AS (SELECT risk.day, n_risk, COALESCE(d_churn, 0) AS d_churn,
+        |   CAST(COALESCE(d_churn, 0) AS DOUBLE) / n_risk AS hazard
+        |  FROM risk LEFT JOIN churn USING (day))
+        |SELECT CAST(day AS INT) AS day, CAST(n_risk AS BIGINT) AS n_risk,
+        | CAST(d_churn AS BIGINT) AS d_churn,
+        | round(hazard, 6) AS hazard,
+        | round(CAST(sum(CAST(hazard AS DECIMAL(28,12))) OVER (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+        |   AS cum_hazard
+        |FROM j ORDER BY day""".stripMargin,
+    "ts_psi_drift" ->
+      """WITH b AS (SELECT CAST(least(floor(value / 25.0), 19.0) AS BIGINT) AS bucket,
+        |   (CAST(ts AS DATE) - DATE '2024-01-01' + 1) <= 7 AS is_ref
+        | FROM events),
+        | h AS (SELECT bucket,
+        |   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |   CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY 1),
+        | t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |   CAST(sum(n_cur) AS BIGINT) AS tc, count(*) AS nb FROM h),
+        | per AS (SELECT bucket, n_ref, n_cur,
+        |   ((n_ref + 0.5) / (tr + 0.5 * nb) - (n_cur + 0.5) / (tc + 0.5 * nb))
+        |     * round(ln(((n_ref + 0.5) / (tr + 0.5 * nb))
+        |       / ((n_cur + 0.5) / (tc + 0.5 * nb))), 4) AS contrib
+        |  FROM h CROSS JOIN t)
+        |SELECT bucket, n_ref, n_cur, round(contrib, 6) AS psi_contrib FROM per
+        |UNION ALL
+        |SELECT -1, CAST(sum(n_ref) AS BIGINT), CAST(sum(n_cur) AS BIGINT),
+        | round(CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |FROM per
+        |ORDER BY bucket""".stripMargin,
     "ts_backtest_snaive" ->
       """WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
         |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v

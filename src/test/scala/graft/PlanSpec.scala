@@ -119,6 +119,7 @@ class PlanSpec extends SparkSpec {
             "agg_bootstrap_median_ci", // bounded 20-row replica-frame broadcast cross
             "agg_cuped_adjustment", // 1-row moment-frame broadcast cross (theta)
             "graph_modularity_lang", // 1-row edge-count aggregate cross join
+            "ts_psi_drift", // 1-row (totals, bucket-count) aggregate cross join
             "funnel_steps",  // three 1-row step-count aggregates cross-joined
             "text_entropy_kl", // 1-row corpus-total aggregate cross join (as text_tfidf)
             "text_pmi_bigrams", // two 1-row totals (N tokens, N bigrams) cross-joined
