@@ -302,6 +302,42 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(n == 500L) // sf0.001 documents are all distinct
   }
 
+  test("pinned: survival hazard reconciles users and is monotone") {
+    val rows = SparkEntry.queries("ts_survival_hazard")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    // every user either churns on an observed day or is right-censored
+    val churned = rows.map(_._3).sum
+    val censored = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), lit("2024-01-01")) + 1).as("dn"))
+      .groupBy("user_id").agg(max("dn").as("ld"))
+      .filter(col("ld") > 25).count()
+    assert(churned + censored == users, s"$churned + $censored != $users")
+    // hazards are probabilities; cumulative hazard is nondecreasing
+    rows.foreach { case (_, n, d, h, _) =>
+      assert(d <= n); assert(h >= 0.0 && h <= 1.0)
+    }
+    assert(rows.map(_._5).toSeq == rows.map(_._5).sorted.toSeq)
+  }
+
+  test("pinned: PSI total row reconciles its per-bucket contributions") {
+    val rows = SparkEntry.queries("ts_psi_drift")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val (total, per) = rows.partition(_._1 == -1L)
+    assert(total.length == 1)
+    // counts reconcile to the corpus and to the total row
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(per.map(_._2).sum + per.map(_._3).sum == nEvents)
+    assert(total(0)._2 == per.map(_._2).sum && total(0)._3 == per.map(_._3).sum)
+    // the released total matches the per-bucket sum within rounding slack
+    assert(math.abs(total(0)._4 - per.map(_._4).sum) < 1e-4 * (per.length + 1))
+    // PSI is a nonnegative divergence
+    assert(total(0)._4 >= 0.0)
+  }
+
   test("pinned: out-of-order buckets fire on a scrambled arrival sequence") {
     import spark.implicits._
     // arrival order (event_id) vs event time (us): event 2 arrives 30 s
