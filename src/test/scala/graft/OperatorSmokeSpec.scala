@@ -302,6 +302,46 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(n == 500L) // sf0.001 documents are all distinct
   }
 
+  test("pinned: bootstrap CI brackets and Wilson interval contains the rate") {
+    SparkEntry.queries("agg_bootstrap_median_ci")(spark, sfDir).collect()
+      .foreach { r =>
+        val (med, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        assert(lo <= hi, s"${r.getString(0)}: lo=$lo hi=$hi")
+        // the exact median lies inside (or at) the bootstrap envelope
+        assert(med >= lo - 1e-9 && med <= hi + 1e-9,
+          s"${r.getString(0)}: median=$med outside [$lo, $hi]")
+      }
+    SparkEntry.queries("agg_conversion_wilson_ci")(spark, sfDir).collect()
+      .foreach { r =>
+        val (rate, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        assert(lo >= -1e-9 && hi <= 1.0 + 1e-9)
+        assert(rate >= lo - 1e-9 && rate <= hi + 1e-9)
+      }
+  }
+
+  test("pinned: vocab coverage is monotone and ends at 1.0") {
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq) // monotone share
+    assert(rows.last._2 == 1.0) // full vocab covers everything
+  }
+
+  test("pinned: gopher report reconciles and modularity total is bounded") {
+    val g = SparkEntry.queries("pipeline_gopher_rules")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fails = Seq("fail_word_count", "fail_mean_word_len",
+      "fail_stopwords", "fail_repetition").map(g)
+    // pass_all can't exceed docs minus the largest single-rule failure set
+    assert(g("pass_all") <= g("docs_total") - fails.max)
+    assert(g("pass_all") >= g("docs_total") - fails.sum)
+    val m = SparkEntry.queries("graph_modularity_lang")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(4)))
+    val total = m.filter(_._1 == "~total").map(_._2)
+    assert(total.length == 1)
+    assert(total(0) >= -1.0 - 1e-9 && total(0) <= 1.0 + 1e-9)
+  }
+
   test("pinned: survival hazard reconciles users and is monotone") {
     val rows = SparkEntry.queries("ts_survival_hazard")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),

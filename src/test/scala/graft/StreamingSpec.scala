@@ -472,6 +472,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint restart recovers the lateness monitor's HWM") {
+    import graft.streaming.StreamingLateness
+    import graft.streaming.StreamingLateness.EventIn
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("graft_ckpt_lat").toString
+      val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      // run 1 raises user 1's HWM to t=7200s; run 2's event at t=3600s
+      // must classify against the RESTORED HWM (d bucket: exactly 1 h
+      // behind) — a lost HWM would read it as on-time.
+      val batch1 = Seq(EventIn(1L, 1L, 7200L * 1000000))
+      val batch2 = Seq(EventIn(1L, 2L, 3600L * 1000000))
+      val schema = batch1.toDF().schema
+      def write(events: Seq[EventIn]): Unit =
+        events.toDF().coalesce(1).write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val q = StreamingLateness.lateness(
+            spark.readStream.schema(schema).parquet(src).as[EventIn])
+          .toDF().writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val k = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val prevChangelog = spark.conf.getOption(k)
+      spark.conf.set(k, "true")
+      try {
+        write(batch1); runOnce()
+        write(batch2); runOnce()
+      } finally prevChangelog match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+      val got = spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(got == Set((1L, "a_on_time"), (2L, "d_within_1h")))
+    }
+  }
+
   test("checkpoint restart recovers flatMapGroupsWithState custom state") {
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt_fmgws").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
