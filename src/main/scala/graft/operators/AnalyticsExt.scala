@@ -662,7 +662,11 @@ object AnalyticsExt {
     // user's experiment-period metric y by their PRE-period metric x,
     // y_adj = y − θ(x − x̄) with θ = cov(x,y)/var(x), which shrinks
     // metric variance by the x↔y correlation² without biasing the mean.
-    // Pre-period = days 1–15, experiment = days 16+; variant = the same
+    // Pre-period = corpus days 1–15 (ABSOLUTE day number from the corpus
+    // epoch, the same datediff rule ts_survival_hazard/ts_psi_drift use —
+    // not dayofmonth, which on a multi-month corpus would assign days
+    // 1–15 of EVERY month to the pre-period); experiment = days 16+;
+    // variant = the same
     // salted-md5 unit hash as agg_srm_chisq (the suite shares one
     // assignment rule). Determinism: per-user x/y are dsum6-exact; the
     // moment sums (Σx, Σy, Σxy, Σx²) accumulate per-user double products
@@ -674,10 +678,11 @@ object AnalyticsExt {
     // var_reduction_pct is the sensitivity the platform gained.
     "agg_cuped_adjustment" -> ((s, dir) => {
       val dec = "decimal(28,12)"
+      val dn = datediff(to_date(col("ts")), lit("2024-01-01")) + 1
       val per = events(s, dir).groupBy("user_id").agg(
-        dsum6(when(dayofmonth(col("ts")) <= 15, col("value"))
+        dsum6(when(dn <= 15, col("value"))
           .otherwise(lit(0.0))).as("x"),
-        dsum6(when(dayofmonth(col("ts")) > 15, col("value"))
+        dsum6(when(dn > 15, col("value"))
           .otherwise(lit(0.0))).as("y"))
       val st = per.agg(
         count(lit(1)).cast("double").as("n"),
@@ -733,7 +738,13 @@ object AnalyticsExt {
           (datediff(to_date(col("ts")), lit("2024-01-01")) + 1).as("dn"))
         .groupBy("user_id")
         .agg(min("dn").as("fd"), max("dn").as("ld"))
+      // Guard: a user whose FIRST active day is past the censor boundary
+      // contributes no risk rows. Without the filter, Spark's
+      // sequence(fd, stop) with fd > stop yields a DESCENDING sequence
+      // (default step -1) while the oracle's generate_series is empty —
+      // a latent data-dependent divergence (round-9 ADVICE, medium).
       val risk = spans
+        .filter(col("fd") <= censorDay)
         .select(explode(sequence(col("fd"),
           least(col("ld"), lit(censorDay)))).as("day"))
         .groupBy("day").agg(count(lit(1)).as("n_risk"))
@@ -852,10 +863,19 @@ object AnalyticsExt {
         .when(u < 0.9963401531726563, 4L)
         .when(u < 0.9994058151824183, 5L)
         .otherwise(6L)
+      // Pre-aggregate the Poisson weights per (type, replica, VALUE)
+      // before the cumsum: the weighted median only needs the cumulative
+      // weight at each distinct value boundary (cw is monotone, so "the
+      // smallest value whose running weight reaches half" is identical
+      // whether cw steps per event or per value-group), and the window
+      // input shrinks from 20×|events| rows to 20×|distinct values| —
+      // a two-phase hash agg absorbs the expansion map-side instead of
+      // sorting it (round-9 verdict item 6; the heaviest oracled key).
       val wdf = ev.crossJoin(reps).withColumn("w", w).filter(col("w") > 0L)
+        .groupBy("event_type", "rep", "value").agg(sum("w").as("w"))
       val tot = wdf.groupBy("event_type", "rep").agg(sum("w").as("wtot"))
       val cum = wdf.withColumn("cw", sum("w").over(
-        Window.partitionBy("event_type", "rep").orderBy("value", "event_id")
+        Window.partitionBy("event_type", "rep").orderBy("value")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val med = cum.join(tot, Seq("event_type", "rep"))
         .filter(col("cw") * 2 >= col("wtot"))
@@ -1262,9 +1282,9 @@ object AnalyticsExt {
          |ORDER BY 1, 2""".stripMargin,
     "agg_cuped_adjustment" ->
       """WITH per AS (SELECT user_id,
-        |   CAST(sum(CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15
+        |   CAST(sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01' + 1) <= 15
         |     THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE) AS x,
-        |   CAST(sum(CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) > 15
+        |   CAST(sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01' + 1) > 15
         |     THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE) AS y
         | FROM events GROUP BY 1),
         | st AS (SELECT CAST(count(*) AS DOUBLE) AS n,

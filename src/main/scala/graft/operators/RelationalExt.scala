@@ -309,10 +309,10 @@ object RelationalExt {
     // salted-md5 permutation (pipeline_epoch_shuffle's), surfaced here
     // as each stage's first document under that order so the schedule
     // itself is part of the verified contract. Scale note: the global
-    // ntile is the oracle-checkable contract; at 100 TB swap the exact
-    // rank for approx_percentile stage thresholds broadcast back
-    // (agg_histogram_equidepth's documented twin) — same stages,
-    // bounded memory, approximate only at stage boundaries.
+    // ntile is the oracle-checkable contract; the 100 TB plan is the
+    // shipped pipeline_curriculum_stages_approx twin below
+    // (approx_percentile quartile thresholds broadcast back — same
+    // stages, bounded memory, approximate only at stage boundaries).
     "pipeline_curriculum_stages" -> ((s, dir) => {
       val scored = t(s, dir, "documents")
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"),
@@ -320,6 +320,47 @@ object RelationalExt {
       scored
         .withColumn("stage", ntile(4).over(
           Window.orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("shuffle_key",
+          md5(concat(lit("cur42:"), col("doc_id"))))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)), 6).as("mean_quality"),
+          sum(col("n_tok")).as("total_tokens"),
+          min_by(col("doc_id"), col("shuffle_key")).as("first_doc"))
+        .orderBy("stage")
+    }),
+
+    // The 100 TB form of pipeline_curriculum_stages: identical staging
+    // semantics (easiest→hardest quartiles, deterministic shuffle-key
+    // presentation order), but the stage cut comes from ONE mergeable
+    // approx_percentile sketch over quality (GK, rank error ≤
+    // n/accuracy) broadcast back onto the corpus — a scan→project plan
+    // with no global sort, where the exact key's ntile(4) moves EVERY
+    // document through a single unpartitioned WindowExec. This is the
+    // agg_histogram_equidepth_approx swap applied to the engine's last
+    // global-sort corpus plan (round-9 verdict item 1). Stage = 1 +
+    // #quartile-thresholds strictly above quality (quality DESC order,
+    // matching the exact key's easiest-first numbering); boundary-tied
+    // docs may land one stage off the exact cut — the pinned parity
+    // property bounds that drift to the sketch's rank error. Sketch
+    // values differ across engines → no SQL oracle; the exact key is
+    // the semantic anchor, this key is the plan that survives 100×.
+    "pipeline_curriculum_stages_approx" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"),
+          size(split(col("text"), " ")).as("n_tok"))
+      val pcts = array(lit(0.25), lit(0.5), lit(0.75))
+      val bounds = scored.agg(
+        approx_percentile(col("quality"), pcts, lit(10000)).as("bs"))
+      scored.crossJoin(broadcast(bounds))
+        // stage 1 = top quartile by quality: count thresholds above
+        // quality as 3 codegen'd compares summed (same idiom as the
+        // equidepth twin's bucket expression)
+        .withColumn("stage",
+          lit(1) + (1 to 3).map(i =>
+            (col("quality") < element_at(col("bs"), i)).cast("int"))
+            .reduce(_ + _))
         .withColumn("shuffle_key",
           md5(concat(lit("cur42:"), col("doc_id"))))
         .groupBy("stage")
@@ -1097,16 +1138,27 @@ object RelationalExt {
             violations.as("nv"))
           .select(lit(name).as("rule"), col("rows_checked"),
             col("nv").cast("long").as("n_violations"))
-      rule("fk_lineitem_orders",
-          li.select("l_orderkey").join(ord.select(col("o_orderkey")),
-            col("l_orderkey") === col("o_orderkey"), "left")
-            .select(col("o_orderkey").isNull.as("viol")),
-          sum(when(col("viol"), 1L).otherwise(0L)))
-        .unionAll(rule("fk_orders_customer",
-          ord.select("o_custkey").join(cust.select(col("c_custkey")),
-            col("o_custkey") === col("c_custkey"), "left")
-            .select(col("c_custkey").isNull.as("viol")),
-          sum(when(col("viol"), 1L).otherwise(0L))))
+      // FK rules count rows_checked on the BASE table, never the
+      // post-join frame: a duplicate dim key would inflate a left-join
+      // count, silently breaking both the contract and oracle parity
+      // (round-9 ADVICE). Violations are the anti-join cardinality —
+      // one fact-side pass, AQE broadcasts the key-only dim projection.
+      def fkRule(name: String, base: org.apache.spark.sql.DataFrame,
+          baseKey: String, dim: org.apache.spark.sql.DataFrame,
+          dimKey: String) = {
+        val checked = base.select(baseKey)
+          .agg(count(lit(1)).as("rows_checked"))
+        val viol = base.select(col(baseKey))
+          .join(dim.select(col(dimKey)), col(baseKey) === col(dimKey),
+            "left_anti")
+          .agg(count(lit(1)).as("nv"))
+        checked.crossJoin(viol)
+          .select(lit(name).as("rule"), col("rows_checked"),
+            col("nv").cast("long").as("n_violations"))
+      }
+      fkRule("fk_lineitem_orders", li, "l_orderkey", ord, "o_orderkey")
+        .unionAll(fkRule("fk_orders_customer", ord, "o_custkey",
+          cust, "c_custkey"))
         .unionAll(rule("not_null_events_user",
           ev.select(col("user_id").isNull.as("viol")),
           sum(when(col("viol"), 1L).otherwise(0L))))

@@ -568,29 +568,43 @@ object TextOps {
     // tokenizer-budget diagnostic: the curve's knee says how small a
     // vocab gets you 95% coverage, and a too-flat curve flags boilerplate
     // (Zipf's complement — text_zipf_slope fits the law, this key reads
-    // the budget off it). Shape: one word-count hash agg, then ALL work
-    // happens on the |vocab|-row aggregate — the rank window sorts the
-    // vocabulary, never the corpus, and the answer is |ks| rows. Share =
-    // exact integer cumsum / exact integer total, one correctly-rounded
-    // division — bit-identical cross-engine.
+    // the budget off it). Shape: one word-count hash agg, then the curve
+    // reads off the TOP-1024 words only — TakeOrderedAndProject (a
+    // per-partition top-k fold + a 1024-row driver merge, never a global
+    // sort: a 100 TB web corpus has a 10⁸–10⁹-entry vocabulary of typos
+    // and URLs, and the previous unpartitioned rank+cumsum window would
+    // single-partition ALL of it). The rank/cumsum window then runs on
+    // ≤1024 rows (bounded by construction — the sweep allowlist's
+    // contract), and the one row the top-k slice cannot produce — the
+    // full-vocabulary point, coverage ≡ 1 — comes from the 1-row total
+    // agg instead. Share = exact integer cumsum / exact integer total,
+    // one correctly-rounded division — bit-identical cross-engine.
     "text_vocab_coverage" -> ((s, dir) => {
       val wc = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("word"))
-      val ranked = wc
-        .withColumn("rk", row_number().over(w).cast("long"))
+      val kMax = 1024
+      val top = wc.orderBy(col("cnt").desc, col("word")).limit(kMax)
+      val ranked = top
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
         .withColumn("cum", sum("cnt").over(
           Window.orderBy(col("cnt").desc, col("word"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val tot = wc.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
       val ks = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
-      ranked.crossJoin(broadcast(tot))
+      val curve = ranked.crossJoin(broadcast(tot))
         .filter(col("rk").isin(ks: _*) || col("rk") === col("vocab"))
         .select(col("rk").as("top_k"), col("cum").as("tokens_covered"),
           col("total").as("tokens_total"),
           round(col("cum").cast("double") / col("total"), 6).as("coverage"))
-        .orderBy("top_k")
+      // The full-vocab row (rk == vocab) lives outside the top-k slice
+      // whenever vocab > kMax; emit it from the total agg (coverage is
+      // exactly 1 there — cum over the whole vocabulary IS the total).
+      val fullRow = tot.filter(col("vocab") > kMax)
+        .select(col("vocab").as("top_k"), col("total").as("tokens_covered"),
+          col("total").as("tokens_total"), lit(1.0).as("coverage"))
+      curve.unionAll(fullRow).orderBy("top_k")
     }),
 
     // GOPHER QUALITY RULES (Rae et al. 2021, "Scaling Language Models:
@@ -685,17 +699,17 @@ object TextOps {
     // statistics accumulate (text_lm_score's pin), so the regression
     // runs on exact sums and the final arithmetic is one IEEE expression
     // tree in both engines. Scale: the word count is a map-side-combined
-    // corpus agg; everything after it operates on a VOCAB-sized frame
-    // (the top-100 window is bounded by construction, like
-    // skyline_pareto's domain scan).
+    // corpus agg; the top-100 slice is TakeOrderedAndProject (per-
+    // partition top-k fold, never a global vocab sort — the same move as
+    // text_vocab_coverage), so the rank window runs on exactly 100 rows.
     "text_zipf_slope" -> ((s, dir) => {
       val wc = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
       val ranked = wc
+        .orderBy(col("cnt").desc, col("w")).limit(100)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("cnt").desc, col("w"))))
-        .filter(col("rk") <= 100)
         .select(
           round(log(col("rk")), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("x"),
           round(log(col("cnt")), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("y"))

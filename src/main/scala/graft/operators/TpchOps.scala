@@ -168,9 +168,11 @@ object TpchOps {
           .as("promo_revenue"))
     }),
 
-    // Q15: top supplier — global max over the per-supplier revenue agg via
-    // an empty-frame window (the rev relation is |suppliers| rows, so the
-    // single-partition window is bounded), NOT a second scan of lineitem.
+    // Q15: top supplier — global max over the per-supplier revenue agg as
+    // a 1-row max aggregate broadcast back (the repo's standard scalar
+    // frame), NOT an empty-frame window: |suppliers| grows with the
+    // corpus, and an unpartitioned WindowExec would single-partition it.
+    // Either way lineitem is scanned once.
     "tpch_q15" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -178,8 +180,8 @@ object TpchOps {
         .groupBy("l_suppkey")
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("total_rev"))
-      val top = rev
-        .withColumn("mx", max(col("total_rev")).over(Window.partitionBy()))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      val top = rev.crossJoin(broadcast(mx))
         .filter(col("total_rev") === col("mx"))
       top.join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))

@@ -238,6 +238,30 @@ class OperatorSmokeSpec extends SparkSpec {
     }
   }
 
+  test("pinned: approx curriculum stages track the exact ntile cut at sf0.1") {
+    // the scale twin's GK sketch (accuracy=10000) displaces each quartile
+    // threshold by ≤ n/10000 ranks, so each stage's population drifts
+    // ≤ ~0.5% of n from the exact n/4 (boundary ties add a hair); 1% is
+    // multiple-σ slack. Run at sf0.1 so the bound is exercised on real
+    // mass. mean_quality moves only by boundary docs → 0.02 abs slack.
+    val dir = "/root/testdata/sf0.1"
+    val approx = SparkEntry.queries("pipeline_curriculum_stages_approx")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = SparkEntry.queries("pipeline_curriculum_stages")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(approx.keySet == (1 to 4).toSet, s"stages ${approx.keySet}")
+    val n = exact.values.map(_._1).sum.toDouble
+    assert(approx.values.map(_._1).sum.toDouble == n, "total docs must match")
+    (1 to 4).foreach { st =>
+      val (ac, aq) = approx(st)
+      val (ec, eq) = exact(st)
+      assert(math.abs(ac - ec) <= 0.01 * n,
+        s"stage $st mass drift: approx=$ac exact=$ec (n=$n)")
+      assert(math.abs(aq - eq) <= 0.02,
+        s"stage $st mean_quality drift: approx=$aq exact=$eq")
+    }
+  }
+
   test("pinned: merged HLL sketches within 5% of exact distinct docs") {
     val approx = SparkEntry.queries("agg_hll_sketch_merge")(spark, sfDir)
       .head.getLong(0).toDouble

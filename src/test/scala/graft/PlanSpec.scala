@@ -124,6 +124,8 @@ class PlanSpec extends SparkSpec {
             "text_entropy_kl", // 1-row corpus-total aggregate cross join (as text_tfidf)
             "text_pmi_bigrams", // two 1-row totals (N tokens, N bigrams) cross-joined
             "agg_histogram_equidepth", // 1-row decile-boundary aggregate cross join
+            "tpch_q15", // 1-row max-revenue aggregate cross join (scalar frame)
+            "pipeline_curriculum_stages_approx", // 1-row quartile-sketch boundary frame
             "agg_histogram_equidepth_approx", // same 1-row boundary frame, sketch-built
             "agg_winsorized_mean", // 1-row [p05,p95] clip-envelope cross join
             "text_lang_id_ngram", // profile-grid build: bounded |bigram vocab| × |langs| cross (≈3.6k rows) + 1-row V aggregate
@@ -137,6 +139,39 @@ class PlanSpec extends SparkSpec {
           ).contains(key), p)
       }
     }
+  }
+
+  test("no corpus-sized unpartitioned WindowExec hides in any plan") {
+    // An unpartitioned WindowExec moves its ENTIRE input through one
+    // task — invisible at sf0.01, fatal on a 100 TB corpus. The sweep
+    // walks every key's pre-AQE physical plan and fails on any window
+    // with an empty partitionSpec UNLESS the key's window provably runs
+    // on a bounded-by-construction frame (a value/time domain or a
+    // top-k slice, never corpus-sized). Mirror of the BNLJ sweep above.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    spark.sharedState.cacheManager.clearCache()
+    val allow: Map[String, String] = Map(
+      "ts_survival_hazard" -> "<=censorDay(25)-row day grid",
+      "ts_backtest_snaive" -> "|calendar hours| rows (time-bounded, ~720/month)",
+      "skyline_pareto" -> "price-domain prefix max (<=|distinct prices| rows)",
+      "sim_hybrid_rrf" -> "two rank windows over limit(100) slices",
+      "text_vocab_coverage" -> "rank/cumsum over the TakeOrdered top-1024 slice",
+      "text_zipf_slope" -> "rank window over the TakeOrdered top-100 slice",
+      "pipeline_curriculum_stages" ->
+        ("the documented exact anchor (global ntile IS the contract); " +
+          "the 100 TB plan is pipeline_curriculum_stages_approx")
+    )
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { key =>
+      val sp = SparkEntry.queries(key)(spark, sfDir).queryExecution.sparkPlan
+      val bad = sp.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      if (bad.nonEmpty && !allow.contains(key)) Some(s"$key: ${bad.mkString(",")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window in: ${offenders.mkString("; ")}")
   }
 
   test("the shared Jaccard miner stays equi-join shaped within its shuffle budget") {
