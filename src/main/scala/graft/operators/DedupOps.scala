@@ -274,30 +274,51 @@ object DedupOps {
       incrementalClusters(oldLabels, newPairs).orderBy("doc_id")
     }),
 
-    // MinHash(64) + LSH(16 bands × 4 rows). No SQL oracle (sketch path);
-    // property-tested against exact Jaccard in the unit suite. Output:
-    // top-50 candidate pairs by estimated Jaccard (deterministic order).
+    // MinHash(64) + LSH(16 bands × 4 rows) with an EXACT-Jaccard verify
+    // stage — the full MinHash-dedup pipeline a curation run deploys:
+    // band collisions MINE candidates (never an all-pairs join), then
+    // each candidate is re-verified against the true shingle Jaccard and
+    // only verified survivors (J ≥ 0.8) are emitted. Because the output
+    // is the exact-verified pair set, the key is ORACLE-CHECKABLE (the
+    // all-pairs exact SQL at the same τ) — the sketch's job is recall,
+    // and at τ=0.8 the 16×4 banding misses a qualifying pair with prob
+    // (1−J⁴)¹⁶ ≤ 2.2e-4 (pinned exactly = 100% on both test SFs by the
+    // oracle hash; the recall property in DedupSimilaritySpec covers the
+    // sketch itself). Scale: candidates carry only id pairs through the
+    // band join (signatures never shuffle); [[cappedBandPairs]] caps hot
+    // buckets so mass duplication can't mine c²; the verify stage joins
+    // ONLY candidate docs' shingles (a semi-join-pruned frame), so its
+    // cost is |candidates|·|shingles/doc|, linear in the mined set —
+    // the inverted-index miner's full shingle self-join never runs.
     "dedup_near_minhash" -> ((s, dir) => {
-      val sigs = minhashSignatures(docShingles(t(s, dir, "documents")))
-      // Candidates carry only the id pair through the band join + distinct
-      // (signatures are wide — rejoin them afterwards via broadcast). The
-      // band join runs through [[cappedBandPairs]]: buckets above
-      // [[HotBucketCap]] members star-expand instead of all-pairs, so a
-      // mass-duplicated document can never mine c² candidates.
+      val docs = t(s, dir, "documents")
+      val sh = docShingles(docs)
+      val sigs = minhashSignatures(sh)
       val bands = sigs.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+      // Both bounded frames are referenced by three downstream branches
+      // each; localCheckpoint (the simhashPairsProbe pattern) mines each
+      // ONCE instead of re-running the band join / shingle prune per
+      // branch, and keeps the final plan's exchange count flat.
       val cand = cappedBandPairs(bands, "doc_id", Seq("band_id", "band_hash"))
-      val sigOnly = sigs.select(col("doc_id"), col("sig"))
+        .select("d1", "d2").localCheckpoint()
+      val candIds = cand.select(explode(array(col("d1"), col("d2")))
+        .as("doc_id")).distinct()
+      val shC = sh.join(candIds, "doc_id").localCheckpoint()
+      val cnt = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
       cand
-        .join(broadcast(sigOnly.select(col("doc_id").as("d1"), col("sig").as("sig1"))), "d1")
-        .join(broadcast(sigOnly.select(col("doc_id").as("d2"), col("sig").as("sig2"))), "d2")
-        .withColumn("est_jaccard",
-          size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
-            x => x)) / lit(64.0))
-        .filter(col("est_jaccard") >= 0.2)
-        .select("d1", "d2", "est_jaccard")
-        .orderBy(col("est_jaccard").desc, col("d1"), col("d2"))
-        .limit(50)
+        .join(shC.select(col("doc_id").as("d1"), col("shingle")), "d1")
+        .join(shC.select(col("doc_id").as("d2"), col("shingle")),
+          Seq("d2", "shingle"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jaccard",
+          col("inter") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("d1", "d2")
     }),
 
     // Exact-substring span dedup (Lee et al. 2022, "Deduplicating
@@ -990,6 +1011,23 @@ object DedupOps {
         | round(inter / (x.n + y.n - inter), 6) AS jaccard
         |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
         |WHERE inter / (x.n + y.n - inter) >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
+    // The MinHash key emits the EXACT-verified survivor set, so its
+    // oracle is the all-pairs exact Jaccard at the same τ=0.8 — the
+    // banding may only MISS pairs (never invent them), and a hash match
+    // here certifies 100% recall of the sketch path on this corpus.
+    "dedup_near_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        |   FROM (SELECT doc_id, toks,
+        |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        | n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |   FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, inter, x.n AS n1, y.n AS n2,
+        | round(inter / (x.n + y.n - inter), 6) AS jaccard
+        |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
+        |WHERE inter / (x.n + y.n - inter) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
     "dedup_threshold_sweep" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

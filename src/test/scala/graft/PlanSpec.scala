@@ -125,6 +125,7 @@ class PlanSpec extends SparkSpec {
             "text_pmi_bigrams", // two 1-row totals (N tokens, N bigrams) cross-joined
             "agg_histogram_equidepth", // 1-row decile-boundary aggregate cross join
             "tpch_q15", // 1-row max-revenue aggregate cross join (scalar frame)
+            "pipeline_data_contract", // FK rules cross two 1-row count aggs
             "pipeline_curriculum_stages_approx", // 1-row quartile-sketch boundary frame
             "agg_histogram_equidepth_approx", // same 1-row boundary frame, sketch-built
             "agg_winsorized_mean", // 1-row [p05,p95] clip-envelope cross join
@@ -203,10 +204,14 @@ class PlanSpec extends SparkSpec {
                                    // (inline miner) and memo-leaf (0)
       "dedup_simhash" -> 3,        // token count + vocab dedup + per-doc sums
       "dedup_simhash_pairs" -> 6,  // simhash64 chain + band self-join + dedup
-      "dedup_near_minhash" -> 5,   // shingle sigs + band join + candidate dedup
-                                   // (+1 round 6: hot-bucket stats window on
-                                   // the band keys; one runtime stage — AQE
-                                   // reuses it across both join inputs)
+      "dedup_near_minhash" -> 9,   // round 10: mine + EXACT-verify pipeline.
+                                   // The mining stages live behind the two
+                                   // localCheckpoint leaves; the 9 visible
+                                   // exchanges are the verify stage's joins/
+                                   // aggs over the CANDIDATE-bounded frames
+                                   // (pair set + pruned shingles), never a
+                                   // corpus shuffle — bounded by the mined
+                                   // set size by construction
       "sim_ann_lsh" -> 2,          // ids-only band join; vectors broadcast back
                                    // (+1 round 6: same hot-bucket stats window)
       // round-6 additions (measured at their initial plan shapes):
@@ -255,7 +260,10 @@ class PlanSpec extends SparkSpec {
       "tpch_q12" -> 1,
       "tpch_q13" -> 2,             // per-customer count + histogram re-agg
       "tpch_q14" -> 0,             // part broadcast; single global agg
-      "tpch_q15" -> 1,             // supplier-revenue agg; window is 1 row set
+      "tpch_q15" -> 2,             // supplier-revenue agg appears in both the
+                                   // rev branch and its 1-row max scalar
+                                   // frame pre-AQE; AQE's ReusedExchange
+                                   // collapses them to one at runtime
       "tpch_q17" -> 1,             // decorrelated avg reuses l_partkey agg
       "tpch_q19" -> 0,             // disjunction stays a broadcast-join residual
       "tpch_q21" -> 3,             // ONE fact SMJ (2) + s_name agg; per-(order,
