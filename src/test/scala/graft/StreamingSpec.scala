@@ -1151,6 +1151,124 @@ class StreamingSpec extends SparkSpec {
       assert(verCounts == expected)
     }
   }
+
+  test("streaming FK join: table semantics, dim-update re-emission, batch parity") {
+    import graft.streaming.StreamingFkJoin
+    import graft.streaming.StreamingFkJoin.FkChange
+    withRocksDb {
+      def dim(ck: Long, seg: String, seq: Long) =
+        FkChange(ck, is_dim = true, 0L, 0L, seg, seq)
+      def fact(oid: Long, ck: Long, amt: Long, seq: Long) =
+        FkChange(ck, is_dim = false, oid, amt, null, seq)
+      val waves = Seq(
+        // o2 arrives before its dim row -> emits nothing yet
+        Seq(dim(1, "bronze", 1), fact(10, 1, 100, 2), fact(20, 2, 200, 3)),
+        // dim 2 arrives -> o2 joins retroactively; dim 1 updates -> o1 AND
+        // o3 (added just before) re-emit with "gold"
+        Seq(dim(2, "silver", 4), fact(30, 1, 300, 5), dim(1, "gold", 6)),
+        // fact upsert (o1 amount) joins current dim; dim 2 update re-emits o2
+        Seq(fact(10, 1, 150, 7), dim(2, "platinum", 8)))
+      val ms = MemoryStream[FkChange]
+      val q = StreamingFkJoin.fkJoin(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_fk_join")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      val all = spark.table("stream_fk_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getLong(4)))
+      // the KS FK-join contract: the dim-1 update at seq 6 re-emitted both
+      // live facts under key 1 with the new segment
+      assert(all.contains((10L, 1L, 100L, "gold", 6L)), all.mkString(", "))
+      assert(all.contains((30L, 1L, 300L, "gold", 6L)), all.mkString(", "))
+      // o2 emitted nothing until its dim row arrived (inner-join semantics)
+      assert(!all.exists(t => t._1 == 20L && t._5 < 4L), all.mkString(", "))
+      // latest emission per order id == the batch inner join of the FINAL
+      // fact and dim tables (table semantics survive chunking)
+      val latest = all.groupBy(_._1).map { case (_, ts) => ts.maxBy(_._5) }
+        .map(t => (t._1, t._2, t._3, t._4)).toSet
+      val changes = waves.flatten
+      val finalDims = changes.filter(_.is_dim).groupBy(_.cust_key)
+        .map { case (k, cs) => k -> cs.maxBy(_.seq).segment }
+      val finalFacts = changes.filterNot(_.is_dim).groupBy(_.order_id)
+        .map { case (_, cs) => cs.maxBy(_.seq) }
+      val batchJoin = finalFacts.flatMap(f => finalDims.get(f.cust_key)
+        .map(seg => (f.order_id, f.cust_key, f.amount_micro, seg))).toSet
+      assert(latest == batchJoin)
+      assert(batchJoin.size == 3)
+    }
+  }
+
+  test("checkpoint restart recovers the FK join's fact map and dim state") {
+    import graft.streaming.StreamingFkJoin
+    import graft.streaming.StreamingFkJoin.FkChange
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("graft_ckpt_fk").toString
+      val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      def dim(ck: Long, seg: String, seq: Long) =
+        FkChange(ck, is_dim = true, 0L, 0L, seg, seq)
+      def fact(oid: Long, ck: Long, amt: Long, seq: Long) =
+        FkChange(ck, is_dim = false, oid, amt, null, seq)
+      val batch1 = Seq(dim(1, "bronze", 1), fact(10, 1, 100, 2),
+        fact(30, 1, 300, 3))
+      // the dim update alone must re-emit BOTH facts — they live only in
+      // the checkpointed MapState at this point
+      val batch2 = Seq(dim(1, "gold", 4))
+      val schema = batch1.toDF().schema
+      def write(cs: Seq[FkChange]): Unit =
+        cs.toDF().coalesce(1).write.mode("append").parquet(src)
+      // Update-mode emissions land via foreachBatch (the file sink is
+      // append-only; foreachBatch is the checkpoint-recoverable route)
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(src).as[FkChange]
+        val q = StreamingFkJoin.fkJoin(stream).toDF()
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt).outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      write(batch1); runOnce()
+      write(batch2); runOnce()
+      val afterRestart = spark.read.parquet(out).filter(col("seq") === 4L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getLong(4)))
+        .toSet
+      assert(afterRestart == Set((10L, 100L, "gold", 4L),
+        (30L, 300L, "gold", 4L)), afterRestart.mkString(", "))
+    }
+  }
+
+  test("streaming sliding window ≡ batch win_range_frame (exact, ordered feed)") {
+    import graft.streaming.StreamingSlidingWindow
+    import graft.streaming.StreamingSlidingWindow.EventIn
+    withRocksDb {
+      // the same micro-unit rows the batch RANGE frame sums, fed in
+      // event-time order (the parity contract) across three waves
+      val keyed = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("vi"))
+        .as[EventIn].collect().toSeq.sortBy(e => (e.us, e.event_id))
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingSlidingWindow.slidingSum(ms.toDS(), 3600L * 1000000L)
+        .toDF()
+        .writeStream.format("memory").queryName("stream_sliding")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      val streamed = spark.table("stream_sliding").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSet
+      val batch = SparkEntry.queries("win_range_frame")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    }
+  }
 }
 
 object StreamingSpec {
