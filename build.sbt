@@ -38,3 +38,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseParallelGC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// CI-halving aliases: the full suite (~15 min at the round-10 surface)
+// exceeds a 10-minute command ceiling, so run the two halves as separate
+// commands ("sbt testHeavy" then "sbt testLight" == "sbt test").
+// Membership is exhaustive over the concrete suites in src/test; the
+// "suite-split covers every suite" check in DeterminismSpec fails the
+// build if a new suite is added to neither list.
+addCommandAlias("testHeavy",
+  "testOnly graft.StreamingSpec graft.DeterminismSpec graft.PlanSpec " +
+    "graft.OperatorSmokeSpec graft.DedupSimilaritySpec")
+addCommandAlias("testLight",
+  "testOnly graft.BenchHarnessSpec graft.BucketingSpec " +
+    "graft.ClassifierSpec graft.ExtensionsSpec graft.GraphSpec " +
+    "graft.IvfSpec graft.LayoutSpec graft.PartitionInvarianceSpec " +
+    "graft.PartitionPruningSpec graft.PqSpec graft.QuantizeSpec " +
+    "graft.SessionizePropertySpec graft.SkewSpec graft.SourcesSpec " +
+    "graft.VecDotSpec")

@@ -68,7 +68,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val line = run(spark, sfDir, SparkEntry.queries, reps)
+    // Dev loop: SPARK_GRAFT_KEYS=a,b,c times only the named keys
+    // (substring match per comma term). The driver sets no filter.
+    val keys = sys.env.get("SPARK_GRAFT_KEYS").map(_.split(',').toSeq)
+    val qs = keys match {
+      case Some(terms) =>
+        SparkEntry.queries.filter { case (n, _) => terms.exists(n.contains) }
+      case None => SparkEntry.queries
+    }
+    val line = run(spark, sfDir, qs, reps)
     println(line)
     // Also persist the full line to a file: the driver's artifact keeps
     // only a 2000-char tail of stdout, and the 272-key JSON no longer

@@ -254,6 +254,38 @@ object Aggregates {
         .agg(round(wavg(col("l_extendedprice"), col("l_discount")), 4).as("wavg_price"))
         .orderBy("l_returnflag")
     }),
+
+    // Typed COGROUP (round 10) — the Kafka Streams `KStream#cogroup`
+    // analog and the one typed-API primitive the surface was missing:
+    // two keyed datasets (events by user, orders by customer) merge into
+    // ONE per-key profile in a single function over both groups'
+    // iterators, without materializing either side as a joined row set.
+    // Spark plans it as one CoGroup exchange per side (both shuffled on
+    // the key, then streamed zipper-style) — per-key cost is the two
+    // group sizes, state is O(1) accumulators, and the fold never
+    // buffers a group. Exactness: values fold as HALF_UP-rounded 6dp/4dp
+    // micro-unit longs — the JVM-side image of the dsum6/dsum decimal
+    // casts — so the released sums divide exact integers and the oracle
+    // (two GROUP BYs + FULL OUTER JOIN) hash-matches bit-for-bit.
+    "agg_cogroup_merge" -> ((s, dir) => {
+      import s.implicits._
+      def micros(v: Double, scale: Int): Long =
+        java.math.BigDecimal.valueOf(v)
+          .setScale(scale, java.math.RoundingMode.HALF_UP)
+          .movePointRight(scale).longValueExact()
+      val ev = events(s, dir).select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+      ev.groupByKey(_._1).cogroup(ord.groupByKey(_._1)) { (k, as, bs) =>
+        var ne = 0L; var se = 0L
+        as.foreach { a => ne += 1; se += micros(a._2, 6) }
+        var no = 0L; var so = 0L
+        bs.foreach { b => no += 1; so += micros(b._2, 4) }
+        Iterator.single((k, ne, se / 1e6, no, so / 1e4))
+      }.toDF("user_id", "n_events", "sum_value", "n_orders", "sum_spend")
+        .orderBy("user_id")
+    }),
   )
 
   /** Mergeable-sketch distinct count (the 100 TB pattern: per-group HLL
@@ -510,5 +542,19 @@ object Aggregates {
       """SELECT l_returnflag,
         | round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS wavg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_cogroup_merge" ->
+      """WITH e AS (SELECT user_id, count(*) AS n_events,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | FROM events GROUP BY 1),
+        | o AS (SELECT o_custkey, count(*) AS n_orders,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_spend
+        | FROM orders GROUP BY 1)
+        |SELECT COALESCE(e.user_id, o.o_custkey) AS user_id,
+        | COALESCE(n_events, 0) AS n_events,
+        | COALESCE(sum_value, 0.0) AS sum_value,
+        | COALESCE(n_orders, 0) AS n_orders,
+        | COALESCE(sum_spend, 0.0) AS sum_spend
+        |FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey
+        |ORDER BY 1""".stripMargin,
   )
 }

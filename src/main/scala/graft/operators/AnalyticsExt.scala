@@ -678,12 +678,18 @@ object AnalyticsExt {
     // var_reduction_pct is the sensitivity the platform gained.
     "agg_cuped_adjustment" -> ((s, dir) => {
       val dec = "decimal(28,12)"
-      val dn = datediff(to_date(col("ts")), lit("2024-01-01")) + 1
-      val per = events(s, dir).groupBy("user_id").agg(
-        dsum6(when(dn <= 15, col("value"))
-          .otherwise(lit(0.0))).as("x"),
-        dsum6(when(dn > 15, col("value"))
-          .otherwise(lit(0.0))).as("y"))
+      // dn projected once in the scan stage (not inside each aggregate
+      // expression — the two when() branches would evaluate the
+      // date arithmetic twice per row)
+      val per = events(s, dir)
+        .select(col("user_id"), col("value"),
+          ((datediff(to_date(col("ts")), lit("2024-01-01")) + 1) <= 15)
+            .as("pre"))
+        .groupBy("user_id").agg(
+          dsum6(when(col("pre"), col("value"))
+            .otherwise(lit(0.0))).as("x"),
+          dsum6(when(!col("pre"), col("value"))
+            .otherwise(lit(0.0))).as("y"))
       val st = per.agg(
         count(lit(1)).cast("double").as("n"),
         sum(col("x").cast(dec)).cast("double").as("sx"),
@@ -811,6 +817,51 @@ object AnalyticsExt {
     // end. The lag window is a single partition BY DESIGN: it ranges
     // over the hourly AGGREGATE (|calendar hours| rows — 720 for a
     // month, bounded by time, not by corpus), never raw events.
+    // CUSUM CHANGEPOINT DETECTOR (Page 1954, tabular one-sided CUSUM) —
+    // the level-shift monitor a traffic pipeline runs beside the sigma
+    // detectors: s⁺_t = max(0, s⁺_{t−1} + x_t − μ₀ − k) accumulates
+    // small persistent drifts the per-point detectors miss, alarming
+    // when s⁺ crosses h. The recursion LOOKS stateful-only, but unrolls
+    // to the prefix identity s⁺_t = C_t − min(0, min_{i≤t} C_i) with
+    // C = cumsum(x − μ₀ − k) — two bounded windows over the HOURLY
+    // AGGREGATE (|calendar hours| rows, the ts_backtest_snaive domain),
+    // fully SQL-expressible and hash-checkable where a fold would need
+    // a list_reduce replay. Reference μ₀, slack k = σ/2 and threshold
+    // h = 4k come from the FIRST-WEEK moment frame (exact decimal sums;
+    // each released as ONE 6dp-rounded scalar so the per-hour
+    // subtraction runs on the decimal lattice). Everything after the
+    // one events pass touches ≤ |hours| rows.
+    "ts_changepoint_cusum" -> ((s, dir) => {
+      val dec = "decimal(28,12)"
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(dsum6(col("value")).as("x"))
+      val ref = hourly
+        .filter(col("h") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x").cast(dec)).cast("double").as("sx"),
+          sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+        .select(
+          round(col("sx") / col("n"), 6).as("mu0"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / col("n")) / 2.0, 6).as("k"))
+      val w = Window.orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly.crossJoin(broadcast(ref))
+        .withColumn("y",
+          col("x").cast(dec) - col("mu0").cast(dec) - col("k").cast(dec))
+        .withColumn("c", sum(col("y")).over(w))
+        .withColumn("s_plus", col("c") - least(min(col("c")).over(w),
+          lit(0).cast(dec)))
+        // alarm compares the RELEASED 6dp s⁺ against h = 4k (k is a
+        // 6dp-rounded double, ×4 is an exact exponent shift) — both
+        // operands are the same bits in either engine, no boundary flake
+        .withColumn("sp6", round(col("s_plus").cast("double"), 6))
+        .select(col("h"), col("x"), col("sp6").as("s_plus"),
+          (col("sp6") > col("k") * 4).as("is_alarm"))
+        .orderBy("h")
+    }),
+
     "ts_backtest_snaive" -> ((s, dir) => {
       val dec = "decimal(28,12)"
       val hourly = events(s, dir)
@@ -863,19 +914,19 @@ object AnalyticsExt {
         .when(u < 0.9963401531726563, 4L)
         .when(u < 0.9994058151824183, 5L)
         .otherwise(6L)
-      // Pre-aggregate the Poisson weights per (type, replica, VALUE)
-      // before the cumsum: the weighted median only needs the cumulative
-      // weight at each distinct value boundary (cw is monotone, so "the
-      // smallest value whose running weight reaches half" is identical
-      // whether cw steps per event or per value-group), and the window
-      // input shrinks from 20×|events| rows to 20×|distinct values| —
-      // a two-phase hash agg absorbs the expansion map-side instead of
-      // sorting it (round-9 verdict item 6; the heaviest oracled key).
+      // Measured note (round 10): a per-(type, replica, value) weight
+      // pre-agg before the cumsum — the obvious window-input reducer —
+      // was tried and REGRESSED 4.4 → 6.6 s at sf0.1: this feed's values
+      // are nearly unique per type (~15k distinct per 25k events), so the
+      // extra corpus-scale hash shuffle bought only a ~1.7× window-input
+      // cut. The pre-agg pays off only when values quantize (weights
+      // fold); on near-continuous values the direct window is the faster
+      // linear plan. Kept direct; re-evaluate if the value domain
+      // discretizes.
       val wdf = ev.crossJoin(reps).withColumn("w", w).filter(col("w") > 0L)
-        .groupBy("event_type", "rep", "value").agg(sum("w").as("w"))
       val tot = wdf.groupBy("event_type", "rep").agg(sum("w").as("wtot"))
       val cum = wdf.withColumn("cw", sum("w").over(
-        Window.partitionBy("event_type", "rep").orderBy("value")
+        Window.partitionBy("event_type", "rep").orderBy("value", "event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val med = cum.join(tot, Seq("event_type", "rep"))
         .filter(col("cw") * 2 >= col("wtot"))
@@ -1347,6 +1398,30 @@ object AnalyticsExt {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
         |   AS cum_hazard
         |FROM j ORDER BY day""".stripMargin,
+    "ts_changepoint_cusum" ->
+      """WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        | FROM events GROUP BY 1),
+        | ref AS (SELECT round(sx / n, 6) AS mu0,
+        |   round(sqrt((sxx - sx * sx / n) / n) / 2.0, 6) AS k
+        |  FROM (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |   FROM hourly WHERE h < TIMESTAMP '2024-01-08 00:00:00')),
+        | c AS (SELECT h, x, k,
+        |   sum(CAST(x AS DECIMAL(28,12)) - CAST(mu0 AS DECIMAL(28,12))
+        |       - CAST(k AS DECIMAL(28,12)))
+        |     OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS cc
+        |  FROM hourly CROSS JOIN ref),
+        | s AS (SELECT h, x, k,
+        |   cc - least(min(cc) OVER (ORDER BY h
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |     CAST(0 AS DECIMAL(28,12))) AS s_plus
+        |  FROM c)
+        |SELECT h, x, round(CAST(s_plus AS DOUBLE), 6) AS s_plus,
+        | round(CAST(s_plus AS DOUBLE), 6) > k * 4 AS is_alarm
+        |FROM s ORDER BY h""".stripMargin,
     "ts_psi_drift" ->
       """WITH b AS (SELECT CAST(least(floor(value / 25.0), 19.0) AS BIGINT) AS bucket,
         |   (CAST(ts AS DATE) - DATE '2024-01-01' + 1) <= 7 AS is_ref

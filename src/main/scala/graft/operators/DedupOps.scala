@@ -304,7 +304,10 @@ object DedupOps {
         .select("d1", "d2").localCheckpoint()
       val candIds = cand.select(explode(array(col("d1"), col("d2")))
         .as("doc_id")).distinct()
-      val shC = sh.join(candIds, "doc_id").localCheckpoint()
+      // Shingle ONLY the candidate docs for the verify stage (prune the
+      // corpus first, then explode) — re-exploding the whole corpus here
+      // measured ~2× the verify stage's cost at sf0.1.
+      val shC = docShingles(docs.join(candIds, "doc_id")).localCheckpoint()
       val cnt = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
       cand
         .join(shC.select(col("doc_id").as("d1"), col("shingle")), "d1")

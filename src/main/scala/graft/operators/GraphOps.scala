@@ -352,6 +352,9 @@ object GraphOps {
       .filter(col("common_neighbors") >= minShared)
       .join(p.select(col("d1").as("a"), col("d2").as("b")),
         Seq("a", "b"), "left_anti")
+      // Materialize before releasing the persisted pair frame — the
+      // result is consumed lazily and p.unpersist() below would
+      // otherwise re-mine the pairs on first use.
       .localCheckpoint()
     p.unpersist()
     out

@@ -580,9 +580,13 @@ object TextOps {
     // agg instead. Share = exact integer cumsum / exact integer total,
     // one correctly-rounded division — bit-identical cross-engine.
     "text_vocab_coverage" -> ((s, dir) => {
+      // wc feeds three branches (top-k slice, totals, full-vocab row):
+      // localCheckpoint the vocabulary aggregate so the corpus explode+agg
+      // runs ONCE per call instead of once per branch.
       val wc = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val kMax = 1024
       val top = wc.orderBy(col("cnt").desc, col("word")).limit(kMax)
       val ranked = top

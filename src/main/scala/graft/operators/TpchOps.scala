@@ -174,12 +174,16 @@ object TpchOps {
     // corpus, and an unpartitioned WindowExec would single-partition it.
     // Either way lineitem is scanned once.
     "tpch_q15" -> ((s, dir) => {
+      // rev feeds both the max scalar and the filter: localCheckpoint it
+      // (a |suppliers|-row aggregate — bounded) so lineitem scans ONCE,
+      // instead of trusting runtime exchange reuse across the branches.
       val rev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("total_rev"))
+        .localCheckpoint()
       val mx = rev.agg(max(col("total_rev")).as("mx"))
       val top = rev.crossJoin(broadcast(mx))
         .filter(col("total_rev") === col("mx"))

@@ -101,4 +101,30 @@ class DeterminismSpec extends SparkSpec {
       ordered.foreach { s => assert(s._3 >= 1 && s._4 >= 1) }
     }
   }
+
+  test("the testHeavy/testLight suite split covers every concrete suite") {
+    // The full suite exceeds a 10-minute CI command ceiling, so the
+    // build defines two halving aliases. This pin fails whenever a new
+    // suite lands in neither list — a suite missing from the split runs
+    // in `sbt test` but silently never in the halved CI path.
+    import scala.jdk.CollectionConverters._
+    val buildSbt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("build.sbt")), "UTF-8")
+    val listed = "graft\\.[A-Za-z]+Spec".r.findAllIn(buildSbt)
+      .map(_.stripPrefix("graft.")).toSet
+    val testDir = java.nio.file.Paths.get("src/test/scala/graft")
+    val concrete = java.nio.file.Files.list(testDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith("Spec.scala"))
+      .map(_.stripSuffix(".scala"))
+      .filter { name =>
+        val src = new String(java.nio.file.Files.readAllBytes(
+          testDir.resolve(s"$name.scala")), "UTF-8")
+        // concrete suites only: the shared SparkSpec harness is a trait
+        src.contains(s"class $name") &&
+          (src.contains("extends SparkSpec") || src.contains("extends AnyFunSuite"))
+      }.toSet
+    val missing = concrete -- listed
+    assert(missing.isEmpty,
+      s"suites in neither testHeavy nor testLight: ${missing.mkString(", ")}")
+  }
 }

@@ -125,7 +125,7 @@ class PlanSpec extends SparkSpec {
             "text_pmi_bigrams", // two 1-row totals (N tokens, N bigrams) cross-joined
             "agg_histogram_equidepth", // 1-row decile-boundary aggregate cross join
             "tpch_q15", // 1-row max-revenue aggregate cross join (scalar frame)
-            "pipeline_data_contract", // FK rules cross two 1-row count aggs
+            "ts_changepoint_cusum", // 1-row (mu0, k) reference-frame cross join
             "pipeline_curriculum_stages_approx", // 1-row quartile-sketch boundary frame
             "agg_histogram_equidepth_approx", // same 1-row boundary frame, sketch-built
             "agg_winsorized_mean", // 1-row [p05,p95] clip-envelope cross join
@@ -154,6 +154,8 @@ class PlanSpec extends SparkSpec {
     val allow: Map[String, String] = Map(
       "ts_survival_hazard" -> "<=censorDay(25)-row day grid",
       "ts_backtest_snaive" -> "|calendar hours| rows (time-bounded, ~720/month)",
+      "ts_changepoint_cusum" ->
+        "cumsum + running-min over the bounded hourly grid (~720/month)",
       "skyline_pareto" -> "price-domain prefix max (<=|distinct prices| rows)",
       "sim_hybrid_rrf" -> "two rank windows over limit(100) slices",
       "text_vocab_coverage" -> "rank/cumsum over the TakeOrdered top-1024 slice",
