@@ -656,6 +656,58 @@ object AnalyticsExt {
         .orderBy("type_a", "type_b")
     }),
 
+    // MANN–WHITNEY U (Wilcoxon rank-sum) between every pair of event
+    // types (round 10) — the NONPARAMETRIC twin of agg_ab_ttest, the
+    // test an experiment platform reaches for when values are skewed
+    // (revenue, latency) and the t-test's normality is a lie. Computed
+    // WITHOUT ranking the corpus: U(A,B) = Σ_v cntA(v)·(cumB(<v) +
+    // ½·cntB(=v)) needs only the per-(type, value) count frame — one
+    // corpus hash agg — densified over the VALUE DOMAIN (|distinct
+    // values| × |types| rows, the skyline_pareto bound; the per-type
+    // cumsum window runs there, never over events). Exactness: 2U is an
+    // integer by construction and accumulates as a long; the tie-
+    // corrected normal z = (U − nAnB/2)/σ is one IEEE expression over
+    // exact integer moments (Σt³−t over combined ties) — bit-identical
+    // cross-engine, rounded 6dp at release.
+    "agg_mann_whitney" -> ((s, dir) => {
+      val vc = events(s, dir).groupBy("event_type", "value")
+        .agg(count(lit(1)).as("cnt"))
+      val vals = vc.select("value").distinct()
+      val types = vc.select("event_type").distinct()
+      val dense = vals.crossJoin(broadcast(types))
+        .join(vc, Seq("event_type", "value"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dense.withColumn("cum", sum("cnt").over(w))
+      val a = cum.select(col("event_type").as("type_a"), col("value"),
+        col("cnt").as("ca"))
+      val b = cum.select(col("event_type").as("type_b"), col("value"),
+        col("cnt").as("cb"), col("cum").as("cumb"))
+      val pair = a.join(b, "value").filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+          sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+          // 2U accumulates exactly: 2·ca·(cumB(<v)) + ca·cb(=v)
+          sum(col("ca") * (col("cumb") - col("cb")) * 2
+            + col("ca") * col("cb")).as("u2"),
+          // combined tie masses for the variance correction
+          sum((col("ca") + col("cb")) * (col("ca") + col("cb"))
+            * (col("ca") + col("cb")) - (col("ca") + col("cb"))).as("t3t"))
+      pair.select(col("type_a"), col("type_b"),
+          col("n_a"), col("n_b"),
+          (col("u2") / 2.0).as("u_a"),
+          round(
+            (col("u2") / 2.0
+              - col("n_a").cast("double") * col("n_b") / 2.0)
+            / sqrt(col("n_a").cast("double") * col("n_b") / 12.0
+              * ((col("n_a") + col("n_b") + 1.0)
+                - col("t3t").cast("double")
+                  / ((col("n_a") + col("n_b"))
+                    * (col("n_a") + col("n_b") - 1.0)))), 6).as("z"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // CUPED VARIANCE REDUCTION (Deng et al. 2013, "Improving the
     // Sensitivity of Online Controlled Experiments by Utilizing
     // Pre-Experiment Data") — the A/B-platform standard: adjust each
@@ -1331,6 +1383,35 @@ object AnalyticsExt {
          |   + (b.sxx - b.sx * b.sx / b.n) / (b.n - 1.0) / b.n), 6) AS t_stat
          |FROM st a CROSS JOIN st b WHERE a.event_type < b.event_type
          |ORDER BY 1, 2""".stripMargin,
+    "agg_mann_whitney" ->
+      """WITH vc AS (SELECT event_type, value, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | vals AS (SELECT DISTINCT value FROM vc),
+        | types AS (SELECT DISTINCT event_type FROM vc),
+        | dense AS (SELECT t.event_type, v.value, COALESCE(cnt, 0) AS cnt
+        |  FROM vals v CROSS JOIN types t
+        |  LEFT JOIN vc ON vc.event_type = t.event_type AND vc.value = v.value),
+        | cum AS (SELECT event_type, value, cnt,
+        |   sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dense),
+        | pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |   sum(a.cnt) AS n_a, sum(b.cnt) AS n_b,
+        |   sum(a.cnt * (b.cum - b.cnt) * 2 + a.cnt * b.cnt) AS u2,
+        |   sum((a.cnt + b.cnt) * (a.cnt + b.cnt) * (a.cnt + b.cnt)
+        |     - (a.cnt + b.cnt)) AS t3t
+        |  FROM cum a JOIN cum b ON a.value = b.value
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | u2 / 2.0 AS u_a,
+        | round((u2 / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+        |   / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+        |     * ((n_a + n_b + 1.0)
+        |       - CAST(t3t AS DOUBLE) / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6)
+        |   AS z
+        |FROM pair ORDER BY type_a, type_b""".stripMargin,
     "agg_cuped_adjustment" ->
       """WITH per AS (SELECT user_id,
         |   CAST(sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01' + 1) <= 15
