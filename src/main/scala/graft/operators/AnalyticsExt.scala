@@ -708,6 +708,50 @@ object AnalyticsExt {
         .orderBy("type_a", "type_b")
     }),
 
+    // KOLMOGOROV–SMIRNOV two-sample D between every type pair (round
+    // 10) — the distribution-shift test that reads the WHOLE CDF where
+    // Mann–Whitney reads a location shift: D = max_v |F_A(v) − F_B(v)|.
+    // Same value-domain machine as agg_mann_whitney (one corpus hash
+    // agg → densified per-type cumsums over |values|×|types| rows), and
+    // the max runs in EXACT INTEGER arithmetic: |cumA·nB − cumB·nA| is
+    // a long, D = maxdiff/(nA·nB) one correctly-rounded division — no
+    // float CDF ever compared. Released beside the α=0.05 two-sample
+    // threshold c(α)·√((nA+nB)/(nA·nB)), c = 1.358 (fixed literal), so
+    // the verdict column is self-contained.
+    "agg_ks_test" -> ((s, dir) => {
+      val vc = events(s, dir).groupBy("event_type", "value")
+        .agg(count(lit(1)).as("cnt"))
+      val vals = vc.select("value").distinct()
+      val types = vc.select("event_type").distinct()
+      val tot = vc.groupBy("event_type").agg(sum("cnt").as("n"))
+      val dense = vals.crossJoin(broadcast(types))
+        .join(vc, Seq("event_type", "value"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dense.withColumn("cum", sum("cnt").over(w))
+        .join(broadcast(tot), "event_type")
+      val a = cum.select(col("event_type").as("type_a"), col("value"),
+        col("cum").as("cuma"), col("n").as("n_a"))
+      val b = cum.select(col("event_type").as("type_b"), col("value"),
+        col("cum").as("cumb"), col("n").as("n_b"))
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      a.join(b, "value").filter(col("type_a") < col("type_b"))
+        .withColumn("idiff",
+          abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+        .groupBy("type_a", "type_b", "n_a", "n_b")
+        .agg(max("idiff").as("maxdiff"))
+        .withColumn("d_stat",
+          round(col("maxdiff").cast("double") / (na * nb), 6))
+        .withColumn("d_crit",
+          round(lit(1.358) * sqrt((na + nb) / (na * nb)), 6))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("d_stat"), col("d_crit"),
+          (col("d_stat") > col("d_crit")).as("is_significant"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // CUPED VARIANCE REDUCTION (Deng et al. 2013, "Improving the
     // Sensitivity of Online Controlled Experiments by Utilizing
     // Pre-Experiment Data") — the A/B-platform standard: adjust each
@@ -1411,6 +1455,36 @@ object AnalyticsExt {
         |     * ((n_a + n_b + 1.0)
         |       - CAST(t3t AS DOUBLE) / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6)
         |   AS z
+        |FROM pair ORDER BY type_a, type_b""".stripMargin,
+    "agg_ks_test" ->
+      """WITH vc AS (SELECT event_type, value, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | vals AS (SELECT DISTINCT value FROM vc),
+        | types AS (SELECT DISTINCT event_type FROM vc),
+        | tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM vc GROUP BY 1),
+        | dense AS (SELECT t.event_type, v.value, COALESCE(cnt, 0) AS cnt
+        |  FROM vals v CROSS JOIN types t
+        |  LEFT JOIN vc ON vc.event_type = t.event_type AND vc.value = v.value),
+        | cum AS (SELECT d.event_type, d.value,
+        |   CAST(sum(cnt) OVER (PARTITION BY d.event_type ORDER BY value
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     AS cum, n
+        |  FROM dense d JOIN tot USING (event_type)),
+        | pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |   a.n AS n_a, b.n AS n_b,
+        |   max(abs(a.cum * b.n - b.cum * a.n)) AS maxdiff
+        |  FROM cum a JOIN cum b ON a.value = b.value
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT type_a, type_b, n_a, n_b,
+        | round(CAST(maxdiff AS DOUBLE)
+        |   / (CAST(n_a AS DOUBLE) * n_b), 6) AS d_stat,
+        | round(1.358 * sqrt((CAST(n_a AS DOUBLE) + n_b)
+        |   / (CAST(n_a AS DOUBLE) * n_b)), 6) AS d_crit,
+        | round(CAST(maxdiff AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
+        |   > round(1.358 * sqrt((CAST(n_a AS DOUBLE) + n_b)
+        |     / (CAST(n_a AS DOUBLE) * n_b)), 6) AS is_significant
         |FROM pair ORDER BY type_a, type_b""".stripMargin,
     "agg_cuped_adjustment" ->
       """WITH per AS (SELECT user_id,

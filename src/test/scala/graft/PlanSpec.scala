@@ -127,6 +127,7 @@ class PlanSpec extends SparkSpec {
             "tpch_q15", // 1-row max-revenue aggregate cross join (scalar frame)
             "ts_changepoint_cusum", // 1-row (mu0, k) reference-frame cross join
             "agg_mann_whitney", // |types|-row broadcast cross onto the value domain
+            "agg_ks_test", // same |types|-row broadcast cross (shared machine)
             "pipeline_curriculum_stages_approx", // 1-row quartile-sketch boundary frame
             "agg_histogram_equidepth_approx", // same 1-row boundary frame, sketch-built
             "agg_winsorized_mean", // 1-row [p05,p95] clip-envelope cross join
