@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsExt {
 
+  /** Per-user ratio-metric frame shared by agg_delta_method_ratio and
+    * agg_jackknife_ratio_var: x = event count, y = dsum6 value sum, and
+    * the suite's one salted-md5 A/B assignment (agg_srm_chisq's rule).
+    * One user-keyed hash agg; |users| rows. */
+  private def perUserXY(s: org.apache.spark.sql.SparkSession, dir: String) =
+    events(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).cast("double").as("x"),
+        dsum6(col("value")).as("y"))
+      .withColumn("variant",
+        when(substring(md5(concat(lit("srm42:"), col("user_id"))), 1, 1)
+          < "8", lit("A")).otherwise(lit("B")))
+
   val queries: Map[String, Q] = Map(
     // Least-squares y = slope·x + intercept per group, from exact DECIMAL
     // sufficient statistics (NOT the built-in regr_* functions, whose
@@ -752,6 +764,60 @@ object AnalyticsExt {
         .orderBy("type_a", "type_b")
     }),
 
+    // KRUSKAL–WALLIS H (1952) across ALL event types at once (round 10)
+    // — the k-group omnibus generalization of agg_mann_whitney: "do ANY
+    // of these k variants differ?", run before pairwise drill-down so
+    // k·(k−1)/2 rank-sum tests aren't spent on a null corpus. Same
+    // value-domain machine (one corpus hash agg, per-type cumsums over
+    // |values|×|types| rows — the corpus is never ranked). Exactness:
+    // the all-type inclusive cumulative at v is Σ_types cum_t(v) (dense
+    // has every cell), so NO unpartitioned window is needed; the
+    // midrank identity 2·rank(v) = 2·cumall(<v) + t_v + 1 keeps each
+    // group's rank sum 2R_g an exact long (Σ_g 2R_g = N(N+1) by
+    // construction — pinned in OperatorSmokeSpec); and the cross-group
+    // Σ R_g²/n_g — the one spot engine-ordered float addition could
+    // sneak in — accumulates on the DECIMAL(28,12) lattice after each
+    // group's term is produced by the same correctly-rounded IEEE
+    // expression in both engines. Tie correction C = 1 − Σ(t³−t)/(N³−N)
+    // from exact integer tie masses; H_tied = H/C.
+    "agg_kruskal_wallis" -> ((s, dir) => {
+      val vc = events(s, dir).groupBy("event_type", "value")
+        .agg(count(lit(1)).as("cnt"))
+      val vals = vc.select("value").distinct()
+      val types = vc.select("event_type").distinct()
+      val dense = vals.crossJoin(broadcast(types))
+        .join(vc, Seq("event_type", "value"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dense.withColumn("cum", sum("cnt").over(w))
+      val byVal = cum.groupBy("value")
+        .agg(sum("cnt").as("cntall"), sum("cum").as("cumall"))
+      val grp = dense.join(byVal, "value")
+        .groupBy("event_type")
+        .agg(sum("cnt").as("n_g"),
+          sum(col("cnt") * ((col("cumall") - col("cntall")) * 2
+            + col("cntall") + 1)).as("u2r"))
+      val tot = byVal.agg(
+        sum("cntall").as("n"),
+        sum(col("cntall") * col("cntall") * col("cntall")
+          - col("cntall")).as("t3t"))
+      val nD = col("n").cast("double")
+      val q = grp.crossJoin(tot)
+        .groupBy("n", "t3t")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(((col("u2r") / lit(2.0)) * (col("u2r") / lit(2.0))
+            / col("n_g") / (nD * (nD + lit(1.0))))
+            .cast("decimal(28,12)")).cast("double").as("sq"))
+      val hRaw = lit(12.0) * col("sq") - lit(3.0) * (nD + lit(1.0))
+      val tieC = lit(1.0) - col("t3t").cast("double") /
+        (nD * nD * nD - nD)
+      q.select(col("n_groups"), col("n").as("n_total"),
+        (col("n_groups") - 1).as("df"),
+        round(hRaw, 6).as("h_stat"),
+        round(hRaw / tieC, 6).as("h_tied"))
+    }),
+
     // CUPED VARIANCE REDUCTION (Deng et al. 2013, "Improving the
     // Sensitivity of Online Controlled Experiments by Utilizing
     // Pre-Experiment Data") — the A/B-platform standard: adjust each
@@ -818,6 +884,110 @@ object AnalyticsExt {
                 * sum(col("y").cast(dec)).cast("double")
                 / count(lit(1))), 6).as("var_reduction"))
         .orderBy("variant")
+    }),
+
+    // DELTA-METHOD RATIO-METRIC CI (round 10) — the experiment readout
+    // for ratio metrics whose numerator AND denominator are both
+    // per-unit random (value per event, revenue per session): the
+    // randomization unit is the user, so R = Σy_u/Σx_u is a ratio of
+    // means and its variance is NOT var(y)/n — the delta method gives
+    // var(R) ≈ (s_y² − 2R·s_xy + R²·s_x²)/(n·x̄²) (Deng et al. 2017,
+    // "Applying the Delta Method in Metric Analytics"). Per-user y
+    // (dsum6) and x (count) fold in ONE user agg; per-variant moments
+    // accumulate the per-user doubles on the DECIMAL(28,12) lattice
+    // (the CUPED pattern, same salted-md5 assignment as agg_srm_chisq);
+    // the CI is one correctly-rounded IEEE expression over exact
+    // moments. Shape: one user-keyed exchange, then a |variants|-row
+    // frame — nothing corpus-sized past the first agg.
+    "agg_delta_method_ratio" -> ((s, dir) => {
+      val dec = "decimal(28,12)"
+      val st = perUserXY(s, dir).groupBy("variant").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+      val r = col("sy") / col("sx")
+      val xbar = col("sx") / col("n")
+      val vy = (col("syy") - col("sy") * col("sy") / col("n")) /
+        (col("n") - lit(1.0))
+      val vx = (col("sxx") - col("sx") * col("sx") / col("n")) /
+        (col("n") - lit(1.0))
+      val cxy = (col("sxy") - col("sx") * col("sy") / col("n")) /
+        (col("n") - lit(1.0))
+      val se = sqrt((vy - lit(2.0) * r * cxy + r * r * vx) / col("n")) / xbar
+      st.select(col("variant"), col("n").cast("long").as("n_users"),
+          round(r, 6).as("ratio"), round(se, 6).as("se"),
+          round(r - lit(1.96) * se, 6).as("ci_lo"),
+          round(r + lit(1.96) * se, 6).as("ci_hi"))
+        .orderBy("variant")
+    }),
+
+    // JACKKNIFE RATIO VARIANCE (round 10) — the delta method's
+    // empirical cross-check, and the estimator large A/B platforms
+    // actually run when the metric is too gnarly to differentiate:
+    // leave-one-USER-out. Naively O(n²); the ratio's algebraic identity
+    // R₍₋ᵤ₎ = (Σy − y_u)/(Σx − x_u) makes every pseudo-value computable
+    // in ONE pass once the 2-row per-variant totals frame is broadcast
+    // back onto the per-user frame. var_JK = (n−1)/n·Σ(R₍₋ᵤ₎ − R̄_J)²;
+    // each pseudo-value is the same IEEE expression in both engines and
+    // its moments accumulate on the DECIMAL(28,12) lattice, so the
+    // release is bit-portable. A DeterminismSpec property pins
+    // se_jackknife ≈ se_delta (they agree to O(1/n) on this metric).
+    "agg_jackknife_ratio_var" -> ((s, dir) => {
+      val dec = "decimal(28,12)"
+      val tot = perUserXY(s, dir).groupBy("variant").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"))
+      val pseudo = perUserXY(s, dir).join(broadcast(tot), "variant")
+        .withColumn("rl", (col("sy") - col("y")) / (col("sx") - col("x")))
+      val st = pseudo.groupBy("variant").agg(
+        first(col("n")).as("n"),
+        first(col("sx")).as("sx"), first(col("sy")).as("sy"),
+        sum(col("rl").cast(dec)).cast("double").as("srl"),
+        sum((col("rl") * col("rl")).cast(dec)).cast("double").as("srr"))
+      val r = col("sy") / col("sx")
+      val varJk = (col("n") - lit(1.0)) / col("n") *
+        (col("srr") - col("srl") * col("srl") / col("n"))
+      val se = sqrt(varJk)
+      st.select(col("variant"), col("n").cast("long").as("n_users"),
+          round(r, 6).as("ratio"), round(se, 6).as("se_jackknife"),
+          round(r - lit(1.96) * se, 6).as("ci_lo"),
+          round(r + lit(1.96) * se, 6).as("ci_hi"))
+        .orderBy("variant")
+    }),
+
+    // POWER / MINIMUM-DETECTABLE-EFFECT READOUT (round 10) — the
+    // question every experiment review asks BEFORE launch: "at this
+    // traffic, what lift can this metric even see?" Per event type,
+    // from exact-DECIMAL (n, Σx, Σx²) — the agg_ab_ttest machine — the
+    // two-arm MDE at α=0.05 / power 0.80 with the observed n split
+    // 50/50: MDE = (z_{α/2}+z_β)·σ·√(2/(n/2)), plus the per-arm sample
+    // size a 1%-relative-lift test would need,
+    // n_req = ⌈2σ²(z_{α/2}+z_β)²/(0.01·μ)²⌉. z constants are fixed
+    // literals (1.96, 0.8416); everything else is one correctly-rounded
+    // IEEE expression over exact moments. One two-phase corpus agg →
+    // |types| rows; nothing else moves.
+    "agg_power_mde" -> ((s, dir) => {
+      val st = events(s, dir).groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum6(col("value")).as("sx"),
+        dsum6(col("value") * col("value")).as("sxx"))
+      val mean = col("sx") / col("n")
+      val vr = (col("sxx") - col("sx") * col("sx") / col("n")) /
+        (col("n") - lit(1.0))
+      val zsum = lit(1.96 + 0.8416)
+      val mde = zsum * sqrt(vr) * sqrt(lit(2.0) / (col("n") / lit(2.0)))
+      st.select(col("event_type"), col("n").cast("long").as("n_obs"),
+          round(mean, 6).as("mean"), round(sqrt(vr), 6).as("sd"),
+          round(mde, 6).as("mde_abs"),
+          round(mde / mean, 6).as("mde_rel"),
+          ceil(lit(2.0) * vr * zsum * zsum /
+            ((lit(0.01) * mean) * (lit(0.01) * mean)))
+            .cast("long").as("n_per_arm_1pct"))
+        .orderBy("event_type")
     }),
 
     // NELSON–AALEN CHURN HAZARD — survival analysis over the user base:
@@ -1486,6 +1656,100 @@ object AnalyticsExt {
         |   > round(1.358 * sqrt((CAST(n_a AS DOUBLE) + n_b)
         |     / (CAST(n_a AS DOUBLE) * n_b)), 6) AS is_significant
         |FROM pair ORDER BY type_a, type_b""".stripMargin,
+    "agg_kruskal_wallis" ->
+      """WITH vc AS (SELECT event_type, value, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | vals AS (SELECT DISTINCT value FROM vc),
+        | types AS (SELECT DISTINCT event_type FROM vc),
+        | dense AS (SELECT t.event_type, v.value, COALESCE(cnt, 0) AS cnt
+        |  FROM vals v CROSS JOIN types t
+        |  LEFT JOIN vc ON vc.event_type = t.event_type AND vc.value = v.value),
+        | cum AS (SELECT event_type, value, cnt,
+        |   sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dense),
+        | byval AS (SELECT value, sum(cnt) AS cntall, sum(cum) AS cumall
+        |  FROM cum GROUP BY 1),
+        | grp AS (SELECT d.event_type, sum(d.cnt) AS n_g,
+        |   sum(d.cnt * ((b.cumall - b.cntall) * 2 + b.cntall + 1)) AS u2r
+        |  FROM dense d JOIN byval b USING (value) GROUP BY 1),
+        | tot AS (SELECT sum(cntall) AS n,
+        |   sum(cntall * cntall * cntall - cntall) AS t3t FROM byval),
+        | q AS (SELECT n, t3t, count(*) AS n_groups,
+        |   CAST(sum(CAST((u2r / 2.0) * (u2r / 2.0) / n_g
+        |     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |     AS DECIMAL(28,12))) AS DOUBLE) AS sq
+        |  FROM grp CROSS JOIN tot GROUP BY 1, 2),
+        | h AS (SELECT CAST(n_groups AS BIGINT) AS n_groups,
+        |   CAST(n AS BIGINT) AS n_total,
+        |   CAST(n_groups AS BIGINT) - 1 AS df,
+        |   12.0 * sq - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_raw,
+        |   1.0 - CAST(t3t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |     * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS c
+        |  FROM q)
+        |SELECT n_groups, n_total, df, round(h_raw, 6) AS h_stat,
+        | round(h_raw / c, 6) AS h_tied
+        |FROM h""".stripMargin,
+    "agg_delta_method_ratio" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS x,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y,
+        |   CASE WHEN substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |     THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY 1),
+        | st AS (SELECT variant, CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |   CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |   CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |   CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        |  FROM per GROUP BY 1),
+        | d AS (SELECT variant, n, sy / sx AS r, sx / n AS xbar,
+        |   (syy - sy * sy / n) / (n - 1.0) AS vy,
+        |   (sxx - sx * sx / n) / (n - 1.0) AS vx,
+        |   (sxy - sx * sy / n) / (n - 1.0) AS cxy FROM st),
+        | e AS (SELECT variant, n, r,
+        |   sqrt((vy - 2.0 * r * cxy + r * r * vx) / n) / xbar AS se FROM d)
+        |SELECT variant, CAST(n AS BIGINT) AS n_users, round(r, 6) AS ratio,
+        | round(se, 6) AS se, round(r - 1.96 * se, 6) AS ci_lo,
+        | round(r + 1.96 * se, 6) AS ci_hi
+        |FROM e ORDER BY variant""".stripMargin,
+    "agg_jackknife_ratio_var" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS x,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y,
+        |   CASE WHEN substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |     THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY 1),
+        | tot AS (SELECT variant, CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy
+        |  FROM per GROUP BY 1),
+        | ps AS (SELECT per.variant, n, sx, sy,
+        |   (sy - y) / (sx - x) AS rl FROM per JOIN tot USING (variant)),
+        | st AS (SELECT variant, max(n) AS n, max(sx) AS sx, max(sy) AS sy,
+        |   CAST(sum(CAST(rl AS DECIMAL(28,12))) AS DOUBLE) AS srl,
+        |   CAST(sum(CAST(rl * rl AS DECIMAL(28,12))) AS DOUBLE) AS srr
+        |  FROM ps GROUP BY 1),
+        | e AS (SELECT variant, n, sy / sx AS r,
+        |   sqrt((n - 1.0) / n * (srr - srl * srl / n)) AS se FROM st)
+        |SELECT variant, CAST(n AS BIGINT) AS n_users, round(r, 6) AS ratio,
+        | round(se, 6) AS se_jackknife, round(r - 1.96 * se, 6) AS ci_lo,
+        | round(r + 1.96 * se, 6) AS ci_hi
+        |FROM e ORDER BY variant""".stripMargin,
+    "agg_power_mde" ->
+      """WITH st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY 1),
+        | d AS (SELECT event_type, n, sx / n AS mean,
+        |   (sxx - sx * sx / n) / (n - 1.0) AS vr FROM st),
+        | e AS (SELECT event_type, n, mean, vr,
+        |   (1.96 + 0.8416) * sqrt(vr) * sqrt(2.0 / (n / 2.0)) AS mde FROM d)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_obs, round(mean, 6) AS mean,
+        | round(sqrt(vr), 6) AS sd, round(mde, 6) AS mde_abs,
+        | round(mde / mean, 6) AS mde_rel,
+        | CAST(ceil(2.0 * vr * (1.96 + 0.8416) * (1.96 + 0.8416)
+        |   / ((0.01 * mean) * (0.01 * mean))) AS BIGINT) AS n_per_arm_1pct
+        |FROM e ORDER BY event_type""".stripMargin,
     "agg_cuped_adjustment" ->
       """WITH per AS (SELECT user_id,
         |   CAST(sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01' + 1) <= 15

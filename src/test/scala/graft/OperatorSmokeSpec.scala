@@ -343,6 +343,44 @@ class OperatorSmokeSpec extends SparkSpec {
       }
   }
 
+  test("pinned: kruskal-wallis / delta-method / jackknife / MDE invariants") {
+    // Kruskal–Wallis: tie correction C ≤ 1 ⇒ h_tied ≥ h_stat ≥ 0, and the
+    // rank machine must have consumed the whole corpus (n_total = |events|).
+    val kw = SparkEntry.queries("agg_kruskal_wallis")(spark, sfDir)
+      .collect().head
+    assert(kw.getLong(0) >= 2, "needs k >= 2 groups")
+    assert(kw.getLong(1) == Tables.events(spark, sfDir).count())
+    val (h, hTied) = (kw.getDouble(3), kw.getDouble(4))
+    assert(h >= -1e-9 && hTied >= h - 1e-9, s"h=$h h_tied=$hTied")
+
+    // Delta-method and jackknife are two estimators of the SAME ratio's
+    // variance: identical point estimate (same lattice sums), and the
+    // standard errors agree to O(1/n) — pinned at 10% relative.
+    val dm = SparkEntry.queries("agg_delta_method_ratio")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val jk = SparkEntry.queries("agg_jackknife_ratio_var")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    for ((variant, (ratio, se, lo, hi)) <- dm) {
+      val (jRatio, jSe) = jk(variant)
+      assert(ratio == jRatio, s"$variant: point estimates diverged")
+      assert(lo <= ratio && ratio <= hi, s"$variant: CI excludes estimate")
+      assert(se > 0 && math.abs(se - jSe) / se < 0.10,
+        s"$variant: delta se=$se vs jackknife se=$jSe")
+    }
+
+    // MDE: positive, relative form consistent, and the 1%-lift sample size
+    // must dwarf the observed n (a 1% lift is far below this corpus's MDE).
+    SparkEntry.queries("agg_power_mde")(spark, sfDir).collect().foreach { r =>
+      val (n, mean, mde, mdeRel) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5))
+      assert(mde > 0 && mdeRel > 0)
+      assert(math.abs(mdeRel - mde / mean) < 1e-5)
+      assert(r.getLong(6) > n, "1% lift needs more traffic than observed")
+    }
+  }
+
   test("pinned: vocab coverage is monotone and ends at 1.0") {
     val rows = SparkEntry.queries("text_vocab_coverage")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(3)))

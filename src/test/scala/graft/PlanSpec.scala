@@ -128,6 +128,7 @@ class PlanSpec extends SparkSpec {
             "ts_changepoint_cusum", // 1-row (mu0, k) reference-frame cross join
             "agg_mann_whitney", // |types|-row broadcast cross onto the value domain
             "agg_ks_test", // same |types|-row broadcast cross (shared machine)
+            "agg_kruskal_wallis", // 1-row (N, tie-mass) frame crossed onto |types| rows
             "pipeline_curriculum_stages_approx", // 1-row quartile-sketch boundary frame
             "agg_histogram_equidepth_approx", // same 1-row boundary frame, sketch-built
             "agg_winsorized_mean", // 1-row [p05,p95] clip-envelope cross join
