@@ -368,6 +368,61 @@ object DedupOps {
         .orderBy(col("n_shared").desc, col("d1"), col("d2"))
         .limit(100)
     }),
+
+    // CONTENT-DEFINED CHUNKING dedup (round 10) — the rsync/LBFS cut
+    // rule (Muthitacharoen et al. 2001) applied to corpus text: a cut
+    // lands after position i when the 8-char gram ending at i hashes
+    // into the cut class (first md5 hex digit '0' ⇒ P(cut) = 1/16,
+    // expected chunk ≈ 16 chars). Because the rule depends only on
+    // CONTENT, an insertion early in a doc shifts every byte but
+    // re-synchronizes the chunk stream at the next cut point — the
+    // property fixed-stride windows (dedup_substring) lack, and the
+    // reason storage dedup and incremental corpus diffs chunk this way.
+    // Release: per-doc chunk census + how much chunk mass also appears
+    // in ≥2 distinct docs. Shape: the gram scan is a bounded projection
+    // (one row per position, the perDocWindows cost), cuts collapse to
+    // ≤len/16 boundary rows per doc, the span window rides a doc_id
+    // partition, and the digest df is one hash agg — linear end to end,
+    // no pair join anywhere. Docs shorter than the gram width get the
+    // whole-doc chunk via the unioned terminal boundary (and the
+    // sequence() is guarded: Spark emits a DESCENDING range when
+    // start > stop — the ts_survival_hazard latent-bug class).
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cuts = docs.filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(8), length(col("text")))).as("i"))
+        .filter(substring(md5(col("text").substr(col("i") - 7, lit(8))),
+          1, 1) === "0")
+        .select(col("doc_id"), col("i"))
+      val bnd = cuts
+        .union(docs.select(col("doc_id"), length(col("text")).as("i")))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+      val inst = bnd
+        .withColumn("start", lag(col("i"), 1, 0).over(w) + 1)
+        .join(docs, "doc_id")
+        .select(col("doc_id"),
+          md5(col("text").substr(col("start"),
+            col("i") - col("start") + 1)).as("digest"),
+          (col("i") - col("start") + 1).as("clen"))
+      val dup = inst.groupBy("digest")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      inst.join(dup, "digest")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("nd") >= 2, col("clen")).otherwise(0L))
+            .as("dup_chars"))
+        .join(docs.select(col("doc_id"), length(col("text")).as("len")),
+          "doc_id")
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          col("dup_chars"),
+          round(col("dup_chars").cast("double") / col("len"), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Character-window length for the exact-substring dedup keys — long
@@ -1133,6 +1188,33 @@ object DedupOps {
          |JOIN ok ON a.win = ok.win
          |GROUP BY 1, 2
          |ORDER BY n_shared DESC, d1, d2 LIMIT 100""".stripMargin,
+    "dedup_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        | cuts AS (SELECT doc_id, i FROM (
+        |    SELECT doc_id, text, unnest(generate_series(8, len)) AS i
+        |    FROM d WHERE len >= 8)
+        |   WHERE substr(md5(substr(text, i - 7, 8)), 1, 1) = '0'),
+        | bnd AS (SELECT DISTINCT doc_id, i FROM (
+        |    SELECT doc_id, i FROM cuts
+        |    UNION ALL SELECT doc_id, len FROM d)),
+        | spans AS (SELECT doc_id, i,
+        |    COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+        |      AS start
+        |   FROM bnd),
+        | inst AS (SELECT s.doc_id, md5(substr(text, start, i - start + 1))
+        |     AS digest, i - start + 1 AS clen
+        |   FROM spans s JOIN d USING (doc_id)),
+        | dup AS (SELECT digest, count(DISTINCT doc_id) AS nd
+        |   FROM inst GROUP BY 1),
+        | per AS (SELECT doc_id, count(*) AS n_chunks,
+        |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+        |    sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS dup_chars
+        |   FROM inst JOIN dup USING (digest) GROUP BY 1)
+        |SELECT per.doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        | CAST(n_dup_chunks AS BIGINT) AS n_dup_chunks,
+        | CAST(dup_chars AS BIGINT) AS dup_chars,
+        | round(CAST(dup_chars AS DOUBLE) / len, 6) AS dup_frac
+        |FROM per JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared DuckDB CTE list computing `sim64(doc_id, sh_lo, sh_hi)` — the

@@ -360,6 +360,36 @@ object GraphOps {
     out
   }
 
+  /** Adamic–Adar link prediction — [[commonNeighbors]]' weighted twin:
+    * rare shared neighbors count more (w(z) = 1/ln deg(z)), so a pair
+    * sharing two degree-2 documents outranks one sharing two
+    * boilerplate quasi-hubs. Same wedge machine and hub ceiling; the
+    * per-center weight snaps to the 1e-4 lattice before DECIMAL(18,4)
+    * accumulation (the lmDocScores ln-snap rule — neither engine
+    * guarantees correctly-rounded ln, and the snap keeps a 1-ulp
+    * divergence away from the decimal-cast boundary). Centers have
+    * deg ≥ 2 by wedge construction, so ln(deg) ≥ ln 2 > 0. */
+  def adamicAdar(pairs: DataFrame, minShared: Long): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2")).persist()
+    val sym = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
+      .select(col("d1").as("x"), col("d2").as("nbr"))
+    val centers = sym.groupBy("x").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= WedgeCenterCap)
+    val wedgeSide = sym.join(centers, "x")
+    val out = wedgeSide.select(col("x"), col("deg"), col("nbr").as("a"))
+      .join(wedgeSide.select(col("x"), col("nbr").as("b")), "x")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common_neighbors"),
+        dsum(round(lit(1.0) / log(col("deg").cast("double")), 4))
+          .as("aa_score"))
+      .filter(col("common_neighbors") >= minShared)
+      .join(p.select(col("d1").as("a"), col("d2").as("b")),
+        Seq("a", "b"), "left_anti")
+      .localCheckpoint()
+    p.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     // PARTITION MODULARITY of the near-dup graph against the LANGUAGE
     // attribute (Newman 2004 Q, computed per part): how concentrated are
@@ -471,6 +501,16 @@ object GraphOps {
     // doc pairs sharing ≥ 2 near-dup neighbors.
     "graph_common_neighbors" -> ((s, dir) =>
       commonNeighbors(nearDupPairs(s, dir), minShared = 2L)
+        .orderBy("a", "b")),
+
+    // Adamic–Adar link prediction (round 10) — the common-neighbors
+    // list re-ranked by neighbor RARITY (Σ 1/ln deg over shared
+    // neighbors): the standard upgrade when a shared boilerplate
+    // quasi-hub shouldn't weigh as much as a shared rare document. Same
+    // wedge plan, hub ceiling, and anti join; see adamicAdar for the
+    // ln-snap determinism rule.
+    "graph_adamic_adar" -> ((s, dir) =>
+      adamicAdar(nearDupPairs(s, dir), minShared = 2L)
         .orderBy("a", "b")),
   )
 
@@ -611,6 +651,21 @@ object GraphOps {
         |   FROM e e1 JOIN e e2 ON e1.u = e2.u JOIN c ON c.u = e1.u
         |   WHERE e1.v < e2.v GROUP BY 1, 2)
         |SELECT a, b, common_neighbors FROM w
+        |WHERE common_neighbors >= 2
+        | AND NOT EXISTS (SELECT 1 FROM pj WHERE pj.d1 = w.a AND pj.d2 = w.b)
+        |ORDER BY a, b""".stripMargin),
+
+    // The weighted wedge replay: each center contributes its snapped
+    // 1/ln(outdeg) weight, accumulated on the same DECIMAL(18,4)
+    // lattice as the engine.
+    "graph_adamic_adar" -> (GraphCtes + ",\n" +
+      """ c AS (SELECT u, outdeg FROM deg WHERE outdeg <= 50),
+        | w AS (SELECT e1.v AS a, e2.v AS b, count(*) AS common_neighbors,
+        |   CAST(sum(CAST(round(1.0 / ln(c.outdeg), 4) AS DECIMAL(18,4)))
+        |     AS DOUBLE) AS aa_score
+        |   FROM e e1 JOIN e e2 ON e1.u = e2.u JOIN c ON c.u = e1.u
+        |   WHERE e1.v < e2.v GROUP BY 1, 2)
+        |SELECT a, b, common_neighbors, aa_score FROM w
         |WHERE common_neighbors >= 2
         | AND NOT EXISTS (SELECT 1 FROM pj WHERE pj.d1 = w.a AND pj.d2 = w.b)
         |ORDER BY a, b""".stripMargin),
