@@ -668,6 +668,44 @@ object AnalyticsExt {
         .orderBy("type_a", "type_b")
     }),
 
+    // TOST EQUIVALENCE TEST (round 10) — the launch criterion
+    // agg_ab_ttest can't express: "show the variants are the SAME
+    // within ±5%", the question asked for no-regression launches and
+    // holdback validation (failing to reject H₀ is NOT evidence of
+    // equivalence — TOST's two one-sided tests are). Margin δ = 5% of
+    // the pair's grand mean; equivalent iff t_lower = (Δ+δ)/se > 1.645
+    // AND t_upper = (Δ−δ)/se < −1.645 (α=0.05, z approximation —
+    // literal constants). Same exact-DECIMAL (n, Σx, Σx²) machine and
+    // bounded aggregate self-cross as agg_ab_ttest; the verdict
+    // compares 6-dp-rounded t's so both engines decide on identical
+    // released values.
+    "agg_tost_equivalence" -> ((s, dir) => {
+      val st = events(s, dir).groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum6(col("value")).as("sx"),
+        dsum6(col("value") * col("value")).as("sxx"))
+      val a = st.select(col("event_type").as("type_a"), col("n").as("na"),
+        col("sx").as("sxa"), col("sxx").as("sxxa"))
+      val b = st.select(col("event_type").as("type_b"), col("n").as("nb"),
+        col("sx").as("sxb"), col("sxx").as("sxxb"))
+      val sea = (col("sxxa") - col("sxa") * col("sxa") / col("na")) /
+        (col("na") - lit(1.0)) / col("na")
+      val seb = (col("sxxb") - col("sxb") * col("sxb") / col("nb")) /
+        (col("nb") - lit(1.0)) / col("nb")
+      val se = sqrt(sea + seb)
+      val diff = col("sxa") / col("na") - col("sxb") / col("nb")
+      val margin = lit(0.05) *
+        ((col("sxa") / col("na") + col("sxb") / col("nb")) / lit(2.0))
+      val tLo = round((diff + margin) / se, 6)
+      val tUp = round((diff - margin) / se, 6)
+      a.crossJoin(b).filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          round(diff, 6).as("diff"), round(margin, 6).as("margin"),
+          tLo.as("t_lower"), tUp.as("t_upper"),
+          (tLo > lit(1.645) && tUp < lit(-1.645)).as("is_equivalent"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // MANN–WHITNEY U (Wilcoxon rank-sum) between every pair of event
     // types (round 10) — the NONPARAMETRIC twin of agg_ab_ttest, the
     // test an experiment platform reaches for when values are skewed
@@ -1597,6 +1635,25 @@ object AnalyticsExt {
          |   + (b.sxx - b.sx * b.sx / b.n) / (b.n - 1.0) / b.n), 6) AS t_stat
          |FROM st a CROSS JOIN st b WHERE a.event_type < b.event_type
          |ORDER BY 1, 2""".stripMargin,
+    "agg_tost_equivalence" ->
+      s"""WITH st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |   ${dsum6Sql("value")} AS sx, ${dsum6Sql("value * value")} AS sxx
+         | FROM events GROUP BY 1),
+         | p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |   a.sx / a.n - b.sx / b.n AS diff,
+         |   0.05 * ((a.sx / a.n + b.sx / b.n) / 2.0) AS margin,
+         |   sqrt((a.sxx - a.sx * a.sx / a.n) / (a.n - 1.0) / a.n
+         |     + (b.sxx - b.sx * b.sx / b.n) / (b.n - 1.0) / b.n) AS se
+         |  FROM st a CROSS JOIN st b WHERE a.event_type < b.event_type),
+         | tt AS (SELECT type_a, type_b, round(diff, 6) AS diff_r,
+         |   round(margin, 6) AS margin_r,
+         |   round((diff + margin) / se, 6) AS t_lower,
+         |   round((diff - margin) / se, 6) AS t_upper
+         |  FROM p)
+         |SELECT type_a, type_b, diff_r AS diff, margin_r AS margin,
+         | t_lower, t_upper,
+         | (t_lower > 1.645 AND t_upper < -1.645) AS is_equivalent
+         |FROM tt ORDER BY type_a, type_b""".stripMargin,
     "agg_mann_whitney" ->
       """WITH vc AS (SELECT event_type, value, count(*) AS cnt
         |  FROM events GROUP BY 1, 2),

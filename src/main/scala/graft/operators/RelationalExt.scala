@@ -272,6 +272,50 @@ object RelationalExt {
         .orderBy("doc_id")
     }),
 
+    // CLUSTER-KEYED K-FOLD ASSIGNMENT (round 10) — cross-validation's
+    // train_test_split_grouped: fold_id = hash(cluster) mod 5, keyed on
+    // the near-dup component label so every duplicate cluster lands
+    // wholly in ONE fold (a near-dup of a training doc in the eval fold
+    // is leakage, the same failure the grouped split guards). The
+    // 2-hex-digit decode gives 256 % 5 = 1 residual bias (~0.08% — fold
+    // 0 is eligible for one extra hash class), documented rather than
+    // rejected-and-resampled to keep the rule one pure expression.
+    // Leakage-safety pinned in DeterminismSpec beside the grouped split.
+    "pipeline_kfold_assign" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = DedupOps.corpusLabelsFull(s, dir)
+      val gid = coalesce(col("cluster_id"), col("doc_id"))
+      val h = md5(concat(lit("kfold42:"), gid))
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), gid.as("group_id"),
+          (conv(substring(h, 1, 2), 16, 10).cast("int") % 5).as("fold_id"))
+        .orderBy("doc_id")
+    }),
+
+    // EXACT-QUOTA STRATIFIED SAMPLE (round 10) — "exactly K docs per
+    // language", the eval-set curation ask rate-based samplers only hit
+    // in expectation (±√n — material when K is small). Deterministic
+    // rank by md5(salt‖doc_id) within each stratum, keep rank ≤ K.
+    // Scale shape: the naive per-stratum window is ONE task per stratum
+    // (few-strata skew); this runs sample_weighted's two-phase form —
+    // per-(lang, md5-bucket) top-K first (32 parallel tasks per
+    // stratum), then top-K of the ≤32K survivors — same winners, since
+    // the global top-K is contained in the union of bucket top-Ks. The
+    // oracle states the single-window semantics directly.
+    "pipeline_quota_sample" -> ((s, dir) => {
+      val k = 50
+      val h = md5(concat(lit("quota42:"), col("doc_id")))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), h.as("sk"),
+          (conv(substring(h, 9, 2), 16, 10).cast("int") % 32).as("bkt"))
+      val w1 = Window.partitionBy("lang", "bkt").orderBy(col("sk"), col("doc_id"))
+      val w2 = Window.partitionBy("lang").orderBy(col("sk"), col("doc_id"))
+      base.withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+        .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy("doc_id")
+    }),
+
     // Exact stratified split: rank within each language stratum by
     // md5(salt || key) and fold round-robin — every stratum splits 80/20
     // exactly (±1 doc), where the hash-threshold fold only hits the ratio
@@ -1573,6 +1617,27 @@ object RelationalExt {
         |   THEN 'train' ELSE 'test' END AS fold
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         |ORDER BY d.doc_id""").stripMargin,
+    "pipeline_kfold_assign" ->
+      ("WITH " + DedupOps.clusterLabelsSql("documents") + """
+        |SELECT d.doc_id,
+        | COALESCE(l.cluster_id, d.doc_id) AS group_id,
+        | CAST((
+        |    (CAST(strpos('0123456789abcdef', substr(md5('kfold42:' ||
+        |       CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 1))
+        |      AS BIGINT) - 1) * 16
+        |  + (CAST(strpos('0123456789abcdef', substr(md5('kfold42:' ||
+        |       CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 2, 1))
+        |      AS BIGINT) - 1)) % 5 AS INT) AS fold_id
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        |ORDER BY d.doc_id""").stripMargin,
+    "pipeline_quota_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |   row_number() OVER (PARTITION BY lang
+        |     ORDER BY md5('quota42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |     AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
     "train_test_split_stratified" ->
       """SELECT doc_id, lang,
         | CASE WHEN (row_number() OVER (PARTITION BY lang

@@ -41,6 +41,30 @@ class DeterminismSpec extends SparkSpec {
       .filter(col("nf") > 1).count()
     assert(mixed == 0, s"$mixed near-dup clusters straddle train/test")
 
+    // same property for the k-fold assignment (cluster-keyed fold rule),
+    // plus every fold id is in range and all 5 folds are populated
+    val kf = SparkEntry.queries("pipeline_kfold_assign")(spark, sfDir)
+    val kfMixed = kf.groupBy("group_id")
+      .agg(countDistinct(col("fold_id")).as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(kfMixed == 0, s"$kfMixed clusters straddle k-fold boundaries")
+    val folds = kf.select("fold_id").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(folds == (0 until 5), s"fold ids: $folds")
+
+    // quota sample: exactly min(50, |stratum|) docs per language, and the
+    // in-stratum ranks are a contiguous 1..k prefix
+    val qs = SparkEntry.queries("pipeline_quota_sample")(spark, sfDir)
+    val strata = Tables.t(spark, sfDir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    qs.groupBy("lang").agg(count(lit(1)).as("n"), max("rk").as("mx"))
+      .collect().foreach { r =>
+        val want = math.min(50L, strata(r.getString(0)))
+        assert(r.getLong(1) == want && r.getInt(2).toLong == want,
+          s"lang ${r.getString(0)}: got ${r.getLong(1)} want $want")
+      }
+
     // exact stratification: each lang stratum splits train = n − ⌊n/5⌋
     // precisely (round-robin over the md5 rank), never ±√n hash noise
     val st = SparkEntry.queries("train_test_split_stratified")(spark, sfDir)
