@@ -668,6 +668,57 @@ object AnalyticsExt {
         .orderBy("type_a", "type_b")
     }),
 
+    // GROUP-SEQUENTIAL MONITORING, O'Brien–Fleming boundaries (round
+    // 10) — the "peeking" discipline: an experiment read weekly needs
+    // wider early boundaries or its real α balloons (5 uncorrected
+    // looks at z=1.96 ≈ α=0.14). Four FIXED weekly looks over corpus
+    // days 1–28 (a fixed K keeps the boundary constants literal — a
+    // data-dependent look count would make the spending function
+    // data-dependent); boundary_k = 2.024·√(4/k), the K=4 two-sided
+    // α=0.05 OBF constant. Exactness: per-(variant, look) moments stay
+    // DECIMAL(18,6) through the ≤4-row cumulative window (exact
+    // decimal cumsum — no float order anywhere), the z at each look is
+    // one IEEE tree over those exact cumulative moments, and the
+    // crossing verdict compares 6-dp-released values. Shape: one
+    // corpus agg → 8 rows; the window and join are grid-sized.
+    "agg_group_sequential_obf" -> ((s, dir) => {
+      val dec = "decimal(18,6)"
+      val base = events(s, dir)
+        .withColumn("variant",
+          when(substring(md5(concat(lit("srm42:"), col("user_id"))), 1, 1)
+            < "8", lit("A")).otherwise(lit("B")))
+        .withColumn("look",
+          (expr("datediff(to_date(ts), date'2024-01-01') div 7") + 1)
+            .cast("int"))
+        .filter(col("look") <= 4)
+      val perLook = base.groupBy("variant", "look").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).as("sx"),
+        sum((col("value") * col("value")).cast(dec)).as("sxx"))
+      val w = Window.partitionBy("variant").orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perLook.select(col("variant"), col("look"),
+        sum("n").over(w).cast("double").as("cn"),
+        sum("sx").over(w).cast("double").as("csx"),
+        sum("sxx").over(w).cast("double").as("csxx"))
+      def side(v: String, sfx: String) = cum.filter(col("variant") === v)
+        .select(col("look"), col("cn").as(s"n$sfx"),
+          col("csx").as(s"sx$sfx"), col("csxx").as(s"sxx$sfx"))
+      val va = (col("sxxa") - col("sxa") * col("sxa") / col("na")) /
+        (col("na") - lit(1.0))
+      val vb = (col("sxxb") - col("sxb") * col("sxb") / col("nb")) /
+        (col("nb") - lit(1.0))
+      val z = (col("sxa") / col("na") - col("sxb") / col("nb")) /
+        sqrt(va / col("na") + vb / col("nb"))
+      val bound = lit(2.024) * sqrt(lit(4.0) / col("look"))
+      side("A", "a").join(side("B", "b"), "look")
+        .select(col("look"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(z, 6).as("z"), round(bound, 6).as("boundary"),
+          (abs(round(z, 6)) > round(bound, 6)).as("crossed"))
+        .orderBy("look")
+    }),
+
     // TOST EQUIVALENCE TEST (round 10) — the launch criterion
     // agg_ab_ttest can't express: "show the variants are the SAME
     // within ±5%", the question asked for no-regression launches and
@@ -1635,6 +1686,36 @@ object AnalyticsExt {
          |   + (b.sxx - b.sx * b.sx / b.n) / (b.n - 1.0) / b.n), 6) AS t_stat
          |FROM st a CROSS JOIN st b WHERE a.event_type < b.event_type
          |ORDER BY 1, 2""".stripMargin,
+    "agg_group_sequential_obf" ->
+      """WITH base AS (SELECT value,
+        |   CASE WHEN substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |     THEN 'A' ELSE 'B' END AS variant,
+        |   ((CAST(ts AS DATE) - DATE '2024-01-01') // 7) + 1 AS look
+        |  FROM events),
+        | pl AS (SELECT variant, look, count(*) AS n,
+        |   sum(CAST(value AS DECIMAL(18,6))) AS sx,
+        |   sum(CAST(value * value AS DECIMAL(18,6))) AS sxx
+        |  FROM base WHERE look <= 4 GROUP BY 1, 2),
+        | cum AS (SELECT variant, look,
+        |   CAST(sum(n) OVER w AS DOUBLE) AS cn,
+        |   CAST(sum(sx) OVER w AS DOUBLE) AS csx,
+        |   CAST(sum(sxx) OVER w AS DOUBLE) AS csxx
+        |  FROM pl WINDOW w AS (PARTITION BY variant ORDER BY look
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | j AS (SELECT a.look, a.cn AS na, a.csx AS sxa, a.csxx AS sxxa,
+        |   b.cn AS nb, b.csx AS sxb, b.csxx AS sxxb
+        |  FROM cum a JOIN cum b ON a.look = b.look
+        |  WHERE a.variant = 'A' AND b.variant = 'B'),
+        | zz AS (SELECT look, na, nb,
+        |   round((sxa / na - sxb / nb)
+        |     / sqrt(((sxxa - sxa * sxa / na) / (na - 1.0)) / na
+        |       + ((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb), 6) AS z,
+        |   round(2.024 * sqrt(4.0 / look), 6) AS boundary
+        |  FROM j)
+        |SELECT CAST(look AS INT) AS look,
+        | CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        | z, boundary, (abs(z) > boundary) AS crossed
+        |FROM zz ORDER BY look""".stripMargin,
     "agg_tost_equivalence" ->
       s"""WITH st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
          |   ${dsum6Sql("value")} AS sx, ${dsum6Sql("value * value")} AS sxx
