@@ -32,6 +32,27 @@ object AnalyticsExt {
         when(substring(md5(concat(lit("srm42:"), col("user_id"))), 1, 1)
           < "8", lit("A")).otherwise(lit("B")))
 
+  /** The dow×hour seasonal-profile decomposition frame shared by
+    * ts_seasonal_decompose and ts_seasonal_strength: hourly actuals,
+    * the per-(dow, hr) mean profile broadcast back, and the residual.
+    * Bounded by the calendar-hour grid after the one corpus agg. */
+  private def seasonalFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val hourly = events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(round(dsum6(col("value")), 6).as("actual"))
+      .withColumn("dow", dayofweek(col("hour_ts")))
+      .withColumn("hr", hour(col("hour_ts")))
+    val profile = hourly.groupBy("dow", "hr")
+      .agg(round(sum(col("actual").cast(
+        org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double") / count(lit(1)), 6).as("expected"))
+    hourly.join(broadcast(profile), Seq("dow", "hr"))
+      .select(col("hour_ts"), col("dow"), col("hr"), col("actual"),
+        col("expected"),
+        round(col("actual") - col("expected"), 6).as("residual"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Least-squares y = slope·x + intercept per group, from exact DECIMAL
     // sufficient statistics (NOT the built-in regr_* functions, whose
@@ -167,19 +188,35 @@ object AnalyticsExt {
     // bucket sums ride dsum6; the profile mean divides an exact DECIMAL
     // sum by an exact count, terminally rounded before the residual
     // subtraction (one IEEE op on two 6-dp-rounded doubles).
-    "ts_seasonal_decompose" -> ((s, dir) => {
-      val hourly = events(s, dir)
-        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
-        .agg(round(dsum6(col("value")), 6).as("actual"))
-        .withColumn("dow", dayofweek(col("hour_ts")))
-        .withColumn("hr", hour(col("hour_ts")))
-      val profile = hourly.groupBy("dow", "hr")
-        .agg(round(sum(col("actual").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double") / count(lit(1)), 6).as("expected"))
-      hourly.join(broadcast(profile), Seq("dow", "hr"))
-        .select(col("hour_ts"), col("dow"), col("hr"), col("actual"),
-          col("expected"), round(col("actual") - col("expected"), 6).as("residual"))
-        .orderBy("hour_ts")
+    "ts_seasonal_decompose" -> ((s, dir) =>
+      seasonalFrame(s, dir).orderBy("hour_ts")),
+
+    // SEASONAL-STRENGTH READOUT (round 10) — Hyndman's F_s = max(0,
+    // 1 − Var(residual)/Var(actual)) over the decompose frame: the
+    // one-number answer to "is this stream actually seasonal, or is
+    // the dow×hour profile fitting noise?" (gates whether forecasting
+    // keys should difference seasonally). Variances from exact
+    // DECIMAL(18,6) sums over the bounded hourly frame (the inputs are
+    // 6-dp-released already), final arithmetic one IEEE tree. 1-row
+    // release; everything past the shared hourly agg is grid-sized.
+    "ts_seasonal_strength" -> ((s, dir) => {
+      val dec = "decimal(18,6)"
+      val st = seasonalFrame(s, dir).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("actual").cast(dec)).cast("double").as("sa"),
+        sum((col("actual") * col("actual")).cast(dec)).cast("double")
+          .as("saa"),
+        sum(col("residual").cast(dec)).cast("double").as("sr"),
+        sum((col("residual") * col("residual")).cast(dec)).cast("double")
+          .as("srr"))
+      val va = (col("saa") - col("sa") * col("sa") / col("n")) /
+        (col("n") - lit(1.0))
+      val vr = (col("srr") - col("sr") * col("sr") / col("n")) /
+        (col("n") - lit(1.0))
+      st.select(col("n").cast("long").as("n_hours"),
+        round(va, 6).as("var_actual"), round(vr, 6).as("var_residual"),
+        round(greatest(lit(0.0), lit(1.0) - vr / va), 6)
+          .as("seasonal_strength"))
     }),
 
     "ts_ewma" -> ((s, dir) =>
@@ -2158,6 +2195,32 @@ object AnalyticsExt {
         |SELECT h2.hour_ts, h2.dow, h2.hr, h2.actual, prof.expected,
         | round(h2.actual - prof.expected, 6) AS residual
         |FROM h2 JOIN prof USING (dow, hr) ORDER BY hour_ts""".stripMargin,
+    "ts_seasonal_strength" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS actual
+        |  FROM events GROUP BY 1),
+        | h2 AS (SELECT hour_ts, CAST(dayofweek(hour_ts) + 1 AS INT) AS dow,
+        |    CAST(hour(hour_ts) AS INT) AS hr, actual FROM hourly),
+        | prof AS (SELECT dow, hr,
+        |    round(CAST(sum(CAST(actual AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |      AS expected
+        |  FROM h2 GROUP BY 1, 2),
+        | f AS (SELECT h2.actual,
+        |    round(h2.actual - prof.expected, 6) AS residual
+        |   FROM h2 JOIN prof USING (dow, hr)),
+        | st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(CAST(actual AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+        |   CAST(sum(CAST(actual * actual AS DECIMAL(18,6))) AS DOUBLE) AS saa,
+        |   CAST(sum(CAST(residual AS DECIMAL(18,6))) AS DOUBLE) AS sr,
+        |   CAST(sum(CAST(residual * residual AS DECIMAL(18,6))) AS DOUBLE) AS srr
+        |  FROM f),
+        | v AS (SELECT n, (saa - sa * sa / n) / (n - 1.0) AS va,
+        |   (srr - sr * sr / n) / (n - 1.0) AS vr FROM st)
+        |SELECT CAST(n AS BIGINT) AS n_hours, round(va, 6) AS var_actual,
+        | round(vr, 6) AS var_residual,
+        | round(greatest(0.0, 1.0 - vr / va), 6) AS seasonal_strength
+        |FROM v""".stripMargin,
     "ts_dow_hour_profile" ->
       s"""SELECT event_type,
          | CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,

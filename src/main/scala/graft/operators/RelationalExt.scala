@@ -272,6 +272,26 @@ object RelationalExt {
         .orderBy("doc_id")
     }),
 
+    // TABLE CONTENT CHECKSUM (round 10) — pipeline_dataset_diff's cheap
+    // cousin: one order-independent number per (table, lang) that two
+    // corpus replicas can compare WITHOUT shipping either (the
+    // Iceberg-manifest / distcp-checksum role). Per-row digest over all
+    // columns (concat_ws '|' — both engines render BIGINT identically),
+    // 8 hex digits decoded to a 32-bit term, summed exactly: order-free
+    // by commutativity, so partitioning/replica layout can't change it;
+    // a single flipped byte changes the sum with probability 1−2⁻³².
+    // Shape: pure scan-stage projection + one hash agg; |langs| rows.
+    "pipeline_table_checksum" -> ((s, dir) => {
+      val h = md5(concat_ws("|", col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("v"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("v").as("checksum"))
+        .orderBy("lang")
+    }),
+
     // CLUSTER-KEYED K-FOLD ASSIGNMENT (round 10) — cross-validation's
     // train_test_split_grouped: fold_id = hash(cluster) mod 5, keyed on
     // the near-dup component label so every duplicate cluster lands
@@ -1617,6 +1637,22 @@ object RelationalExt {
         |   THEN 'train' ELSE 'test' END AS fold
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         |ORDER BY d.doc_id""").stripMargin,
+    "pipeline_table_checksum" ->
+      """WITH r AS (SELECT lang,
+        |   md5(concat_ws('|', doc_id, text, lang, source, n_chars)) AS h
+        |  FROM documents),
+        | v AS (SELECT lang,
+        |    (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) * 268435456
+        |  + (CAST(strpos('0123456789abcdef', substr(h, 2, 1)) AS BIGINT) - 1) * 16777216
+        |  + (CAST(strpos('0123456789abcdef', substr(h, 3, 1)) AS BIGINT) - 1) * 1048576
+        |  + (CAST(strpos('0123456789abcdef', substr(h, 4, 1)) AS BIGINT) - 1) * 65536
+        |  + (CAST(strpos('0123456789abcdef', substr(h, 5, 1)) AS BIGINT) - 1) * 4096
+        |  + (CAST(strpos('0123456789abcdef', substr(h, 6, 1)) AS BIGINT) - 1) * 256
+        |  + (CAST(strpos('0123456789abcdef', substr(h, 7, 1)) AS BIGINT) - 1) * 16
+        |  + (CAST(strpos('0123456789abcdef', substr(h, 8, 1)) AS BIGINT) - 1) AS v
+        |  FROM r)
+        |SELECT lang, count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS checksum
+        |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
     "pipeline_kfold_assign" ->
       ("WITH " + DedupOps.clusterLabelsSql("documents") + """
         |SELECT d.doc_id,
