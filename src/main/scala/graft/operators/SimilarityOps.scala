@@ -90,6 +90,15 @@ object SimilarityOps {
     * brute-force pair join degrades to the blocked shuffle form. */
   val BroadcastRowCeiling: Long = 100000L
 
+  /** MMR re-rank page size (the retrieved candidates the greedy loop
+    * diversifies over), selection count, and the relevance weight λ.
+    * The penalty weight is computed as (1.0 − MmrLambda) — NOT a 0.3
+    * literal — because 1.0−0.7 ≈ 0.30000000000000004 in IEEE and the
+    * oracle must subtract the same bits. */
+  val MmrPage: Int = 20
+  val MmrK: Int = 8
+  val MmrLambda: Double = 0.7
+
   /** Size-guarded all-pairs (`d1 < d2`) self-join over `v(vec_id,
     * embedding)` — the substrate of the brute-force similarity baselines.
     *
@@ -140,6 +149,63 @@ object SimilarityOps {
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("rk"))
         .orderBy("q_id", "rk")
+    }),
+
+    // MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell–Goldstein 1998) —
+    // the retrieval-diversity pass every RAG/search stack runs on the
+    // retrieved page: greedily pick argmax λ·sim(q,d) −
+    // (1−λ)·max_{s∈S} sim(d,s), so near-duplicate hits don't fill all
+    // k slots. Inherently SEQUENTIAL in k (each pick changes the
+    // penalty landscape), so the distributed work is exactly the
+    // production shape: the corpus-sized part is the broadcast-query
+    // scoring scan + a TakeOrdered top-20 page; the k=8 greedy loop
+    // runs driver-side on that bounded page (the ivfSearchTable
+    // tripwire precedent — a page is ≤20 rows BY CONSTRUCTION, and
+    // rerankers everywhere operate on the retrieved page, not the
+    // corpus). Determinism: sims are the shared sequential FloatVecDot
+    // doubles; scores are one IEEE expression; ties break on c_id. The
+    // oracle unrolls the 8 greedy rounds as chained CTEs over the same
+    // doubles.
+    "sim_mmr_diversify" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val cand = v.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("c_id"), col("embedding"),
+          vecDot(col("embedding"), col("q_emb")).as("sim_q"))
+        .orderBy(col("sim_q").desc, col("c_id"))
+        .limit(MmrPage)
+        .localCheckpoint()
+      val pd = cand.select(col("c_id").as("ca"), col("embedding").as("ea"))
+        .crossJoin(cand.select(col("c_id").as("cb"), col("embedding").as("eb")))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("ca"), col("cb"), vecDot(col("ea"), col("eb")).as("pd"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val page = cand.select("c_id", "sim_q").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      require(page.length <= MmrPage, "page tripwire")
+      var selected = Vector.empty[(Int, Long, Double, Double, Double)]
+      var remaining = page.toVector
+      for (rank <- 1 to MmrK if remaining.nonEmpty) {
+        val scored = remaining.map { case (cid, sq) =>
+          val div =
+            if (selected.isEmpty) 0.0
+            else selected.map(sel => pd((cid, sel._2))).max
+          (cid, sq, div, MmrLambda * sq - (1.0 - MmrLambda) * div)
+        }
+        val pick = scored.minBy { case (cid, _, _, score) => (-score, cid) }
+        selected :+= ((rank, pick._1, pick._2, pick._3, pick._4))
+        remaining = remaining.filterNot(_._1 == pick._1)
+      }
+      import s.implicits._
+      selected.toDF("rk", "c_id", "relevance", "diversity", "score")
+        .select(col("rk"), col("c_id"),
+          round(col("relevance"), 6).as("relevance"),
+          round(col("diversity"), 6).as("diversity"),
+          round(col("score"), 6).as("score"))
+        .orderBy("rk")
     }),
 
     // HYBRID retrieval via Reciprocal Rank Fusion (Cormack 2009,
@@ -900,7 +966,47 @@ object SimilarityOps {
     adcRank(cands, m, k, topK)
   }
 
+  /** The MMR oracle: the 8 greedy rounds unrolled as chained CTEs over
+    * the same sequential-order double dots the engine scores with. */
+  private val mmrOracle: String = {
+    val base =
+      s"""WITH q AS MATERIALIZED (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         | cand AS MATERIALIZED (SELECT vec_id AS c_id, embedding,
+         |   list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |     list_transform(q_emb, x -> CAST(x AS DOUBLE))) AS sim_q
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+         |  ORDER BY sim_q DESC, c_id LIMIT $MmrPage),
+         | pair AS MATERIALIZED (SELECT a.c_id AS ca, b.c_id AS cb, $oracleDot AS pd
+         |  FROM cand a JOIN cand b ON a.c_id <> b.c_id),
+         | s1 AS MATERIALIZED (SELECT c_id, sim_q, 0.0 AS dvs,
+         |   $MmrLambda * sim_q - (1.0 - $MmrLambda) * 0.0 AS score
+         |  FROM cand
+         |  ORDER BY $MmrLambda * sim_q - (1.0 - $MmrLambda) * 0.0 DESC, c_id
+         |  LIMIT 1),
+         | sel1 AS MATERIALIZED (SELECT c_id FROM s1)""".stripMargin
+    val rounds = (2 to MmrK).map { r =>
+      s""" r$r AS MATERIALIZED (SELECT c.c_id, c.sim_q, max(p.pd) AS dvs
+         |  FROM cand c JOIN pair p ON p.ca = c.c_id
+         |  WHERE p.cb IN (SELECT c_id FROM sel${r - 1})
+         |   AND c.c_id NOT IN (SELECT c_id FROM sel${r - 1})
+         |  GROUP BY 1, 2),
+         | s$r AS MATERIALIZED (SELECT c_id, sim_q, dvs,
+         |   $MmrLambda * sim_q - (1.0 - $MmrLambda) * dvs AS score
+         |  FROM r$r
+         |  ORDER BY $MmrLambda * sim_q - (1.0 - $MmrLambda) * dvs DESC, c_id
+         |  LIMIT 1),
+         | sel$r AS MATERIALIZED (SELECT c_id FROM sel${r - 1}
+         |  UNION ALL SELECT c_id FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to MmrK).map(r =>
+      s"SELECT $r AS rk, c_id, round(sim_q, 6) AS relevance," +
+        s" round(dvs, 6) AS diversity, round(score, 6) AS score FROM s$r")
+      .mkString("\n UNION ALL ")
+    base + ",\n" + rounds + "\n" + unions + "\n ORDER BY rk"
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_mmr_diversify" -> mmrOracle,
     "pipeline_embedding_audit" ->
       """WITH per AS (SELECT len(embedding) AS dim,
         |   round(sqrt(list_aggregate(
