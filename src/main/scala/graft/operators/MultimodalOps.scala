@@ -177,6 +177,47 @@ object MultimodalOps {
         .select(col("keep_id"), col("dup_cnt"), col("n_bytes"), col("content_md5"))
         .orderBy("keep_id")),
 
+    // PERCEPTUAL-HASH DEDUP over media payloads (round 10) — the
+    // perceptual complement of multimodal_dedup's exact digest: a
+    // dHash-style 64-bit signature from the decode-stub output
+    // (bit_i = hist[58+i] > hist[59+i] over adjacent byte-histogram
+    // bins spanning the corpus's live byte range — in production,
+    // adjacent downsampled pixels; the stub's histogram plays the
+    // decoded grid, so the SIGNATURE plumbing is real even though the
+    // decoder is the documented fake). Re-encodes and container-level
+    // variants that break the md5 screen collapse to the same phash.
+    // Release: exact-signature dup groups (one hash agg on 2 longs —
+    // the same scale shape as multimodal_dedup; output bounded by
+    // |docs|). The hamming>0 radius search exists in the engine as the
+    // dedup_simhash_pairs pigeonhole machine and composes on this
+    // signature frame unchanged; the exact-bucket form is what a 100 TB
+    // media pipeline actually materializes. mapPartitions only at the
+    // codec boundary; 3 longs/doc are all that ever shuffles.
+    "multimodal_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+        .as[(Long, Array[Byte])]
+      val sigs = media.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = MediaPipeline.decodeStub(bytes)
+          var lo = 0L; var hi = 0L
+          var i = 0
+          while (i < 32) {
+            if (hist(58 + i) > hist(59 + i)) lo |= (1L << i); i += 1
+          }
+          while (i < 64) {
+            if (hist(58 + i) > hist(59 + i)) hi |= (1L << (i - 32)); i += 1
+          }
+          (id, lo, hi)
+        }
+      }.toDF("doc_id", "sh_lo", "sh_hi")
+      sigs.groupBy("sh_lo", "sh_hi")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .select(col("keep_id"), col("dup_cnt"), col("sh_lo"), col("sh_hi"))
+        .orderBy("keep_id")
+    }),
+
     // Container-format sniffing by magic bytes — the first gate of any
     // media ingest (the claimed extension/MIME lies; the leading bytes
     // don't): payloads are minted with real JPEG/PNG/RIFF magics
@@ -207,7 +248,28 @@ object MultimodalOps {
     }),
   )
 
+  /** The phash oracle replays the decode-stub byte histogram as ASCII
+    * char counts (byte ≡ char on this corpus — the multimodal_features
+    * identity): cnt(v) = len − len(replace(text, chr(v), '')), 64 dHash
+    * comparisons packed into two 32-bit halves, then the same
+    * exact-signature group agg the engine runs. */
+  private val phashOracle: String = {
+    def cnt(v: Int) =
+      s"(length(text) - length(replace(text, chr($v), '')))"
+    def half(off: Int) = (0 until 32).map { i =>
+      s"CASE WHEN ${cnt(58 + off + i)} > ${cnt(59 + off + i)}" +
+        s" THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH h AS MATERIALIZED (SELECT doc_id,
+       |  CAST(${half(0)} AS BIGINT) AS sh_lo,
+       |  CAST(${half(32)} AS BIGINT) AS sh_hi
+       | FROM documents)
+       |SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt, sh_lo, sh_hi
+       |FROM h GROUP BY sh_lo, sh_hi ORDER BY keep_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "multimodal_phash_dedup" -> phashOracle,
     // The slice arithmetic mirrors frameSample: start = ⌊len·i/4⌋
     // (0-based) → substring(…, start+1, 16) on the ASCII text (byte ≡
     // char for this corpus, the same identity multimodal_features pins).
