@@ -53,6 +53,32 @@ object AnalyticsExt {
         round(col("actual") - col("expected"), 6).as("residual"))
   }
 
+  /** The group-sequential release tail shared by the batch
+    * agg_group_sequential_obf key and the StreamingSeqMonitor parity
+    * spec: cumulative per-(variant, look) moments (cn, csx, csxx as
+    * doubles) → released (look, n_a, n_b, z, boundary, crossed). One
+    * IEEE tree — any two paths that produce identical moments release
+    * identical bits. */
+  def obfRelease(cum: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def side(v: String, sfx: String) = cum.filter(col("variant") === v)
+      .select(col("look"), col("cn").as(s"n$sfx"),
+        col("csx").as(s"sx$sfx"), col("csxx").as(s"sxx$sfx"))
+    val va = (col("sxxa") - col("sxa") * col("sxa") / col("na")) /
+      (col("na") - lit(1.0))
+    val vb = (col("sxxb") - col("sxb") * col("sxb") / col("nb")) /
+      (col("nb") - lit(1.0))
+    val z = (col("sxa") / col("na") - col("sxb") / col("nb")) /
+      sqrt(va / col("na") + vb / col("nb"))
+    val bound = lit(2.024) * sqrt(lit(4.0) / col("look"))
+    side("A", "a").join(side("B", "b"), "look")
+      .select(col("look"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(z, 6).as("z"), round(bound, 6).as("boundary"),
+        (abs(round(z, 6)) > round(bound, 6)).as("crossed"))
+      .orderBy("look")
+  }
+
   val queries: Map[String, Q] = Map(
     // Least-squares y = slope·x + intercept per group, from exact DECIMAL
     // sufficient statistics (NOT the built-in regr_* functions, whose
@@ -738,22 +764,7 @@ object AnalyticsExt {
         sum("n").over(w).cast("double").as("cn"),
         sum("sx").over(w).cast("double").as("csx"),
         sum("sxx").over(w).cast("double").as("csxx"))
-      def side(v: String, sfx: String) = cum.filter(col("variant") === v)
-        .select(col("look"), col("cn").as(s"n$sfx"),
-          col("csx").as(s"sx$sfx"), col("csxx").as(s"sxx$sfx"))
-      val va = (col("sxxa") - col("sxa") * col("sxa") / col("na")) /
-        (col("na") - lit(1.0))
-      val vb = (col("sxxb") - col("sxb") * col("sxb") / col("nb")) /
-        (col("nb") - lit(1.0))
-      val z = (col("sxa") / col("na") - col("sxb") / col("nb")) /
-        sqrt(va / col("na") + vb / col("nb"))
-      val bound = lit(2.024) * sqrt(lit(4.0) / col("look"))
-      side("A", "a").join(side("B", "b"), "look")
-        .select(col("look"),
-          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
-          round(z, 6).as("z"), round(bound, 6).as("boundary"),
-          (abs(round(z, 6)) > round(bound, 6)).as("crossed"))
-        .orderBy("look")
+      obfRelease(cum)
     }),
 
     // TOST EQUIVALENCE TEST (round 10) — the launch criterion

@@ -773,6 +773,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming seq-monitor ≡ batch agg_group_sequential_obf (order-free)") {
+    import graft.streaming.StreamingSeqMonitor
+    import graft.streaming.StreamingSeqMonitor.EventIn
+    withRocksDb {
+      // the same (variant, look, v6, vv6) lattice rows the batch key
+      // aggregates, computed by the SAME upstream expressions; the fold
+      // is pure integer addition, so parity needs NO ordering contract —
+      // feed in reverse event order across three waves to prove it
+      val keyed = Tables.events(spark, sfDir)
+        .withColumn("variant",
+          when(substring(md5(concat(lit("srm42:"), col("user_id"))), 1, 1)
+            < "8", "A").otherwise("B"))
+        .withColumn("look",
+          (expr("datediff(to_date(ts), date'2024-01-01') div 7") + 1)
+            .cast("int"))
+        .filter(col("look") <= 4)
+        .select(col("variant"), col("look"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            .as("v6"),
+          ((col("value") * col("value")).cast("decimal(18,6)") * 1000000)
+            .cast("long").as("vv6"))
+        .as[EventIn].collect().toSeq.reverse
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingSeqMonitor.monitor(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_obf")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      // latest emission per (variant, look) = max cumulative n
+      val latest = spark.table("stream_obf").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .groupBy(t => (t._1, t._2)).map { case (_, ts) => ts.maxBy(_._3) }
+        .toSeq
+      // run the streamed moments through the batch key's own release
+      // tail: long→double /1e6 = the identical doubles the batch's
+      // DECIMAL→double cast yields
+      val momDf = latest.toDF("variant", "look", "n", "sx6", "sxx6")
+        .select(col("variant"), col("look"),
+          col("n").cast("double").as("cn"),
+          (col("sx6").cast("double") / lit(1e6)).as("csx"),
+          (col("sxx6").cast("double") / lit(1e6)).as("csxx"))
+      val streamed = graft.operators.AnalyticsExt.obfRelease(momDf)
+        .collect().map(_.toString).toSet
+      val batch = SparkEntry
+        .queries("agg_group_sequential_obf")(spark, sfDir)
+        .collect().map(_.toString).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty, "parity is vacuous with no looks")
+    }
+  }
+
   test("streaming EWMA ≡ batch ts_ewma (exact, ordered feed, any chunking)") {
     import graft.streaming.StreamingEwma
     import graft.streaming.StreamingEwma.EventIn
