@@ -225,6 +225,44 @@ object AnalyticsExt {
     // DECIMAL(18,6) sums over the bounded hourly frame (the inputs are
     // 6-dp-released already), final arithmetic one IEEE tree. 1-row
     // release; everything past the shared hourly agg is grid-sized.
+    // THEIL–SEN ROBUST TREND (round 10) — the median-of-pairwise-slopes
+    // estimator (Sen 1968): up to ~29% of hours can be corrupted
+    // (outages, bot bursts, backfill spikes) before the trend estimate
+    // moves, where the OLS slope (agg_regression) chases every outlier.
+    // Runs on the bounded HOURLY aggregate, never events: the pair
+    // frame is grid² (720 hours/month → 259k slope rows at sf0.1 —
+    // self-joined aggregate, the skyline_pareto bound class; a year is
+    // 38M pairs, still executor-trivial, and the documented larger-grid
+    // fallback is the repeated-median variant on a coarser grid).
+    // Exactness: slopes are one IEEE division over dsum6-exact hourly
+    // values and integer hour indices; the median is the exact
+    // percentile ↔ quantile_cont pairing (agg_percentile precedent);
+    // the intercept is median(y − slope·x) with the 1-row slope frame
+    // broadcast back.
+    "ts_theil_sen" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(round(dsum6(col("value")), 6).as("y"))
+        .select(expr("unix_micros(hour_ts) div 3600000000").as("x"),
+          col("y"))
+      val a = hourly.select(col("x").as("x1"), col("y").as("y1"))
+      val b = hourly.select(col("x").as("x2"), col("y").as("y2"))
+      val slopes = a.join(b, col("x1") < col("x2"))
+        .select(((col("y2") - col("y1")) / (col("x2") - col("x1")))
+          .as("slope"))
+      val med = slopes.agg(count(lit(1)).as("n_pairs"),
+        percentile(col("slope"), lit(0.5)).as("m_slope"))
+      val icpt = hourly.crossJoin(broadcast(med))
+        .agg(first(col("n_pairs")).as("n_pairs"),
+          first(col("m_slope")).as("m_slope"),
+          count(lit(1)).as("n_hours"),
+          percentile(col("y") - col("m_slope") * col("x"), lit(0.5))
+            .as("m_icpt"))
+      icpt.select(col("n_hours"), col("n_pairs"),
+        round(col("m_slope"), 9).as("slope"),
+        round(col("m_icpt"), 6).as("intercept"))
+    }),
+
     "ts_seasonal_strength" -> ((s, dir) => {
       val dec = "decimal(18,6)"
       val st = seasonalFrame(s, dir).agg(
@@ -729,6 +767,43 @@ object AnalyticsExt {
           round((col("sxa") / col("na") - col("sxb") / col("nb")) /
             sqrt(sea + seb), 6).as("t_stat"))
         .orderBy("type_a", "type_b")
+    }),
+
+    // ONE-WAY ANOVA F (round 10) — the parametric omnibus beside
+    // agg_kruskal_wallis: same "do ANY of the k variants differ?"
+    // question under the equal-variance normal model, and the
+    // decomposition (SS_between / SS_within) every experiment review
+    // wants printed beside the verdict. All from one two-phase corpus
+    // agg of exact (n, Σx, Σx²) per type; the grand mean comes off a
+    // 1-row DECIMAL re-aggregate of the per-type sums (exact — no
+    // double re-summation), each group's SS terms are one IEEE tree,
+    // and the cross-group SS sums accumulate on the DECIMAL(28,12)
+    // lattice (the Kruskal–Wallis rule — the one place engine-ordered
+    // float addition could sneak in).
+    "agg_anova_oneway" -> ((s, dir) => {
+      val dec = "decimal(28,12)"
+      val st = events(s, dir).groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum6(col("value")).as("sx"),
+        dsum6(col("value") * col("value")).as("sxx"))
+      val tot = st.agg(
+        sum(col("n").cast(dec)).cast("double").as("nt"),
+        sum(col("sx").cast(dec)).cast("double").as("sxt"),
+        count(lit(1)).as("k"))
+      val gm = col("sxt") / col("nt")
+      val termB = (col("n") *
+        ((col("sx") / col("n") - gm) * (col("sx") / col("n") - gm)))
+        .cast(dec)
+      val termW = (col("sxx") - col("sx") * col("sx") / col("n")).cast(dec)
+      val ss = st.crossJoin(tot).groupBy("nt", "k")
+        .agg(sum(termB).cast("double").as("ssb"),
+          sum(termW).cast("double").as("ssw"))
+      val f = (col("ssb") / (col("k") - lit(1.0))) /
+        (col("ssw") / (col("nt") - col("k")))
+      ss.select(col("k").as("n_groups"), col("nt").cast("long").as("n_total"),
+        round(col("ssb"), 6).as("ss_between"),
+        round(col("ssw"), 6).as("ss_within"),
+        round(f, 6).as("f_stat"))
     }),
 
     // GROUP-SEQUENTIAL MONITORING, O'Brien–Fleming boundaries (round
@@ -1734,6 +1809,24 @@ object AnalyticsExt {
          |   + (b.sxx - b.sx * b.sx / b.n) / (b.n - 1.0) / b.n), 6) AS t_stat
          |FROM st a CROSS JOIN st b WHERE a.event_type < b.event_type
          |ORDER BY 1, 2""".stripMargin,
+    "agg_anova_oneway" ->
+      s"""WITH st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |   ${dsum6Sql("value")} AS sx, ${dsum6Sql("value * value")} AS sxx
+         | FROM events GROUP BY 1),
+         | tot AS (SELECT
+         |   CAST(sum(CAST(n AS DECIMAL(28,12))) AS DOUBLE) AS nt,
+         |   CAST(sum(CAST(sx AS DECIMAL(28,12))) AS DOUBLE) AS sxt,
+         |   count(*) AS k FROM st),
+         | ss AS (SELECT nt, k,
+         |   CAST(sum(CAST(n * ((sx / n - sxt / nt) * (sx / n - sxt / nt))
+         |     AS DECIMAL(28,12))) AS DOUBLE) AS ssb,
+         |   CAST(sum(CAST(sxx - sx * sx / n AS DECIMAL(28,12)))
+         |     AS DOUBLE) AS ssw
+         |  FROM st CROSS JOIN tot GROUP BY 1, 2)
+         |SELECT CAST(k AS BIGINT) AS n_groups, CAST(nt AS BIGINT) AS n_total,
+         | round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+         | round((ssb / (k - 1.0)) / (ssw / (nt - k)), 6) AS f_stat
+         |FROM ss""".stripMargin,
     "agg_group_sequential_obf" ->
       """WITH base AS (SELECT value,
         |   CASE WHEN substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
@@ -2206,6 +2299,24 @@ object AnalyticsExt {
         |SELECT h2.hour_ts, h2.dow, h2.hr, h2.actual, prof.expected,
         | round(h2.actual - prof.expected, 6) AS residual
         |FROM h2 JOIN prof USING (dow, hr) ORDER BY hour_ts""".stripMargin,
+    "ts_theil_sen" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) // 3600000000 AS x,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS y
+        |  FROM events GROUP BY 1),
+        | slopes AS (SELECT (b.y - a.y) / (b.x - a.x) AS slope
+        |  FROM hourly a JOIN hourly b ON a.x < b.x),
+        | med AS (SELECT count(*) AS n_pairs,
+        |   quantile_cont(slope, 0.5) AS m_slope FROM slopes),
+        | icpt AS (SELECT max(n_pairs) AS n_pairs, max(m_slope) AS m_slope,
+        |   count(*) AS n_hours,
+        |   quantile_cont(y - m_slope * x, 0.5) AS m_icpt
+        |  FROM hourly CROSS JOIN med)
+        |SELECT CAST(n_hours AS BIGINT) AS n_hours,
+        | CAST(n_pairs AS BIGINT) AS n_pairs,
+        | round(m_slope, 9) AS slope, round(m_icpt, 6) AS intercept
+        |FROM icpt""".stripMargin,
     "ts_seasonal_strength" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,

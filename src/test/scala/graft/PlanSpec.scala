@@ -129,6 +129,9 @@ class PlanSpec extends SparkSpec {
             "agg_mann_whitney", // |types|-row broadcast cross onto the value domain
             "agg_ks_test", // same |types|-row broadcast cross (shared machine)
             "agg_kruskal_wallis", // 1-row (N, tie-mass) frame crossed onto |types| rows
+            "agg_anova_oneway", // 1-row grand-total frame crossed onto |types| rows
+            "ts_theil_sen", // grid^2 slope pairs on the bounded HOURLY aggregate
+                            // (~720 rows/month) + a 1-row median-slope cross
             "pipeline_curriculum_stages_approx", // 1-row quartile-sketch boundary frame
             "agg_histogram_equidepth_approx", // same 1-row boundary frame, sketch-built
             "agg_winsorized_mean", // 1-row [p05,p95] clip-envelope cross join
