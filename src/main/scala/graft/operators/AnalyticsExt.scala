@@ -806,6 +806,44 @@ object AnalyticsExt {
         round(f, 6).as("f_stat"))
     }),
 
+    // BROWN–FORSYTHE (median-Levene) VARIANCE-HOMOGENEITY TEST (round
+    // 10) — the check on the assumption agg_anova_oneway silently
+    // makes: are the k groups' variances even comparable? (Unequal
+    // variances with unequal n's is how ANOVA lies.) Classic shape:
+    // z = |x − median_g| per event (medians exact, broadcast back —
+    // the agg_mad two-pass), then the one-way-F machinery ON the z's.
+    // Determinism: medians are the exact percentile ↔ quantile_cont
+    // pairing; each z is one IEEE expression; (n, Σz, Σz²) accumulate
+    // via the DECIMAL(18,6) cast; the cross-group SS sums ride the
+    // same DECIMAL(28,12) lattice as ANOVA/Kruskal–Wallis.
+    "agg_levene_bf" -> ((s, dir) => {
+      val dec = "decimal(28,12)"
+      val meds = events(s, dir).groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val st = events(s, dir).join(broadcast(meds), "event_type")
+        .select(col("event_type"), abs(col("value") - col("med")).as("z"))
+        .groupBy("event_type").agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum6(col("z")).as("sx"),
+          dsum6(col("z") * col("z")).as("sxx"))
+      val tot = st.agg(
+        sum(col("n").cast(dec)).cast("double").as("nt"),
+        sum(col("sx").cast(dec)).cast("double").as("sxt"),
+        count(lit(1)).as("k"))
+      val gm = col("sxt") / col("nt")
+      val termB = (col("n") *
+        ((col("sx") / col("n") - gm) * (col("sx") / col("n") - gm)))
+        .cast(dec)
+      val termW = (col("sxx") - col("sx") * col("sx") / col("n")).cast(dec)
+      val ss = st.crossJoin(tot).groupBy("nt", "k")
+        .agg(sum(termB).cast("double").as("ssb"),
+          sum(termW).cast("double").as("ssw"))
+      val f = (col("ssb") / (col("k") - lit(1.0))) /
+        (col("ssw") / (col("nt") - col("k")))
+      ss.select(col("k").as("n_groups"), col("nt").cast("long").as("n_total"),
+        round(f, 6).as("w_stat"))
+    }),
+
     // GROUP-SEQUENTIAL MONITORING, O'Brien–Fleming boundaries (round
     // 10) — the "peeking" discipline: an experiment read weekly needs
     // wider early boundaries or its real α balloons (5 uncorrected
@@ -1827,6 +1865,28 @@ object AnalyticsExt {
          | round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
          | round((ssb / (k - 1.0)) / (ssw / (nt - k)), 6) AS f_stat
          |FROM ss""".stripMargin,
+    "agg_levene_bf" ->
+      """WITH meds AS (SELECT event_type,
+        |   quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        | zz AS (SELECT e.event_type, abs(e.value - m.med) AS z
+        |  FROM events e JOIN meds m USING (event_type)),
+        | st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(CAST(z AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(z * z AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        |  FROM zz GROUP BY 1),
+        | tot AS (SELECT
+        |   CAST(sum(CAST(n AS DECIMAL(28,12))) AS DOUBLE) AS nt,
+        |   CAST(sum(CAST(sx AS DECIMAL(28,12))) AS DOUBLE) AS sxt,
+        |   count(*) AS k FROM st),
+        | ss AS (SELECT nt, k,
+        |   CAST(sum(CAST(n * ((sx / n - sxt / nt) * (sx / n - sxt / nt))
+        |     AS DECIMAL(28,12))) AS DOUBLE) AS ssb,
+        |   CAST(sum(CAST(sxx - sx * sx / n AS DECIMAL(28,12)))
+        |     AS DOUBLE) AS ssw
+        |  FROM st CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS n_groups, CAST(nt AS BIGINT) AS n_total,
+        | round((ssb / (k - 1.0)) / (ssw / (nt - k)), 6) AS w_stat
+        |FROM ss""".stripMargin,
     "agg_group_sequential_obf" ->
       """WITH base AS (SELECT value,
         |   CASE WHEN substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'

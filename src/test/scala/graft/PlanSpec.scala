@@ -130,6 +130,7 @@ class PlanSpec extends SparkSpec {
             "agg_ks_test", // same |types|-row broadcast cross (shared machine)
             "agg_kruskal_wallis", // 1-row (N, tie-mass) frame crossed onto |types| rows
             "agg_anova_oneway", // 1-row grand-total frame crossed onto |types| rows
+            "agg_levene_bf", // same 1-row grand-total cross (ANOVA tail on |x-med|)
             "ts_theil_sen", // grid^2 slope pairs on the bounded HOURLY aggregate
                             // (~720 rows/month) + a 1-row median-slope cross
             "pipeline_curriculum_stages_approx", // 1-row quartile-sketch boundary frame
