@@ -263,6 +263,42 @@ object AnalyticsExt {
         round(col("m_icpt"), 6).as("intercept"))
     }),
 
+    // MANN–KENDALL TREND TEST (round 10) — Theil–Sen's inseparable
+    // companion (the pair always reported together: MK decides IF a
+    // monotone trend exists, Theil–Sen says how steep): S = Σ_{i<j}
+    // sign(y_j − y_i) over the same bounded hourly grid, variance with
+    // the tie correction Var(S) = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18,
+    // z with the ±1 continuity correction. Exactness: S and both tie
+    // masses are EXACT INTEGERS (a sign fold and a value-count agg);
+    // z is one IEEE tree over them. Shape: one corpus pass (hourly
+    // agg), grid² sign pairs, two 1-row frames crossed.
+    "ts_mann_kendall" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(round(dsum6(col("value")), 6).as("y"))
+        .select(expr("unix_micros(hour_ts) div 3600000000").as("x"),
+          col("y"))
+      val a = hourly.select(col("x").as("x1"), col("y").as("y1"))
+      val b = hourly.select(col("x").as("x2"), col("y").as("y2"))
+      val sPair = a.join(b, col("x1") < col("x2"))
+        .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s"))
+      val ties = hourly.groupBy("y").agg(count(lit(1)).as("t"))
+        .agg(count(lit(1)).cast("long").as("n_distinct"),
+          sum(col("t")).as("n"),
+          sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tmass"))
+      val n = col("n").cast("double")
+      val varS = (n * (n - lit(1.0)) * (n * 2.0 + lit(5.0))
+        - col("tmass").cast("double")) / lit(18.0)
+      val sD = col("s").cast("double")
+      val z = when(col("s") > 0, (sD - lit(1.0)) / sqrt(varS))
+        .when(col("s") < 0, (sD + lit(1.0)) / sqrt(varS))
+        .otherwise(lit(0.0))
+      sPair.crossJoin(ties)
+        .select(col("n").as("n_hours"), col("s").as("s_stat"),
+          round(varS, 6).as("var_s"), round(z, 6).as("z"),
+          (abs(round(z, 6)) > lit(1.96)).as("is_trending"))
+    }),
+
     "ts_seasonal_strength" -> ((s, dir) => {
       val dec = "decimal(18,6)"
       val st = seasonalFrame(s, dir).agg(
@@ -842,6 +878,35 @@ object AnalyticsExt {
         (col("ssw") / (col("nt") - col("k")))
       ss.select(col("k").as("n_groups"), col("nt").cast("long").as("n_total"),
         round(f, 6).as("w_stat"))
+    }),
+
+    // χ² TEST OF INDEPENDENCE (round 10) — event_type × day-of-week
+    // contingency: "does the traffic MIX change by weekday?" — the
+    // categorical-association readout beside agg_srm_chisq's 1-D
+    // goodness-of-fit. Observed counts are exact integers from ONE
+    // two-phase corpus agg; expecteds E = row·col/N are rational over
+    // exact longs; each cell's (O−E)²/E is one IEEE tree and the
+    // cross-cell sum rides the DECIMAL(28,12) lattice (the bounded
+    // |types|×7 grid is the only thing past the first agg).
+    "agg_chisq_independence" -> ((s, dir) => {
+      val dec = "decimal(28,12)"
+      val o = events(s, dir)
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rt = o.groupBy("event_type").agg(sum("o").as("rt"))
+      val ct = o.groupBy("dow").agg(sum("o").as("ct"))
+      val nt = o.agg(sum("o").as("n"))
+      val e = col("rt").cast("double") * col("ct") / col("n")
+      val oD = col("o").cast("double")
+      val cells = o.join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "dow").crossJoin(broadcast(nt))
+      cells.agg(
+          count(lit(1)).as("n_cells"),
+          ((countDistinct(col("event_type")) - 1) *
+            (countDistinct(col("dow")) - 1)).as("dof"),
+          sum((((oD - e) * (oD - e)) / e).cast(dec)).cast("double")
+            .as("chi2"))
+        .select(col("n_cells"), col("dof"), round(col("chi2"), 6).as("chi2"))
     }),
 
     // GROUP-SEQUENTIAL MONITORING, O'Brien–Fleming boundaries (round
@@ -1887,6 +1952,24 @@ object AnalyticsExt {
         |SELECT CAST(k AS BIGINT) AS n_groups, CAST(nt AS BIGINT) AS n_total,
         | round((ssb / (k - 1.0)) / (ssw / (nt - k)), 6) AS w_stat
         |FROM ss""".stripMargin,
+    "agg_chisq_independence" ->
+      """WITH o AS (SELECT event_type,
+        |   CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+        |   count(*) AS o FROM events GROUP BY 1, 2),
+        | rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+        |  FROM o GROUP BY 1),
+        | ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+        | nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        | cells AS (SELECT o.event_type, o.dow, o.o, rt.rt, ct.ct, nt.n,
+        |   CAST(rt.rt AS DOUBLE) * ct.ct / n AS e
+        |  FROM o JOIN rt USING (event_type) JOIN ct USING (dow)
+        |   CROSS JOIN nt)
+        |SELECT count(*) AS n_cells,
+        | (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS dof,
+        | round(CAST(sum(CAST(
+        |   ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e
+        |   AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2
+        |FROM cells""".stripMargin,
     "agg_group_sequential_obf" ->
       """WITH base AS (SELECT value,
         |   CASE WHEN substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
@@ -2359,6 +2442,32 @@ object AnalyticsExt {
         |SELECT h2.hour_ts, h2.dow, h2.hr, h2.actual, prof.expected,
         | round(h2.actual - prof.expected, 6) AS residual
         |FROM h2 JOIN prof USING (dow, hr) ORDER BY hour_ts""".stripMargin,
+    "ts_mann_kendall" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) // 3600000000 AS x,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS y
+        |  FROM events GROUP BY 1),
+        | sp AS (SELECT CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT)
+        |    AS s
+        |  FROM hourly a JOIN hourly b ON a.x < b.x),
+        | ties AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+        |   CAST(sum(t) AS BIGINT) AS n,
+        |   CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tmass
+        |  FROM (SELECT y, count(*) AS t FROM hourly GROUP BY 1)),
+        | v AS (SELECT s, n,
+        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |     * (CAST(n AS DOUBLE) * 2.0 + 5.0)
+        |     - CAST(tmass AS DOUBLE)) / 18.0 AS var_s
+        |  FROM sp CROSS JOIN ties),
+        | zz AS (SELECT n, s, var_s,
+        |   CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+        |     WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+        |     ELSE 0.0 END AS z
+        |  FROM v)
+        |SELECT n AS n_hours, s AS s_stat, round(var_s, 6) AS var_s,
+        | round(z, 6) AS z, (abs(round(z, 6)) > 1.96) AS is_trending
+        |FROM zz""".stripMargin,
     "ts_theil_sen" ->
       """WITH hourly AS (
         |  SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))

@@ -133,6 +133,8 @@ class PlanSpec extends SparkSpec {
             "agg_levene_bf", // same 1-row grand-total cross (ANOVA tail on |x-med|)
             "ts_theil_sen", // grid^2 slope pairs on the bounded HOURLY aggregate
                             // (~720 rows/month) + a 1-row median-slope cross
+            "ts_mann_kendall", // same grid^2 sign pairs + two 1-row frames crossed
+            "agg_chisq_independence", // 1-row N frame crossed onto the |types|x7 grid
             "pipeline_curriculum_stages_approx", // 1-row quartile-sketch boundary frame
             "agg_histogram_equidepth_approx", // same 1-row boundary frame, sketch-built
             "agg_winsorized_mean", // 1-row [p05,p95] clip-envelope cross join
