@@ -904,9 +904,17 @@ object AnalyticsExt {
           count(lit(1)).as("n_cells"),
           ((countDistinct(col("event_type")) - 1) *
             (countDistinct(col("dow")) - 1)).as("dof"),
+          least(countDistinct(col("event_type")) - 1,
+            countDistinct(col("dow")) - 1).as("mindim"),
+          first(col("n")).as("n_total"),
           sum((((oD - e) * (oD - e)) / e).cast(dec)).cast("double")
             .as("chi2"))
-        .select(col("n_cells"), col("dof"), round(col("chi2"), 6).as("chi2"))
+        .select(col("n_cells"), col("dof"), round(col("chi2"), 6).as("chi2"),
+          // Cramér's V — the effect size the χ² needs beside it (χ²
+          // grows with N; V ∈ [0,1] does not)
+          round(sqrt(col("chi2") /
+            (col("n_total").cast("double") * col("mindim"))), 6)
+            .as("cramers_v"))
     }),
 
     // GROUP-SEQUENTIAL MONITORING, O'Brien–Fleming boundaries (round
@@ -943,6 +951,36 @@ object AnalyticsExt {
         sum("sx").over(w).cast("double").as("csx"),
         sum("sxx").over(w).cast("double").as("csxx"))
       obfRelease(cum)
+    }),
+
+    // STANDARDIZED EFFECT SIZE (round 10) — Cohen's d with the Hedges
+    // g small-sample correction per type pair: the number the review
+    // asks for AFTER significance ("fine, it's real — is it BIG?").
+    // d = Δ/s_pooled from the agg_ab_ttest exact-moment machine; the
+    // Hedges correction uses the standard J ≈ 1 − 3/(4·df − 1)
+    // approximation (a rational expression — no gamma function, so it
+    // is engine-exact). One corpus agg, |types|²/2 arithmetic rows.
+    "agg_effect_size" -> ((s, dir) => {
+      val st = events(s, dir).groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum6(col("value")).as("sx"),
+        dsum6(col("value") * col("value")).as("sxx"))
+      val a = st.select(col("event_type").as("type_a"), col("n").as("na"),
+        col("sx").as("sxa"), col("sxx").as("sxxa"))
+      val b = st.select(col("event_type").as("type_b"), col("n").as("nb"),
+        col("sx").as("sxb"), col("sxx").as("sxxb"))
+      val ssa = col("sxxa") - col("sxa") * col("sxa") / col("na")
+      val ssb = col("sxxb") - col("sxb") * col("sxb") / col("nb")
+      val sPool = sqrt((ssa + ssb) / (col("na") + col("nb") - lit(2.0)))
+      val d = (col("sxa") / col("na") - col("sxb") / col("nb")) / sPool
+      val j = lit(1.0) - lit(3.0) /
+        (lit(4.0) * (col("na") + col("nb") - lit(2.0)) - lit(1.0))
+      a.crossJoin(b).filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          round(d, 6).as("cohens_d"),
+          round(d * j, 6).as("hedges_g"),
+          round(abs(d), 6).as("abs_d"))
+        .orderBy("type_a", "type_b")
     }),
 
     // TOST EQUIVALENCE TEST (round 10) — the launch criterion
@@ -1963,13 +2001,21 @@ object AnalyticsExt {
         | cells AS (SELECT o.event_type, o.dow, o.o, rt.rt, ct.ct, nt.n,
         |   CAST(rt.rt AS DOUBLE) * ct.ct / n AS e
         |  FROM o JOIN rt USING (event_type) JOIN ct USING (dow)
-        |   CROSS JOIN nt)
-        |SELECT count(*) AS n_cells,
-        | (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS dof,
-        | round(CAST(sum(CAST(
-        |   ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e
-        |   AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2
-        |FROM cells""".stripMargin,
+        |   CROSS JOIN nt),
+        | agg AS (SELECT count(*) AS n_cells,
+        |   (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
+        |     AS dof,
+        |   least(count(DISTINCT event_type) - 1, count(DISTINCT dow) - 1)
+        |     AS mindim,
+        |   max(n) AS n_total,
+        |   CAST(sum(CAST(
+        |     ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e
+        |     AS DECIMAL(28,12))) AS DOUBLE) AS chi2
+        |  FROM cells)
+        |SELECT n_cells, dof, round(chi2, 6) AS chi2,
+        | round(sqrt(chi2 / (CAST(n_total AS DOUBLE) * mindim)), 6)
+        |   AS cramers_v
+        |FROM agg""".stripMargin,
     "agg_group_sequential_obf" ->
       """WITH base AS (SELECT value,
         |   CASE WHEN substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
@@ -2000,6 +2046,19 @@ object AnalyticsExt {
         | CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         | z, boundary, (abs(z) > boundary) AS crossed
         |FROM zz ORDER BY look""".stripMargin,
+    "agg_effect_size" ->
+      s"""WITH st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |   ${dsum6Sql("value")} AS sx, ${dsum6Sql("value * value")} AS sxx
+         | FROM events GROUP BY 1),
+         | p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |   (a.sx / a.n - b.sx / b.n)
+         |     / sqrt(((a.sxx - a.sx * a.sx / a.n)
+         |       + (b.sxx - b.sx * b.sx / b.n)) / (a.n + b.n - 2.0)) AS d,
+         |   1.0 - 3.0 / (4.0 * (a.n + b.n - 2.0) - 1.0) AS j
+         |  FROM st a CROSS JOIN st b WHERE a.event_type < b.event_type)
+         |SELECT type_a, type_b, round(d, 6) AS cohens_d,
+         | round(d * j, 6) AS hedges_g, round(abs(d), 6) AS abs_d
+         |FROM p ORDER BY type_a, type_b""".stripMargin,
     "agg_tost_equivalence" ->
       s"""WITH st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
          |   ${dsum6Sql("value")} AS sx, ${dsum6Sql("value * value")} AS sxx

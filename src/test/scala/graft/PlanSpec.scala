@@ -142,6 +142,7 @@ class PlanSpec extends SparkSpec {
             "pipeline_mix_temperature", // 1-row n_min aggregate cross-joined onto the tiny per-source spec
             "agg_ab_ttest",  // self-cross of the |types|-row stats aggregate
             "agg_tost_equivalence", // same |types|-row aggregate self-cross
+            "agg_effect_size", // same |types|-row aggregate self-cross
             "agg_hll_overlap", // self-cross of the |types|-row sketch aggregate
             "sim_mrl_prefix_rerank", // bounded broadcast query set (as sim_knn)
             "pipeline_label_balance", // 1-row n_min aggregate cross join
