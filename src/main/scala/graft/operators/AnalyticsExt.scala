@@ -300,7 +300,11 @@ object AnalyticsExt {
     }),
 
     "ts_seasonal_strength" -> ((s, dir) => {
-      val dec = "decimal(18,6)"
+      // DECIMAL(28,12), not (18,6): `actual` (6dp) squares to 12dp — exact
+      // on the wide lattice — and (18,6)'s 12 integer digits overflow once
+      // actual > 1e6, i.e. the cast is a scale cliff the SS accumulators
+      // avoid; 16 integer digits push the cliff past any realistic sf.
+      val dec = "decimal(28,12)"
       val st = seasonalFrame(s, dir).agg(
         count(lit(1)).cast("double").as("n"),
         sum(col("actual").cast(dec)).cast("double").as("sa"),
@@ -848,20 +852,45 @@ object AnalyticsExt {
     // variances with unequal n's is how ANOVA lies.) Classic shape:
     // z = |x − median_g| per event (medians exact, broadcast back —
     // the agg_mad two-pass), then the one-way-F machinery ON the z's.
-    // Determinism: medians are the exact percentile ↔ quantile_cont
-    // pairing; each z is one IEEE expression; (n, Σz, Σz²) accumulate
-    // via the DECIMAL(18,6) cast; the cross-group SS sums ride the
-    // same DECIMAL(28,12) lattice as ANOVA/Kruskal–Wallis.
+    // Determinism: the whole z layer is EXACT INTEGER arithmetic in
+    // DOUBLED micro-units — vi = lattice(value)·1e6 (long), 2·median is
+    // an exact long even when an even-sized group interpolates to a
+    // half-lattice midpoint (lo+hi ≤ 2^53 so percentile's (lo+hi)/2 is
+    // exact in double and ×2 recovers the integer), z2 = |2·vi − 2·med|
+    // — so Σz = Σz2/2e6 and Σz² = Σz2²/4e12 are single correctly-
+    // rounded divisions over exact decimal sums. This keeps z OFF the
+    // DECIMAL(18,6) cast entirely: |value−med| at a half-lattice
+    // midpoint would sit ON a HALF_UP rounding tie where Spark's
+    // shortest-string cast and DuckDB's scaled-binary rounding can
+    // disagree by 1e-6. The cross-group SS sums ride the same
+    // DECIMAL(28,12) lattice as ANOVA/Kruskal–Wallis.
     "agg_levene_bf" -> ((s, dir) => {
       val dec = "decimal(28,12)"
-      val meds = events(s, dir).groupBy("event_type")
-        .agg(percentile(col("value"), lit(0.5)).as("med"))
-      val st = events(s, dir).join(broadcast(meds), "event_type")
-        .select(col("event_type"), abs(col("value") - col("med")).as("z"))
+      val ev = events(s, dir).select(col("event_type"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("vi"))
+      val meds = ev.groupBy("event_type")
+        .agg((percentile(col("vi"), lit(0.5)) * 2).cast("long").as("med2"))
+      // Exact integer sums Σz2 / Σz2² (decimal(38,0)) released to double
+      // via a 2^32 hi/lo split: hi ≤ 2^53 and lo < 2^32 convert exactly,
+      // hi·2^32 is a pure exponent shift, and the one add + one divide
+      // are correctly rounded — bit-identical cross-engine even when the
+      // raw sums exceed 2^53 (Σz2² ≈ 1e23 at sf0.1, where a direct
+      // big-decimal→double cast would hit engine-specific conversion
+      // rounding).
+      def exactDbl(name: String): org.apache.spark.sql.Column =
+        expr(s"$name div 4294967296").cast("double") * lit(4294967296.0) +
+          (col(name) - expr(s"$name div 4294967296").cast("decimal(38,0)") *
+            lit(4294967296L)).cast("double")
+      val st = ev.join(broadcast(meds), "event_type")
+        .select(col("event_type"),
+          abs(col("vi") * 2 - col("med2")).as("z2"))
         .groupBy("event_type").agg(
           count(lit(1)).cast("double").as("n"),
-          dsum6(col("z")).as("sx"),
-          dsum6(col("z") * col("z")).as("sxx"))
+          sum(col("z2").cast("decimal(38,0)")).as("sz"),
+          sum(col("z2").cast("decimal(38,0)") * col("z2")).as("szz"))
+        .select(col("event_type"), col("n"),
+          (exactDbl("sz") / lit(2000000.0)).as("sx"),
+          (exactDbl("szz") / lit(4000000000000.0)).as("sxx"))
       val tot = st.agg(
         sum(col("n").cast(dec)).cast("double").as("nt"),
         sum(col("sx").cast(dec)).cast("double").as("sxt"),
@@ -1969,14 +1998,24 @@ object AnalyticsExt {
          | round((ssb / (k - 1.0)) / (ssw / (nt - k)), 6) AS f_stat
          |FROM ss""".stripMargin,
     "agg_levene_bf" ->
-      """WITH meds AS (SELECT event_type,
-        |   quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
-        | zz AS (SELECT e.event_type, abs(e.value - m.med) AS z
-        |  FROM events e JOIN meds m USING (event_type)),
-        | st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-        |   CAST(sum(CAST(z AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |   CAST(sum(CAST(z * z AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      """WITH ev AS (SELECT event_type,
+        |   CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vi
+        |  FROM events),
+        | meds AS (SELECT event_type,
+        |   CAST(2 * quantile_cont(vi, 0.5) AS BIGINT) AS med2
+        |  FROM ev GROUP BY 1),
+        | zz AS (SELECT e.event_type, abs(2 * e.vi - m.med2) AS z2
+        |  FROM ev e JOIN meds m USING (event_type)),
+        | sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |   sum(CAST(z2 AS HUGEINT)) AS sz,
+        |   sum(CAST(z2 AS HUGEINT) * z2) AS szz
         |  FROM zz GROUP BY 1),
+        | st AS (SELECT event_type, n,
+        |   (CAST(sz // 4294967296 AS DOUBLE) * 4294967296.0
+        |     + CAST(sz % 4294967296 AS DOUBLE)) / 2000000.0 AS sx,
+        |   (CAST(szz // 4294967296 AS DOUBLE) * 4294967296.0
+        |     + CAST(szz % 4294967296 AS DOUBLE)) / 4000000000000.0 AS sxx
+        |  FROM sums),
         | tot AS (SELECT
         |   CAST(sum(CAST(n AS DECIMAL(28,12))) AS DOUBLE) AS nt,
         |   CAST(sum(CAST(sx AS DECIMAL(28,12))) AS DOUBLE) AS sxt,
@@ -2560,10 +2599,10 @@ object AnalyticsExt {
         |    round(h2.actual - prof.expected, 6) AS residual
         |   FROM h2 JOIN prof USING (dow, hr)),
         | st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |   CAST(sum(CAST(actual AS DECIMAL(18,6))) AS DOUBLE) AS sa,
-        |   CAST(sum(CAST(actual * actual AS DECIMAL(18,6))) AS DOUBLE) AS saa,
-        |   CAST(sum(CAST(residual AS DECIMAL(18,6))) AS DOUBLE) AS sr,
-        |   CAST(sum(CAST(residual * residual AS DECIMAL(18,6))) AS DOUBLE) AS srr
+        |   CAST(sum(CAST(actual AS DECIMAL(28,12))) AS DOUBLE) AS sa,
+        |   CAST(sum(CAST(actual * actual AS DECIMAL(28,12))) AS DOUBLE) AS saa,
+        |   CAST(sum(CAST(residual AS DECIMAL(28,12))) AS DOUBLE) AS sr,
+        |   CAST(sum(CAST(residual * residual AS DECIMAL(28,12))) AS DOUBLE) AS srr
         |  FROM f),
         | v AS (SELECT n, (saa - sa * sa / n) / (n - 1.0) AS va,
         |   (srr - sr * sr / n) / (n - 1.0) AS vr FROM st)

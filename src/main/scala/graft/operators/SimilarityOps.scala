@@ -99,6 +99,14 @@ object SimilarityOps {
   val MmrK: Int = 8
   val MmrLambda: Double = 0.7
 
+  /** The IEEE penalty weight 1.0−0.7 = 0.30000000000000004, interpolated
+    * into the oracle SQL as its shortest decimal string so DuckDB parses
+    * back the SAME bits the engine subtracts — a literal `(1.0 - 0.7)` in
+    * SQL text would be constant-folded by DuckDB to exact decimal 0.3
+    * (= double 0.2999999999999999889), a latent greedy-argmax divergence
+    * on near-tie scores. */
+  val MmrPenalty: Double = 1.0 - MmrLambda
+
   /** Size-guarded all-pairs (`d1 < d2`) self-join over `v(vec_id,
     * embedding)` — the substrate of the brute-force similarity baselines.
     *
@@ -193,7 +201,7 @@ object SimilarityOps {
           val div =
             if (selected.isEmpty) 0.0
             else selected.map(sel => pd((cid, sel._2))).max
-          (cid, sq, div, MmrLambda * sq - (1.0 - MmrLambda) * div)
+          (cid, sq, div, MmrLambda * sq - MmrPenalty * div)
         }
         val pick = scored.minBy { case (cid, _, _, score) => (-score, cid) }
         selected :+= ((rank, pick._1, pick._2, pick._3, pick._4))
@@ -979,9 +987,9 @@ object SimilarityOps {
          | pair AS MATERIALIZED (SELECT a.c_id AS ca, b.c_id AS cb, $oracleDot AS pd
          |  FROM cand a JOIN cand b ON a.c_id <> b.c_id),
          | s1 AS MATERIALIZED (SELECT c_id, sim_q, 0.0 AS dvs,
-         |   $MmrLambda * sim_q - (1.0 - $MmrLambda) * 0.0 AS score
+         |   $MmrLambda * sim_q - $MmrPenalty * 0.0 AS score
          |  FROM cand
-         |  ORDER BY $MmrLambda * sim_q - (1.0 - $MmrLambda) * 0.0 DESC, c_id
+         |  ORDER BY $MmrLambda * sim_q - $MmrPenalty * 0.0 DESC, c_id
          |  LIMIT 1),
          | sel1 AS MATERIALIZED (SELECT c_id FROM s1)""".stripMargin
     val rounds = (2 to MmrK).map { r =>
@@ -991,9 +999,9 @@ object SimilarityOps {
          |   AND c.c_id NOT IN (SELECT c_id FROM sel${r - 1})
          |  GROUP BY 1, 2),
          | s$r AS MATERIALIZED (SELECT c_id, sim_q, dvs,
-         |   $MmrLambda * sim_q - (1.0 - $MmrLambda) * dvs AS score
+         |   $MmrLambda * sim_q - $MmrPenalty * dvs AS score
          |  FROM r$r
-         |  ORDER BY $MmrLambda * sim_q - (1.0 - $MmrLambda) * dvs DESC, c_id
+         |  ORDER BY $MmrLambda * sim_q - $MmrPenalty * dvs DESC, c_id
          |  LIMIT 1),
          | sel$r AS MATERIALIZED (SELECT c_id FROM sel${r - 1}
          |  UNION ALL SELECT c_id FROM s$r)""".stripMargin

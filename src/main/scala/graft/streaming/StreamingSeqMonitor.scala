@@ -25,8 +25,25 @@ import org.apache.spark.sql.streaming._
   *
   * Emission: Update mode — latest emission per (variant, look) (max n;
   * the count is strictly monotone) is the current monitor readout.
+  *
+  * EXACTNESS BOUND: the "long→double /1e6 equals the batch DECIMAL→double
+  * cast" claim holds while every cumulative moment stays ≤ 2^53 (the
+  * double-exact integer range); past that the streaming path would
+  * double-round where the batch decimal cast rounds once. The dominant
+  * moment is Σ value²·1e6 ≈ n·E[v²]·1e6, so the bound allows ~9·10^9
+  * events of |value| ≤ 1000 per variant — far past any monitored
+  * experiment, but NOT unbounded on a long-running stream, and the same
+  * sum overflows Long itself at ~9.2·10^18. Every emission therefore
+  * asserts the cumulative moments are within [[MomentExactCeiling]],
+  * failing the query rather than silently emitting a double-rounded
+  * (or wrapped) readout.
   */
 object StreamingSeqMonitor {
+
+  /** 2^53 — ceiling on every cumulative lattice moment, above which the
+    * long→double conversion in the release tail stops being exact (and
+    * the batch-parity contract void). Enforced per fold. */
+  val MomentExactCeiling: Long = 1L << 53
 
   case class EventIn(variant: String, look: Int, v6: Long, vv6: Long)
 
@@ -75,6 +92,15 @@ object StreamingSeqMonitor {
       var (cn, cx, cxx) = (0L, 0L, 0L)
       val out = looks.map { case (k, n, sx, sxx) =>
         cn += n; cx += sx; cxx += sxx
+        // Exactness guard: every released cumulative moment must stay in
+        // the double-exact integer range, or the batch-parity contract
+        // (and before long-overflow, correctness itself) is void. Fails
+        // the query loudly instead of emitting a double-rounded readout.
+        require(cn <= MomentExactCeiling && math.abs(cx) <= MomentExactCeiling
+            && math.abs(cxx) <= MomentExactCeiling,
+          s"seq-monitor moment past 2^53 for variant=$key look=$k " +
+            s"(n=$cn sx=$cx sxx=$cxx): long->double is no longer exact; " +
+            "widen state or reset the experiment window")
         MomOut(key, k, cn, cx, cxx)
       }.filter(_.n > 0)
       out.iterator

@@ -259,6 +259,26 @@ class GraphSpec extends SparkSpec {
     assert(GraphOps.commonNeighbors(bigStar, 1).count() == 0)
   }
 
+  test("adamicAdar: 1/ln(deg) snap-and-accumulate scored on a synthetic fixture") {
+    // Non-vacuous exercise of the weighted path (graph_adamic_adar's
+    // cross-engine row at test sf is 0 rows, so the arithmetic is only
+    // compared here). Edges: 1–3, 2–3, 1–4, 2–4, 4–5.
+    //   deg(3) = 2, deg(4) = 3.
+    //   (1,2): shares centers 3 and 4 → aa = r4(1/ln2) + r4(1/ln3)
+    //   (3,4): shares centers 1 and 2 (both deg 2) → aa = 2·r4(1/ln2)
+    // with r4 = HALF_UP round to the 1e-4 lattice (the lmDocScores
+    // ln-snap rule), i.e. r4(1/ln2) = 1.4427, r4(1/ln3) = 0.9102.
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (4L, 5L))
+      .toDF("d1", "d2")
+    val got = GraphOps.adamicAdar(edges, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set((1L, 2L, 2L, 2.3529), (3L, 4L, 2L, 2.8854)),
+      s"adamicAdar fixture mismatch: $got")
+    // At minShared = 1 the single-neighbor pairs (1,5), (2,5) join in.
+    assert(GraphOps.adamicAdar(edges, minShared = 1).count() == 4)
+  }
+
   test("graph_pagerank query runs on sf0.001 with full mass") {
     val out = SparkEntry.queries("graph_pagerank")(spark, sfDir)
     val rows = out.collect()
