@@ -141,15 +141,34 @@ object RelationalExt {
 
     // percent_rank / cume_dist / ntile over a total order (price + key
     // tiebreak makes every rank — and the DuckDB twin — deterministic).
+    // Round 11: computed from the BUCKETED global row_number
+    // (ScalableWindows two-level cumsum) instead of a WindowExec
+    // partitioned by the 3-value o_orderstatus enum: with a total
+    // order, rank ≡ row_number, so percent_rank = (rn−1)/(n−1),
+    // cume_dist = rn/n, and ntile reproduces Spark's exact
+    // first-buckets-padded rule in integer arithmetic — identical
+    // values, parallelism ∝ buckets instead of |statuses|.
     "win_percent_cume" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderstatus"),
-        round(percent_rank().over(w), 9).as("pr"),
-        round(cume_dist().over(w), 9).as("cd"),
-        ntile(5).over(w).as("nt"),
-      ).orderBy("o_orderkey")
+      val rn = ScalableWindows.bucketedRowNumber(
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        Seq("o_orderstatus"), "o_totalprice",
+        Seq(col("o_totalprice"), col("o_orderkey")), buckets = 64)
+      val n = rn.groupBy("o_orderstatus").agg(count(lit(1)).as("nn"))
+      rn.join(broadcast(n), "o_orderstatus")
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          round(when(col("nn") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast("double")
+              / (col("nn") - 1).cast("double")), 9).as("pr"),
+          round(col("rn").cast("double") / col("nn").cast("double"), 9)
+            .as("cd"),
+          // Spark's NTile: nn%5 leading buckets of size nn div 5 + 1
+          expr("CAST(CASE WHEN rn <= (nn % 5) * ((nn div 5) + 1) " +
+            "THEN (rn - 1) div ((nn div 5) + 1) " +
+            "ELSE (nn % 5) + ((rn - 1) - (nn % 5) * ((nn div 5) + 1)) " +
+            "div (nn div 5) END + 1 AS INT)").as("nt"),
+        ).orderBy("o_orderkey")
     }),
 
     // try_* arithmetic: the ANSI-mode-safe path (Spark 4 ANSI is on by

@@ -110,20 +110,37 @@ object WindowFuncs {
       // measure columns themselves: any rows still tied then carry
       // identical (quantity, price), so every engine's frame holds the
       // same value multiset and the correlation is well-defined.
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-          "l_quantity", "l_extendedprice")
+      // Round 11: the trailing-20 frame runs BLOCKED (ScalableWindows
+      // carry machine) — each returnflag's sequence splits into
+      // equi-depth l_orderkey blocks whose last 19 rows are duplicated
+      // into the next block, so the window partitions on (flag, block)
+      // instead of the 3-value enum alone. Frame contents, and the
+      // decimal sums over them, are bit-identical to the single-window
+      // form.
+      val ord = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      val blocked = ScalableWindows.withTrailingBlocks(
+        t(s, dir, "lineitem").select("l_returnflag", "l_orderkey",
+          "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice"),
+        Seq("l_returnflag"), "l_orderkey", ord, lookback = 19,
+        buckets = 32)
+      val w = Window.partitionBy(col("l_returnflag"), col("__blk"))
+        .orderBy(ord: _*)
         .rowsBetween(-19, 0)
       val x = col("l_quantity")
       val y = col("l_extendedprice")
       def ds(c: org.apache.spark.sql.Column) =
         sum(c.cast(DecimalType(18, 4))).over(w)
-      val df = t(s, dir, "lineitem")
+      val df = blocked
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("__carry"),
           count(lit(1)).over(w).cast("double").as("n"),
           ds(x).cast("double").as("sx"), ds(y).cast("double").as("sy"),
           ds(x * y).cast("double").as("sxy"),
           ds(x * x).cast("double").as("sxx"), ds(y * y).cast("double").as("syy"))
+        .filter(!col("__carry"))
       df.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           when((col("n") * col("sxx") - col("sx") * col("sx")) > 0.0 &&
                (col("n") * col("syy") - col("sy") * col("sy")) > 0.0,
@@ -136,11 +153,11 @@ object WindowFuncs {
 
     // Per-row z-score standardization within the group (the feature-
     // normalization projection of a training pipeline) — population
-    // mean/stddev come from exact DECIMAL sums over an UNBOUNDED frame
-    // (one pass, no join-back), so every engine derives the identical
-    // statistics and the per-row arithmetic is the same correctly-
-    // rounded IEEE expression. Constant-valued groups null out via the
-    // exact-variance guard rather than dividing by zero.
+    // mean/stddev come from exact DECIMAL sums in one two-phase hash
+    // agg, broadcast back to the row stream, so every engine derives
+    // the identical statistics and the per-row arithmetic is the same
+    // correctly-rounded IEEE expression. Constant-valued groups null
+    // out via the exact-variance guard rather than dividing by zero.
     // ROLLING EXACT MEDIAN — the robust smoother (a spike moves a rolling
     // mean, not a rolling median) over each user's last-7-events frame.
     // `percentile(0.5)` as a WINDOW aggregate: the frame holds <= 7
@@ -164,15 +181,22 @@ object WindowFuncs {
     }),
 
     "win_zscore" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag")
+      // Round 11: the unbounded every-row frame IS a group aggregate —
+      // computed as one two-phase hash agg + broadcast join-back instead
+      // of a WindowExec that would carry a whole returnflag's rows in one
+      // task (the parallelism-floor sweep's enum-key shape). Identical
+      // decimal sums → identical released doubles.
       val x = col("l_quantity")
       def ds(c: org.apache.spark.sql.Column) =
-        sum(c.cast(DecimalType(18, 4))).over(w)
+        sum(c.cast(DecimalType(18, 4)))
+      val st = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        ds(x).cast("double").as("sx"),
+        ds(x * x).cast("double").as("sxx"))
       t(s, dir, "lineitem")
+        .join(broadcast(st), "l_returnflag")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          x.as("qty"),
-          count(lit(1)).over(w).cast("double").as("n"),
-          ds(x).cast("double").as("sx"), ds(x * x).cast("double").as("sxx"))
+          x.as("qty"), col("n"), col("sx"), col("sxx"))
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("qty"),
           when((col("sxx") / col("n")

@@ -30,6 +30,15 @@ object Shim {
   /** Unwrap a Column back to its Catalyst Expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as an executable DataFrame — test-only plan
+    * introspection (e.g. counting a WindowExec child's rows/partition
+    * cardinality in the PlanSpec parallelism sweeps). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a Catalyst expression builder as a SQL function on this
     * session (idempotent). Mirrors what a `SparkSessionExtensions`
     * `injectFunction` does at session build time; done here at first use

@@ -126,6 +126,9 @@ class PlanSpec extends SparkSpec {
             "agg_histogram_equidepth", // 1-row decile-boundary aggregate cross join
             "tpch_q15", // 1-row max-revenue aggregate cross join (scalar frame)
             "ts_changepoint_cusum", // 1-row (mu0, k) reference-frame cross join
+            "win_percent_cume", // 1-row percentile_approx bucket-bounds cross
+                                // (ScalableWindows two-level row_number)
+            "win_rolling_corr", // same 1-row bounds cross (trailing-block machine)
             "agg_mann_whitney", // |types|-row broadcast cross onto the value domain
             "agg_ks_test", // same |types|-row broadcast cross (shared machine)
             "agg_kruskal_wallis", // 1-row (N, tie-mass) frame crossed onto |types| rows
@@ -348,8 +351,16 @@ class PlanSpec extends SparkSpec {
                                    // the corpus gate is scan-stage
       "text_ngram_novelty" -> 3,   // (doc, shingle) distinct + first-seen agg
                                    // + shingle join feeding the doc agg
-      "win_rolling_corr" -> 1,     // five frame sums on one flag exchange
-      "win_zscore" -> 1,           // unbounded-frame stats on one exchange
+      "win_rolling_corr" -> 5,     // round 11 trailing-block machine: the
+                                   // corpus touches ONE (flag, block)
+                                   // window exchange; the other 4 are the
+                                   // bucket-grid metadata frames (block
+                                   // distinct + lead, per-block counts,
+                                   // carry-row join keys) — all ≤ B·|flags|
+                                   // rows after their first agg
+      "win_zscore" -> 2,           // round 11: stats hash agg + join-back
+                                   // keyed exchange (broadcast side is the
+                                   // 3-row stats frame)
       "agg_skewness_kurtosis" -> 1, // one widened two-phase agg
       "ts_dow_hour_profile" -> 1,  // one cell-grid two-phase agg
       "agg_entropy_gini" -> 2,     // class agg + flag re-agg (pinned-order fold)
@@ -557,5 +568,85 @@ class PlanSpec extends SparkSpec {
       val p = plan(key)
       assert(p.contains("Scan parquet"), s"$key:\n$p")
     }
+  }
+
+  test("no wide-input window runs on a low-cardinality partition key") {
+    // Parallelism-FLOOR sweep — the companion of the unpartitioned-
+    // WindowExec sweep above, one notch removed: a window partitioned by
+    // a key with < Floor distinct values while its input exceeds
+    // RowCeiling single-threads a near-corpus cumsum per partition (the
+    // round-10 rank-test weak grade: partitionBy(event_type) over the
+    // densified value domain = |types| tasks carrying everything).
+    // For every logical Window node in every key's optimized plan, the
+    // sweep EXECUTES the window's child (sf0.001 — cheap) and measures
+    // (input rows, distinct partition tuples); windows sharing a
+    // canonical (child, partitionSpec) are measured once.
+    // A window flagged at sf0.001 is then RE-MEASURED at sf0.01: a
+    // partition key whose cardinality GROWS with the corpus (user_id,
+    // session ids, value buckets…) is scale-safe — its parallelism is a
+    // function of data size, and 15 users at sf0.001 are millions at
+    // 100 TB. Only windows whose key stays flat across the 10× step
+    // (a fixed enum like event_type) are true offenders.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.functions.{count_distinct, struct, count, lit}
+    import org.apache.spark.sql.graftshim.Shim
+    spark.sharedState.cacheManager.clearCache()
+    val Floor = 16L
+    val RowCeiling = 900L // just under the sf0.001 event count: any
+    // corpus-or-wider window input must show >= Floor partition keys
+    val GrowthBar = 3L // 10x data must at least 3x the partition keys
+    val allow: Map[String, String] = Map.empty
+    def measure(w: LWindow): (Long, Long) = {
+      val childDf = Shim.ofRows(spark, w.child)
+      val pcols = w.partitionSpec.map(Shim.column)
+      val r = childDf.agg(count(lit(1)).as("n"),
+        count_distinct(struct(pcols: _*)).as("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def windows(key: String, dir: String): Seq[LWindow] =
+      SparkEntry.queries(key)(spark, dir).queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.nonEmpty => w }
+    val memo = scala.collection.mutable.Map.empty[LogicalPlan, (Long, Long)]
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { key =>
+      val wins = windows(key, sfDir)
+      wins.zipWithIndex.flatMap { case (w, i) =>
+        val (rows, card) =
+          memo.getOrElseUpdate(w.canonicalized, measure(w))
+        if (rows > RowCeiling && card < Floor && !allow.contains(key)) {
+          // growth probe at 10x: same code path, next scale factor
+          val wins10 = windows(key, "/root/testdata/sf0.01")
+          val card10 =
+            if (i < wins10.size) measure(wins10(i))._2 else card
+          if (card10 >= card * GrowthBar) None // corpus-scaling key
+          else Some(s"$key: window input $rows rows, $card partition " +
+            s"keys at sf0.001 -> $card10 at sf0.01 (flat = enum key)")
+        } else None
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"parallelism floor violated in: ${offenders.mkString("; ")}")
+  }
+
+  test("parallelism-floor sweep detects a synthetic low-cardinality window") {
+    // The sweep's own logic must actually fire: a corpus-sized window
+    // partitioned by a 5-value key is exactly the shape it exists to
+    // catch.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftshim.Shim
+    val df = Tables.events(spark, sfDir)
+      .withColumn("r", sum(lit(1L)).over(
+        Window.partitionBy("event_type").orderBy("ts", "event_id")))
+    val wins = df.queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.nonEmpty => w }
+    assert(wins.nonEmpty)
+    val w = wins.head
+    val r = Shim.ofRows(spark, w.child)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(struct(w.partitionSpec.map(Shim.column): _*)).as("k"))
+      .head()
+    assert(r.getLong(0) > 900L && r.getLong(1) < 16L,
+      s"synthetic window should violate the floor: ${r.mkString(",")}")
   }
 }
