@@ -71,37 +71,30 @@ object AnalyticsExt {
     * metrics, a |types|-task parallelism floor when the metric is
     * continuous (measured 18% distinct values at 100k events, growing
     * with the corpus — the round-10 weak grade). Instead:
-    * (1) equi-depth bucket boundaries over the DISTINCT value domain
-    * (approx_percentile — only load BALANCE depends on them, never
-    * correctness); (2) per-(type, bucket) totals, cumsum'd across the
-    * tiny |types|×B bucket grid; (3) within-(type, bucket) cumsum by
-    * value plus the exclusive bucket offset. Bucket assignment is
-    * monotone nondecreasing in value, so ordering by (bucket, value) ≡
-    * ordering by value and the summed integers are IDENTICAL to the
-    * single-window form (same oracle hash) — while the wide window now
-    * runs on |types|×B partitions, parallelism ∝ B instead of |types|.
-    * Pinned in PlanSpec: every WindowExec in these keys' plans has a
-    * multi-column partitionSpec, and the parallelism-floor sweep sees
-    * bucket-bounded window inputs. */
+    * (1) equi-width `width_bucket` ids over the value domain
+    * ([[ScalableWindows.withBuckets]] — only load BALANCE depends on
+    * boundaries, never correctness); (2) per-(type, bucket) totals,
+    * cumsum'd across the tiny |types|×B bucket grid; (3) within-(type,
+    * bucket) cumsum by value plus the exclusive bucket offset. Bucket
+    * assignment is monotone nondecreasing in value, so ordering by
+    * (bucket, value) ≡ ordering by value and the summed integers are
+    * IDENTICAL to the single-window form (same oracle hash) — while the
+    * wide window now runs on |types|×B partitions, parallelism ∝ B
+    * instead of |types|. Pinned in PlanSpec: every WindowExec in these
+    * keys' plans has a multi-column partitionSpec, and the
+    * parallelism-floor sweep sees bucket-bounded window inputs. */
   private def denseTypeValueCum(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val vc = events(s, dir).groupBy("event_type", "value")
       .agg(count(lit(1)).as("cnt"))
     val vals = vc.select("value").distinct()
     val types = vc.select("event_type").distinct()
-    val pcts = (1 until RankTestBuckets)
-      .map(i => i.toDouble / RankTestBuckets)
-      .mkString("array(", ",", ")")
-    val bounds = vals
-      .agg(expr(s"percentile_approx(value, $pcts, 1000)").as("bounds"))
-    val dense = vals.crossJoin(broadcast(types))
-      .join(vc, Seq("event_type", "value"), "left")
-      .na.fill(0L, Seq("cnt"))
-      .crossJoin(broadcast(bounds))
-      .withColumn("bkt", expr(
-        "aggregate(bounds, 0, (acc, b) -> acc + " +
-          "CASE WHEN value >= b THEN 1 ELSE 0 END)"))
-      .drop("bounds")
+    val dense = ScalableWindows.withBuckets(
+      vals.crossJoin(broadcast(types))
+        .join(vc, Seq("event_type", "value"), "left")
+        .na.fill(0L, Seq("cnt")),
+      "value", RankTestBuckets)
+      .withColumnRenamed("__bkt", "bkt")
     val wB = Window.partitionBy("event_type").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val off = dense.groupBy("event_type", "bkt").agg(sum("cnt").as("bcnt"))
@@ -1573,44 +1566,64 @@ object AnalyticsExt {
     // is hash-verified). Per-replica weighted median = smallest value
     // whose running weight reaches half the replica's total (integer
     // comparison 2·cw ≥ W — no float boundary); the CI reads the 2.5/97.5
-    // percentiles off the B-row replica frame. Shape: one 20× weighted
-    // expansion (broadcast of a 20-row replica frame), one (type,
-    // replica)-keyed window cumsum, then all statistics on |types|·B
-    // rows. The point estimate is the plain exact median, released
-    // beside the interval.
+    // percentiles off the B-row replica frame. The point estimate is the
+    // plain exact median, released beside the interval.
+    //
+    // SHAPE (round 11, after profiling — the round-10 pre-agg attempt
+    // showed the window was never the cost; the replica EXPANSION was):
+    // (a) FIVE digests per event, not twenty — each md5 yields four
+    //     independent 32-bit uniform lanes (8 hex chars each), so replica
+    //     b reads lane (b−1)%4 of digest (b−1)/4; digest count was the
+    //     dominant term of the 20× expansion scan;
+    // (b) ONE corpus pass — the replica total W rides the same
+    //     (type, rep) exchange as the cumsum as a full-frame window sum,
+    //     replacing the second expansion scan + join of the round-10
+    //     form (wdf was computed twice: once for tot, once for cum).
     "agg_bootstrap_median_ci" -> ((s, dir) => {
-      val bReps = 20L
-      val reps = broadcast(s.range(1, bReps + 1)
-        .select(col("id").cast("int").as("rep")))
+      val bReps = 20
+      // Explicit fan-out BEFORE the weight projection: the events scan
+      // of a compact parquet is a single split, and without this the
+      // whole 20-replica digest/conv/inverse-CDF projection runs in ONE
+      // task (profiled round 11: 4.7 of the 6.2 s wall). An explicit
+      // partition count keeps AQE from coalescing the tiny-by-bytes but
+      // CPU-heavy exchange back to one partition.
       val ev = events(s, dir).select(col("event_type"), col("event_id"),
         col("value"))
-      val h = md5(concat(lit("boot:"), col("rep"), lit(":"), col("event_id")))
-      val u = (conv(substring(h, 1, 8), 16, 10).cast("long") + lit(0.5)) /
-        lit(4294967296.0)
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+      val hs = (0 until (bReps + 3) / 4).map(c =>
+        md5(concat(lit(s"boot:$c:"), col("event_id"))).as(s"h$c"))
+      val withH = ev.select(
+        Seq(col("event_type"), col("event_id"), col("value")) ++ hs: _*)
+      def uOf(b: Int) = {
+        val c = (b - 1) / 4
+        val off = ((b - 1) % 4) * 8 + 1
+        (conv(substring(col(s"h$c"), off, 8), 16, 10).cast("long")
+          + lit(0.5)) / lit(4294967296.0)
+      }
       // Poisson(1) inverse CDF: cumulative e^-1 * (1/0! + 1/1! + ...)
       // as fixed shared literals (identical in the oracle), capped at 6.
-      val w = when(u < 0.36787944117144233, 0L)
-        .when(u < 0.7357588823428847, 1L)
-        .when(u < 0.9196986029286058, 2L)
-        .when(u < 0.9810118431238462, 3L)
-        .when(u < 0.9963401531726563, 4L)
-        .when(u < 0.9994058151824183, 5L)
-        .otherwise(6L)
-      // Measured note (round 10): a per-(type, replica, value) weight
-      // pre-agg before the cumsum — the obvious window-input reducer —
-      // was tried and REGRESSED 4.4 → 6.6 s at sf0.1: this feed's values
-      // are nearly unique per type (~15k distinct per 25k events), so the
-      // extra corpus-scale hash shuffle bought only a ~1.7× window-input
-      // cut. The pre-agg pays off only when values quantize (weights
-      // fold); on near-continuous values the direct window is the faster
-      // linear plan. Kept direct; re-evaluate if the value domain
-      // discretizes.
-      val wdf = ev.crossJoin(reps).withColumn("w", w).filter(col("w") > 0L)
-      val tot = wdf.groupBy("event_type", "rep").agg(sum("w").as("wtot"))
-      val cum = wdf.withColumn("cw", sum("w").over(
-        Window.partitionBy("event_type", "rep").orderBy("value", "event_id")
+      def wOf(u: org.apache.spark.sql.Column) =
+        when(u < 0.36787944117144233, 0L)
+          .when(u < 0.7357588823428847, 1L)
+          .when(u < 0.9196986029286058, 2L)
+          .when(u < 0.9810118431238462, 3L)
+          .when(u < 0.9963401531726563, 4L)
+          .when(u < 0.9994058151824183, 5L)
+          .otherwise(6L)
+      val rw = array((1 to bReps).map(b =>
+        struct(lit(b).as("rep"), wOf(uOf(b)).as("w"))): _*)
+      val wdf = withH
+        .select(col("event_type"), col("event_id"), col("value"),
+          explode(rw).as("rw"))
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("rw.rep").as("rep"), col("rw.w").as("w"))
+        .filter(col("w") > 0L)
+      val byRep = Window.partitionBy("event_type", "rep")
+      val cum = wdf
+        .withColumn("cw", sum("w").over(byRep.orderBy("value", "event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val med = cum.join(tot, Seq("event_type", "rep"))
+        .withColumn("wtot", sum("w").over(byRep))
+      val med = cum
         .filter(col("cw") * 2 >= col("wtot"))
         .groupBy("event_type", "rep").agg(min("value").as("med"))
       val ci = med.groupBy("event_type").agg(
@@ -2432,18 +2445,22 @@ object AnalyticsExt {
         |FROM lg WHERE v168 IS NOT NULL AND v24 IS NOT NULL""".stripMargin,
     "agg_bootstrap_median_ci" ->
       """WITH ev AS (SELECT event_type, event_id, value FROM events),
-        | x AS (SELECT ev.*, rep,
-        |     md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)) AS h
-        |   FROM ev CROSS JOIN (SELECT CAST(unnest(generate_series(1, 20)) AS INT) AS rep)),
+        | hx AS (SELECT ev.*, c,
+        |     md5('boot:' || CAST(c AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)) AS h
+        |   FROM ev CROSS JOIN (SELECT CAST(unnest(generate_series(0, 4)) AS INT) AS c)),
+        | reps AS (SELECT CAST(unnest(generate_series(1, 20)) AS INT) AS rep),
+        | x AS (SELECT event_type, event_id, value, rep,
+        |     substr(h, ((rep - 1) % 4) * 8 + 1, 8) AS u8
+        |   FROM hx JOIN reps ON (rep - 1) // 4 = c),
         | uw AS (SELECT event_type, event_id, value, rep,
-        |     ((CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) * 268435456
-        |   + (CAST(strpos('0123456789abcdef', substr(h, 2, 1)) AS BIGINT) - 1) * 16777216
-        |   + (CAST(strpos('0123456789abcdef', substr(h, 3, 1)) AS BIGINT) - 1) * 1048576
-        |   + (CAST(strpos('0123456789abcdef', substr(h, 4, 1)) AS BIGINT) - 1) * 65536
-        |   + (CAST(strpos('0123456789abcdef', substr(h, 5, 1)) AS BIGINT) - 1) * 4096
-        |   + (CAST(strpos('0123456789abcdef', substr(h, 6, 1)) AS BIGINT) - 1) * 256
-        |   + (CAST(strpos('0123456789abcdef', substr(h, 7, 1)) AS BIGINT) - 1) * 16
-        |   + (CAST(strpos('0123456789abcdef', substr(h, 8, 1)) AS BIGINT) - 1)
+        |     ((CAST(strpos('0123456789abcdef', substr(u8, 1, 1)) AS BIGINT) - 1) * 268435456
+        |   + (CAST(strpos('0123456789abcdef', substr(u8, 2, 1)) AS BIGINT) - 1) * 16777216
+        |   + (CAST(strpos('0123456789abcdef', substr(u8, 3, 1)) AS BIGINT) - 1) * 1048576
+        |   + (CAST(strpos('0123456789abcdef', substr(u8, 4, 1)) AS BIGINT) - 1) * 65536
+        |   + (CAST(strpos('0123456789abcdef', substr(u8, 5, 1)) AS BIGINT) - 1) * 4096
+        |   + (CAST(strpos('0123456789abcdef', substr(u8, 6, 1)) AS BIGINT) - 1) * 256
+        |   + (CAST(strpos('0123456789abcdef', substr(u8, 7, 1)) AS BIGINT) - 1) * 16
+        |   + (CAST(strpos('0123456789abcdef', substr(u8, 8, 1)) AS BIGINT) - 1)
         |     + 0.5) / 4294967296.0 AS u
         |   FROM x),
         | wd AS (SELECT event_type, event_id, value, rep,
@@ -2456,16 +2473,14 @@ object AnalyticsExt {
         |          ELSE 6 END AS w
         |   FROM uw),
         | wf AS (SELECT * FROM wd WHERE w > 0),
-        | tot AS (SELECT event_type, rep, CAST(sum(w) AS BIGINT) AS wtot
-        |   FROM wf GROUP BY 1, 2),
         | cum AS (SELECT event_type, rep, value,
         |     CAST(sum(w) OVER (PARTITION BY event_type, rep
         |       ORDER BY value, event_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+        |     CAST(sum(w) OVER (PARTITION BY event_type, rep) AS BIGINT) AS wtot
         |   FROM wf),
-        | med AS (SELECT cum.event_type, cum.rep, min(value) AS med
-        |   FROM cum JOIN tot USING (event_type, rep)
-        |   WHERE cw * 2 >= wtot GROUP BY 1, 2),
+        | med AS (SELECT event_type, rep, min(value) AS med
+        |   FROM cum WHERE cw * 2 >= wtot GROUP BY 1, 2),
         | ci AS (SELECT event_type,
         |     round(quantile_cont(med, 0.025), 6) AS ci_lo,
         |     round(quantile_cont(med, 0.975), 6) AS ci_hi

@@ -33,20 +33,28 @@ import org.apache.spark.sql.functions._
   */
 object ScalableWindows {
 
-  /** Equi-depth bucket ids over `bucketCol`: B−1 approx-percentile
-    * boundaries broadcast to every row, id = #{boundaries ≤ value} — a
-    * monotone nondecreasing coarsening of the column's order. */
-  private def withBuckets(df: DataFrame, bucketCol: String,
+  /** Equi-width bucket ids over `bucketCol`: one (min, max) aggregate
+    * broadcast to every row, id = `width_bucket` — a monotone
+    * nondecreasing coarsening of the column's order.
+    *
+    * Equi-WIDTH, not equi-depth, deliberately: a percentile-boundary
+    * assignment needs a per-row scan of the boundary array
+    * (`aggregate()` is CodegenFallback — measured 8-40× slower on these
+    * keys), while `width_bucket` is one codegen'd arithmetic expression.
+    * Skew can unbalance equi-width buckets, but balance only shapes the
+    * LOAD — correctness never depends on boundaries — and even a 10×
+    * imbalance leaves parallelism ≫ the |enum| floor this machine
+    * exists to remove. */
+  private[operators] def withBuckets(df: DataFrame, bucketCol: String,
       buckets: Int): DataFrame = {
-    val pcts = (1 until buckets).map(i => i.toDouble / buckets)
-      .mkString("array(", ",", ")")
-    val bounds = df
-      .agg(expr(s"percentile_approx($bucketCol, $pcts, 1000)").as("__bounds"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn("__bkt", expr(
-        s"aggregate(__bounds, 0, (acc, b) -> acc + " +
-          s"CASE WHEN $bucketCol >= b THEN 1 ELSE 0 END)"))
-      .drop("__bounds")
+    val mm = df.agg(min(col(bucketCol).cast("double")).as("__lo"),
+      max(col(bucketCol).cast("double")).as("__hi"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("__bkt",
+        when(col("__lo") === col("__hi"), lit(1L))
+          .otherwise(width_bucket(col(bucketCol).cast("double"),
+            col("__lo"), col("__hi"), lit(buckets))))
+      .drop("__lo", "__hi")
   }
 
   /** Adds a per-`partCols` global `rn` (1-based row_number in

@@ -116,7 +116,9 @@ class PlanSpec extends SparkSpec {
             "text_lm_score", // 1-row vocab-size aggregate cross join (as text_tfidf)
             "pipeline_perplexity_buckets", // same 1-row vocab cross (shares lmDocScores)
             "text_vocab_coverage", // 1-row (total, vocab) aggregate cross join
-            "agg_bootstrap_median_ci", // bounded 20-row replica-frame broadcast cross
+            "agg_bootstrap_median_ci", // stale-safe entry: round 11 replaced
+                                       // the replica cross join with a
+                                       // lane-explode (no BNLJ remains)
             "agg_cuped_adjustment", // 1-row moment-frame broadcast cross (theta)
             "graph_modularity_lang", // 1-row edge-count aggregate cross join
             "ts_psi_drift", // 1-row (totals, bucket-count) aggregate cross join
