@@ -1295,6 +1295,113 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming FK LEFT join: null-dim emission, in-place upgrade, batch parity") {
+    import graft.streaming.StreamingFkJoin
+    import graft.streaming.StreamingFkJoin.FkChange
+    withRocksDb {
+      def dim(ck: Long, seg: String, seq: Long) =
+        FkChange(ck, is_dim = true, 0L, 0L, seg, seq)
+      def fact(oid: Long, ck: Long, amt: Long, seq: Long) =
+        FkChange(ck, is_dim = false, oid, amt, null, seq)
+      val waves = Seq(
+        // no dims exist yet: KTable.leftJoin emits both facts with a
+        // null segment instead of suppressing them
+        Seq(fact(10, 1, 100, 1), fact(20, 2, 200, 2)),
+        // dim 1 arrives -> o10 upgrades in place; o30 emits null-dim
+        Seq(dim(1, "bronze", 3), fact(30, 3, 300, 4)),
+        Seq(dim(1, "gold", 5)))
+      val ms = MemoryStream[FkChange]
+      val q = StreamingFkJoin.fkJoin(ms.toDS(), leftJoin = true).toDF()
+        .writeStream.format("memory").queryName("stream_fk_left")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      val all = spark.table("stream_fk_left").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.getString(3)), r.getLong(4)))
+      assert(all.contains((10L, 1L, 100L, None, 1L)), all.mkString(", "))
+      assert(all.contains((30L, 3L, 300L, None, 4L)), all.mkString(", "))
+      assert(all.contains((10L, 1L, 100L, Some("gold"), 5L)), all.mkString(", "))
+      // latest emission per order == the batch LEFT join of the final
+      // fact and dim tables
+      val latest = all.groupBy(_._1).map { case (_, ts) => ts.maxBy(_._5) }
+        .map(t => (t._1, t._2, t._3, t._4)).toSet
+      val changes = waves.flatten
+      val finalDims = changes.filter(_.is_dim).groupBy(_.cust_key)
+        .map { case (k, cs) => k -> cs.maxBy(_.seq).segment }
+      val finalFacts = changes.filterNot(_.is_dim).groupBy(_.order_id)
+        .map { case (_, cs) => cs.maxBy(_.seq) }
+      val batchLeft = finalFacts.map(f => (f.order_id, f.cust_key,
+        f.amount_micro, finalDims.get(f.cust_key))).toSet
+      assert(latest == batchLeft, s"$latest vs $batchLeft")
+      assert(batchLeft.size == 3 && batchLeft.count(_._4.isEmpty) == 2)
+    }
+  }
+
+  test("FK re-key: router tombstones the old key across restart, no stale re-emission") {
+    import graft.streaming.StreamingFkJoin
+    import graft.streaming.StreamingFkJoin.FkChange
+    withRocksDb {
+      val base = java.nio.file.Files.createTempDirectory("graft_ckpt_rekey").toString
+      val srcF = s"$base/facts"; val routed = s"$base/routed"
+      val srcJ = s"$base/join_feed"; val out = s"$base/out"
+      val ckptR = s"$base/ckpt_router"; val ckptJ = s"$base/ckpt_join"
+      def dim(ck: Long, seg: String, seq: Long) =
+        FkChange(ck, is_dim = true, 0L, 0L, seg, seq)
+      def fact(oid: Long, ck: Long, amt: Long, seq: Long) =
+        FkChange(ck, is_dim = false, oid, amt, null, seq)
+      val schema = Seq(dim(0, "x", 0)).toDF().schema
+      def append(dir: String, cs: Seq[FkChange]): Unit =
+        cs.toDF().coalesce(1).write.mode("append").parquet(dir)
+      def routerRunOnce(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(srcF).as[FkChange]
+        val q = StreamingFkJoin.routeFacts(stream).toDF()
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(routed)
+          }
+          .option("checkpointLocation", ckptR).outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def joinRunOnce(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(srcJ).as[FkChange]
+        val q = StreamingFkJoin.fkJoin(stream).toDF()
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckptJ).outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def readRouted(): Seq[FkChange] =
+        spark.read.parquet(routed).as[FkChange].collect().toSeq
+      // run 1: o10 references customer 1
+      append(srcF, Seq(fact(10, 1, 100, 2))); routerRunOnce()
+      append(srcJ, Seq(dim(1, "bronze", 1)) ++ readRouted()); joinRunOnce()
+      // run 2 (RESTART both stages): o10 re-keys to customer 2 — the
+      // router's recovered last-FK state must emit the key-1 tombstone
+      append(srcF, Seq(fact(10, 2, 150, 5))); routerRunOnce()
+      val newRouted = readRouted().filter(_.seq == 5L)
+      assert(newRouted.exists(c => c.is_tombstone && c.cust_key == 1L
+        && c.order_id == 10L), newRouted.mkString(", "))
+      // later dim updates on BOTH keys: key 1 must stay silent for o10
+      append(srcJ, newRouted ++ Seq(dim(1, "gold", 6), dim(2, "silver", 7)))
+      joinRunOnce()
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getLong(4)))
+      // the stale shape the router exists to kill:
+      assert(!rows.exists(t => t._1 == 10L && t._2 == 1L && t._4 == "gold"),
+        rows.mkString(", "))
+      // the re-keyed order joins its NEW dimension when it arrives
+      assert(rows.contains((10L, 2L, 150L, "silver", 7L)), rows.mkString(", "))
+      // table semantics: latest emission == batch join on the final FK
+      val latest = rows.groupBy(_._1).map { case (_, ts) => ts.maxBy(_._5) }
+      assert(latest.toSet == Set((10L, 2L, 150L, "silver", 7L)))
+    }
+  }
+
   test("streaming sliding window ≡ batch win_range_frame (exact, ordered feed)") {
     import graft.streaming.StreamingSlidingWindow
     import graft.streaming.StreamingSlidingWindow.EventIn
