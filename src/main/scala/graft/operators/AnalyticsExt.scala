@@ -83,17 +83,18 @@ object AnalyticsExt {
     * instead of |types|. Pinned in PlanSpec: every WindowExec in these
     * keys' plans has a multi-column partitionSpec, and the
     * parallelism-floor sweep sees bucket-bounded window inputs. */
-  private def denseTypeValueCum(s: org.apache.spark.sql.SparkSession,
+  private[graft] def denseTypeValueCum(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val vc = events(s, dir).groupBy("event_type", "value")
       .agg(count(lit(1)).as("cnt"))
     val vals = vc.select("value").distinct()
     val types = vc.select("event_type").distinct()
-    val dense = ScalableWindows.withBuckets(
-      vals.crossJoin(broadcast(types))
-        .join(vc, Seq("event_type", "value"), "left")
-        .na.fill(0L, Seq("cnt")),
-      "value", RankTestBuckets)
+    // bucket the DISTINCT-value frame (|types|× smaller than dense),
+    // then densify — the bucket id rides the join
+    val dense = ScalableWindows.withBuckets(vals, "value", RankTestBuckets)
+      .crossJoin(broadcast(types))
+      .join(vc, Seq("event_type", "value"), "left")
+      .na.fill(0L, Seq("cnt"))
       .withColumnRenamed("__bkt", "bkt")
     val wB = Window.partitionBy("event_type").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

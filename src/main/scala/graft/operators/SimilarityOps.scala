@@ -107,6 +107,25 @@ object SimilarityOps {
     * on near-tie scores. */
   val MmrPenalty: Double = 1.0 - MmrLambda
 
+  /** The bounded retrieval page `sim_mmr_diversify` collects for its
+    * driver-side greedy loop: broadcast-query scoring scan →
+    * TakeOrdered top-[[MmrPage]] slice. Exposed (pre-checkpoint) so
+    * PlanSpec can pin the page contract: the pre-collect plan MUST be a
+    * `TakeOrderedAndProjectExec` with limit = MmrPage — the property
+    * that makes the collect a page read, not a corpus read. */
+  private[graft] def mmrPageFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val v = t(s, dir, "embeddings")
+    val q = v.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    v.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("c_id"), col("embedding"),
+        vecDot(col("embedding"), col("q_emb")).as("sim_q"))
+      .orderBy(col("sim_q").desc, col("c_id"))
+      .limit(MmrPage)
+  }
+
   /** Size-guarded all-pairs (`d1 < d2`) self-join over `v(vec_id,
     * embedding)` — the substrate of the brute-force similarity baselines.
     *
@@ -175,16 +194,7 @@ object SimilarityOps {
     // oracle unrolls the 8 greedy rounds as chained CTEs over the same
     // doubles.
     "sim_mmr_diversify" -> ((s, dir) => {
-      val v = t(s, dir, "embeddings")
-      val q = v.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"))
-      val cand = v.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id").as("c_id"), col("embedding"),
-          vecDot(col("embedding"), col("q_emb")).as("sim_q"))
-        .orderBy(col("sim_q").desc, col("c_id"))
-        .limit(MmrPage)
-        .localCheckpoint()
+      val cand = mmrPageFrame(s, dir).localCheckpoint()
       val pd = cand.select(col("c_id").as("ca"), col("embedding").as("ea"))
         .crossJoin(cand.select(col("c_id").as("cb"), col("embedding").as("eb")))
         .filter(col("ca") =!= col("cb"))

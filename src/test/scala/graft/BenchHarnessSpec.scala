@@ -20,6 +20,40 @@ class BenchHarnessSpec extends SparkSpec {
     assert("\"ok_query\":[0-9.]+".r.findFirstIn(json).isDefined, json)
   }
 
+  test("BENCH_LOCAL.json covers exactly the SparkEntry.queries key set") {
+    // The driver's BENCH tail truncates; BENCH_LOCAL.json (written by
+    // Bench.main) is the authoritative per-key record — so a key
+    // silently dropped from (or added to) the engine surface must fail
+    // CI here instead of hiding behind the truncated tail. Regenerate
+    // with: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Bench"
+    val path = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    assert(java.nio.file.Files.exists(path),
+      "BENCH_LOCAL.json missing — run graft.Bench and commit the ledger")
+    val json = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val qobj = {
+      val start = json.indexOf("\"queries\":{")
+      assert(start >= 0, "no queries object in BENCH_LOCAL.json")
+      val from = start + "\"queries\":".length
+      var depth = 0; var i = from
+      while (i == from || depth > 0) {
+        if (json.charAt(i) == '{') depth += 1
+        else if (json.charAt(i) == '}') depth -= 1
+        i += 1
+      }
+      json.substring(from, i)
+    }
+    // keys whose value is a number or an {err:...} object; the nested
+    // "err" key itself maps to a string and is excluded by the lookahead
+    val benched = "\"([A-Za-z0-9_]+)\":(?=[-0-9{])".r
+      .findAllMatchIn(qobj).map(_.group(1)).toSet
+    val declared = SparkEntry.queries.keySet
+    val missing = declared -- benched
+    val stale = benched -- declared
+    assert(missing.isEmpty && stale.isEmpty,
+      s"bench ledger drift — missing: ${missing.toSeq.sorted.mkString(",")}; " +
+        s"stale: ${stale.toSeq.sorted.mkString(",")}")
+  }
+
   test("sim_ann_lsh shuffles carry ids only; vectors travel by broadcast") {
     assertNoWidePayload("sim_ann_lsh",
       c => c.contains("embedding") || c == "e1" || c == "e2")

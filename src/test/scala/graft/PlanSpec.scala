@@ -572,6 +572,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_mmr_diversify's driver page is a TakeOrdered slice of exactly MmrPage rows") {
+    // The MMR greedy loop is driver-side and safe ONLY because the
+    // collected frame is a top-k page by construction. Pin both halves:
+    // the pre-collect plan must be TakeOrderedAndProject (never a global
+    // sort or an unbounded scan) with limit = MmrPage, and MmrPage must
+    // stay within the driver-page tripwire class (the ivfSearchTable
+    // maxDriverProbeRows precedent).
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val sp = operators.SimilarityOps.mmrPageFrame(spark, sfDir)
+      .queryExecution.sparkPlan
+    val limits = sp.collect { case tk: TakeOrderedAndProjectExec => tk.limit }
+    assert(limits == Seq(operators.SimilarityOps.MmrPage),
+      s"pre-collect plan is not a single TakeOrdered page:\n$sp")
+    assert(operators.SimilarityOps.MmrPage <= 64,
+      "MmrPage past the driver-page tripwire — rework the reranker " +
+        "before raising it")
+  }
+
   test("no wide-input window runs on a low-cardinality partition key") {
     // Parallelism-FLOOR sweep — the companion of the unpartitioned-
     // WindowExec sweep above, one notch removed: a window partitioned by

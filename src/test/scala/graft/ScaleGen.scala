@@ -33,11 +33,35 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(in, out, factorS) = args.take(3)
     val factor = factorS.toInt
+    // Optional 4th arg "continuous-events": write ONLY the events table,
+    // with per-replica value perturbation (+rep·1e-4) so the DISTINCT
+    // value domain grows ~linearly with the corpus — the continuous-
+    // metric regime that stresses the rank-test value-domain machine
+    // (plain replication freezes the domain and understates that cost).
+    val continuousEventsOnly = args.length > 3 && args(3) == "continuous-events"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (continuousEventsOnly) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$in/events.parquet")
+      val userOffset = 1000000L
+      val evOffset = ev.agg(max("event_id")).head.getLong(0) + 1
+      ev.crossJoin(spark.range(0, factor).select(col("id").as("rep")))
+        .select((col("rep") * evOffset + col("event_id")).as("event_id"),
+          col("ts"), (col("rep") * userOffset + col("user_id")).as("user_id"),
+          col("event_type"),
+          (col("value") + col("rep").cast("double") * 0.0001).as("value"),
+          col("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$out/events.parquet")
+      println(s"[scalegen] wrote ${factor}x CONTINUOUS-VALUE events of $in to $out")
+      spark.stop()
+      return
+    }
 
     // ---- documents: rep 0 = originals; reps 1..f-1 are chunk-assembled.
     val docs = spark.read.parquet(s"$in/documents.parquet")
