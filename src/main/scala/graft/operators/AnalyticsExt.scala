@@ -354,6 +354,49 @@ object AnalyticsExt {
           (abs(round(z, 6)) > lit(1.96)).as("is_trending"))
     }),
 
+    // LEAD/LAG CROSS-CORRELATION (the "does clicking now buy later?"
+    // readout): Pearson corr between the click hourly series at t and
+    // the purchase series at t+lag, lag 0..6 h — the classic
+    // cross-correlogram a growth team reads before fitting any causal
+    // model. Corpus touched once by the hourly agg; everything after is
+    // the bounded calendar grid (≤720 rows/month) self-joined at 7
+    // offsets on the integer HOUR INDEX (epoch/3600 — no interval
+    // arithmetic to disagree on). Moments accumulate as DECIMAL(28,6)
+    // lattice sums (the agg_corr_matrix rule: scale 6 keeps the
+    // double→decimal snap inside the double's 17 significant digits, so
+    // both engines snap product doubles identically); zero-variance
+    // lags release NULL, not ±Inf.
+    "ts_lead_lag_corr" -> ((s, dir) => {
+      val dec = "decimal(28,6)"
+      val hourly = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"),
+          (date_trunc("hour", col("ts")).cast("long") / 3600).cast("long")
+            .as("hi"))
+        .agg(round(dsum6(col("value")), 6).as("v"))
+      val x = hourly.filter(col("event_type") === "click")
+        .select(col("hi"), col("v").as("x"))
+      val y = hourly.filter(col("event_type") === "purchase")
+        .select(col("hi").as("hiy"), col("v").as("y"))
+      val lags = broadcast(s.range(0, 7).select(col("id").cast("int").as("lag")))
+      val m = x.crossJoin(lags)
+        .join(y, col("hiy") === col("hi") + col("lag"))
+        .groupBy("lag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x").cast(dec)).cast("double").as("sx"),
+          sum(col("y").cast(dec)).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("lag"), col("n").cast("long").as("n_hours"),
+          when(vx > 0.0 && vy > 0.0,
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / sqrt(vx * vy), 6)).as("xcorr"))
+        .orderBy("lag")
+    }),
+
     "ts_seasonal_strength" -> ((s, dir) => {
       // DECIMAL(28,12), not (18,6): `actual` (6dp) squares to 12dp — exact
       // on the wide lattice — and (18,6)'s 12 integer digits overflow once
@@ -1118,6 +1161,100 @@ object AnalyticsExt {
     // corrected normal z = (U − nAnB/2)/σ is one IEEE expression over
     // exact integer moments (Σt³−t over combined ties) — bit-identical
     // cross-engine, rounded 6dp at release.
+    // RANK-BISERIAL CORRELATION (Cureton 1956; Wendt 1972's identity
+    // r = 2U/(n_A·n_B) − 1) — the EFFECT SIZE the Mann–Whitney z alone
+    // doesn't give: at corpus n everything is "significant", and r_rb
+    // says how large the stochastic dominance actually is (r = P(A>B) −
+    // P(B>A) under random draws). Shares [[denseTypeValueCum]], so 2U
+    // is the same exact long the MW key accumulates; r is one division
+    // off exact integers, and the favored arm is read off the ROUNDED r
+    // so the verdict column can't flake at a near-zero boundary.
+    "agg_rank_biserial" -> ((s, dir) => {
+      val cum = denseTypeValueCum(s, dir)
+      val a = cum.select(col("event_type").as("type_a"), col("value"),
+        col("cnt").as("ca"))
+      val b = cum.select(col("event_type").as("type_b"), col("value"),
+        col("cnt").as("cb"), col("cum").as("cumb"))
+      val pair = a.join(b, "value").filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+          sum(col("ca") * (col("cumb") - col("cb")) * 2
+            + col("ca") * col("cb")).as("u2"))
+      val r6 = round(col("u2").cast("double")
+        / (col("n_a").cast("double") * col("n_b")) - lit(1.0), 6)
+      pair.select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          r6.as("r_rb"),
+          when(r6 > 0, col("type_a")).when(r6 < 0, col("type_b"))
+            .otherwise(lit("tie")).as("favored"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // YUEN'S TRIMMED-MEAN t-TEST (Yuen 1974) — the robust two-sample
+    // location test an experiment platform runs when heavy tails make
+    // even the rank tests' "stochastic dominance" answer the wrong
+    // question: compare 10%-trimmed means with winsorized variances.
+    // ENTIRELY on the value-domain machine — no per-event trimming
+    // pass: from the densified cum frame, each (type, value) row's KEPT
+    // multiplicity inside rank window [g+1, n−g] is
+    // max(0, min(cum, n−g) − max(cum−cnt, g)) (exact integers), the
+    // winsorization boundaries are the rank-(g+1) and rank-(n−g) values
+    // (min value with cum ≥ rank), and the winsorized moments add
+    // g·boundary terms to the trimmed DECIMAL sums — so Σw and Σw² are
+    // exact lattice sums and Yuen's t / Welch–Satterthwaite df are one
+    // IEEE tree over them. g = ⌊n/10⌋ per group, h = n − 2g.
+    "agg_yuen_trimmed_ttest" -> ((s, dir) => {
+      val cum = denseTypeValueCum(s, dir)
+      val tot = cum.groupBy("event_type").agg(sum("cnt").as("n"))
+      val g = expr("n div 10")
+      // widths chosen so every product stays within DECIMAL(38) EXACTLY
+      // in both engines: v(12,6)·v(12,6)→(25,12), ·kept(12,0)→(38,12)
+      val v6 = col("value").cast("decimal(12,6)")
+      val kept = (greatest(lit(0L),
+        least(col("cum"), col("n") - g)
+          - greatest(col("cum") - col("cnt"), g))).cast("decimal(12,0)")
+      val gDec = expr("n div 10").cast("decimal(10,0)")
+      val st = cum.join(broadcast(tot), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+          sum(v6 * kept).as("tsum"),
+          sum(v6 * v6 * kept).as("tss"),
+          min(when(col("cum") >= g + 1, v6)).as("v_lo"),
+          min(when(col("cum") >= col("n") - g, v6)).as("v_hi"))
+        .select(col("event_type"), col("n"),
+          (col("n") - expr("n div 10") * 2).as("h"),
+          (col("tsum") + gDec * (col("v_lo") + col("v_hi")))
+            .cast("double").as("wsum"),
+          (col("tss") + gDec
+            * (col("v_lo") * col("v_lo") + col("v_hi") * col("v_hi")))
+            .cast("double").as("wss"),
+          col("tsum").cast("double").as("tsum"))
+      def side(sfx: String) = st.select(
+        col("event_type").as(s"type_$sfx"), col("n").as(s"n$sfx"),
+        col("h").as(s"h$sfx"),
+        col("wsum").as(s"wsum$sfx"), col("wss").as(s"wss$sfx"),
+        col("tsum").as(s"tsum$sfx"))
+      val nA = col("na").cast("double"); val nB = col("nb").cast("double")
+      val hA = col("ha").cast("double"); val hB = col("hb").cast("double")
+      val swA = (col("wssa") - col("wsuma") * col("wsuma") / nA) / (nA - 1.0)
+      val swB = (col("wssb") - col("wsumb") * col("wsumb") / nB) / (nB - 1.0)
+      val dA = swA * (nA - 1.0) / (hA * (hA - 1.0))
+      val dB = swB * (nB - 1.0) / (hB * (hB - 1.0))
+      val tmA = col("tsuma") / hA
+      val tmB = col("tsumb") / hB
+      val cc = dA / (dA + dB)
+      val dfY = lit(1.0) / (cc * cc / (hA - 1.0)
+        + (lit(1.0) - cc) * (lit(1.0) - cc) / (hB - 1.0))
+      side("a").join(side("b"),
+          col("type_a") < col("type_b"), "inner")
+        .select(col("type_a"), col("type_b"),
+          col("ha").as("h_a"), col("hb").as("h_b"),
+          round(tmA, 6).as("trimmed_mean_a"),
+          round(tmB, 6).as("trimmed_mean_b"),
+          round((tmA - tmB) / sqrt(dA + dB), 6).as("t_yuen"),
+          round(dfY, 6).as("df"))
+        .orderBy("type_a", "type_b")
+    }),
+
     "agg_mann_whitney" -> ((s, dir) => {
       val cum = denseTypeValueCum(s, dir)
       val a = cum.select(col("event_type").as("type_a"), col("value"),
@@ -2165,6 +2302,92 @@ object AnalyticsExt {
          | t_lower, t_upper,
          | (t_lower > 1.645 AND t_upper < -1.645) AS is_equivalent
          |FROM tt ORDER BY type_a, type_b""".stripMargin,
+    "agg_rank_biserial" ->
+      """WITH vc AS (SELECT event_type, value, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | vals AS (SELECT DISTINCT value FROM vc),
+        | types AS (SELECT DISTINCT event_type FROM vc),
+        | dense AS (SELECT t.event_type, v.value, COALESCE(cnt, 0) AS cnt
+        |  FROM vals v CROSS JOIN types t
+        |  LEFT JOIN vc ON vc.event_type = t.event_type AND vc.value = v.value),
+        | cum AS (SELECT event_type, value, cnt,
+        |   sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dense),
+        | pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |   sum(a.cnt) AS n_a, sum(b.cnt) AS n_b,
+        |   sum(a.cnt * (b.cum - b.cnt) * 2 + a.cnt * b.cnt) AS u2
+        |  FROM cum a JOIN cum b ON a.value = b.value
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        | r AS (SELECT type_a, type_b,
+        |   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |   round(CAST(u2 AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+        |     - 1.0, 6) AS r_rb
+        |  FROM pair)
+        |SELECT type_a, type_b, n_a, n_b, r_rb,
+        | CASE WHEN r_rb > 0 THEN type_a WHEN r_rb < 0 THEN type_b
+        |   ELSE 'tie' END AS favored
+        |FROM r ORDER BY type_a, type_b""".stripMargin,
+    "agg_yuen_trimmed_ttest" ->
+      """WITH vc AS (SELECT event_type, value, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | vals AS (SELECT DISTINCT value FROM vc),
+        | types AS (SELECT DISTINCT event_type FROM vc),
+        | dense AS (SELECT t.event_type, v.value, COALESCE(cnt, 0) AS cnt
+        |  FROM vals v CROSS JOIN types t
+        |  LEFT JOIN vc ON vc.event_type = t.event_type AND vc.value = v.value),
+        | cum AS (SELECT event_type, value, cnt,
+        |   sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dense),
+        | tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM vc GROUP BY 1),
+        | k AS (SELECT c.event_type, c.value, c.cnt, c.cum, t.n,
+        |   t.n // 10 AS g FROM cum c JOIN tot t USING (event_type)),
+        | st0 AS (SELECT event_type, n, g,
+        |   sum(CAST(value AS DECIMAL(19,6)) * CAST(greatest(0,
+        |     least(cum, n - g) - greatest(cum - cnt, g)) AS DECIMAL(12,0)))
+        |     AS tsum,
+        |   sum(CAST(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(12,6))
+        |       AS DECIMAL(26,12))
+        |     * CAST(greatest(0, least(cum, n - g) - greatest(cum - cnt, g))
+        |       AS DECIMAL(12,0))) AS tss,
+        |   min(CASE WHEN cum >= g + 1
+        |     THEN CAST(value AS DECIMAL(12,6)) END) AS v_lo,
+        |   min(CASE WHEN cum >= n - g
+        |     THEN CAST(value AS DECIMAL(12,6)) END) AS v_hi
+        |  FROM k GROUP BY 1, 2, 3),
+        | st AS (SELECT event_type, n, n - 2 * g AS h,
+        |   CAST(tsum + CAST(g AS DECIMAL(19,0)) * (v_lo + v_hi)
+        |     AS DOUBLE) AS wsum,
+        |   CAST(tss + CAST(g AS DECIMAL(10,0))
+        |     * CAST(CAST(v_lo AS DECIMAL(19,6)) * v_lo
+        |         + CAST(v_hi AS DECIMAL(19,6)) * v_hi AS DECIMAL(28,12))
+        |     AS DOUBLE) AS wss,
+        |   CAST(tsum AS DOUBLE) AS tsum
+        |  FROM st0),
+        | p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |   CAST(a.h AS BIGINT) AS h_a, CAST(b.h AS BIGINT) AS h_b,
+        |   CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb,
+        |   CAST(a.h AS DOUBLE) AS ha, CAST(b.h AS DOUBLE) AS hb,
+        |   a.wsum AS wsuma, a.wss AS wssa, a.tsum AS tsuma,
+        |   b.wsum AS wsumb, b.wss AS wssb, b.tsum AS tsumb
+        |  FROM st a JOIN st b ON a.event_type < b.event_type),
+        | q AS (SELECT *,
+        |   swa * (na - 1.0) / (ha * (ha - 1.0)) AS da,
+        |   swb * (nb - 1.0) / (hb * (hb - 1.0)) AS db
+        |  FROM (SELECT *,
+        |    (wssa - wsuma * wsuma / na) / (na - 1.0) AS swa,
+        |    (wssb - wsumb * wsumb / nb) / (nb - 1.0) AS swb FROM p))
+        |SELECT type_a, type_b, h_a, h_b,
+        | round(tsuma / ha, 6) AS trimmed_mean_a,
+        | round(tsumb / hb, 6) AS trimmed_mean_b,
+        | round((tsuma / ha - tsumb / hb) / sqrt(da + db), 6) AS t_yuen,
+        | round(1.0 / ((da / (da + db)) * (da / (da + db)) / (ha - 1.0)
+        |   + (1.0 - da / (da + db)) * (1.0 - da / (da + db)) / (hb - 1.0)),
+        |   6) AS df
+        |FROM q ORDER BY type_a, type_b""".stripMargin,
     "agg_mann_whitney" ->
       """WITH vc AS (SELECT event_type, value, count(*) AS cnt
         |  FROM events GROUP BY 1, 2),
@@ -2634,6 +2857,30 @@ object AnalyticsExt {
         | CAST(n_pairs AS BIGINT) AS n_pairs,
         | round(m_slope, 9) AS slope, round(m_icpt, 6) AS intercept
         |FROM icpt""".stripMargin,
+    "ts_lead_lag_corr" ->
+      """WITH hourly AS (SELECT event_type,
+        |   CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |     // 3600000000 AS hi,
+        |   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        | x AS (SELECT hi, v AS x FROM hourly WHERE event_type = 'click'),
+        | y AS (SELECT hi AS hiy, v AS y FROM hourly
+        |  WHERE event_type = 'purchase'),
+        | lags AS (SELECT CAST(unnest(generate_series(0, 6)) AS INT) AS lag),
+        | m AS (SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |   CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |   CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |   CAST(sum(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM x CROSS JOIN lags JOIN y ON hiy = hi + lag GROUP BY 1)
+        |SELECT lag, CAST(n AS BIGINT) AS n_hours,
+        | CASE WHEN (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0
+        |   THEN round((n * sxy - sx * sy)
+        |     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |   END AS xcorr
+        |FROM m ORDER BY lag""".stripMargin,
     "ts_seasonal_strength" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,

@@ -355,6 +355,61 @@ object RelationalExt {
         .orderBy("doc_id")
     }),
 
+    // NEYMAN-ALLOCATION STRATIFIED SAMPLE (Neyman 1934) — the
+    // variance-optimal refinement of the exact-quota sample: a fixed
+    // total budget n is split across strata ∝ N_h·S_h (big AND noisy
+    // strata get more seats), the allocation survey statisticians
+    // actually use when strata differ in spread. Determinism end to
+    // end: S_h from exact integer moment sums (n_chars is a long);
+    // N_h·S_h snapped to the 1e-6 lattice (the ln-snap rule — sqrt is
+    // correctly rounded but the cross-strata TOTAL must not depend on
+    // engine addition order, so the addends are lattice decimals);
+    // seats = ⌊share⌋ + largest-remainder top-up (Hamilton rounding —
+    // exact integer arithmetic over identical doubles); membership =
+    // salted-md5 rank ≤ seats (the quota key's two-phase window, so a
+    // stratum never serializes into one task). The |langs|-row
+    // allocation frame is the only unpartitioned window input.
+    "sample_stratified_neyman" -> ((s, dir) => {
+      val budget = 200
+      val docs = t(s, dir, "documents")
+      val st = docs.groupBy("lang").agg(
+        count(lit(1)).as("n_h"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+        sum(col("n_chars").cast("decimal(38,0)") * col("n_chars")).as("sxx"))
+      val nD = col("n_h").cast("double")
+      val sdev = sqrt((col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double") / nD)
+        / (nD - lit(1.0)))
+      val w0 = st.select(col("lang"), col("n_h"),
+        round(nD * sdev, 6).as("ns6"))
+      val tot = w0.agg(
+        sum(col("ns6").cast("decimal(28,6)")).cast("double").as("t_ns"))
+      val share = col("ns6") * lit(budget.toDouble) / col("t_ns")
+      val q = w0.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_h"), floor(share).as("q"),
+          (share - floor(share)).as("frac"))
+      val totQ = q.agg(sum("q").as("q_sum"))
+      val wR = Window.orderBy(col("frac").desc, col("lang"))
+      val alloc = q.crossJoin(broadcast(totQ))
+        .withColumn("rk_frac", row_number().over(wR))
+        .select(col("lang"),
+          (col("q") + when(col("rk_frac") <= lit(budget.toLong) - col("q_sum"),
+            1L).otherwise(0L)).as("n_alloc"))
+      val h = md5(concat(lit("ney42:"), col("doc_id")))
+      val base = docs
+        .select(col("doc_id"), col("lang"), h.as("sk"),
+          (conv(substring(h, 9, 2), 16, 10).cast("int") % 32).as("bkt"))
+        .join(broadcast(alloc), "lang")
+      val w1 = Window.partitionBy("lang", "bkt").orderBy(col("sk"), col("doc_id"))
+      val w2 = Window.partitionBy("lang").orderBy(col("sk"), col("doc_id"))
+      base.withColumn("r1", row_number().over(w1))
+        .filter(col("r1") <= col("n_alloc"))
+        .withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= col("n_alloc"))
+        .select(col("doc_id"), col("lang"), col("rk"), col("n_alloc"))
+        .orderBy("doc_id")
+    }),
+
     // Exact stratified split: rank within each language stratum by
     // md5(salt || key) and fold round-robin — every stratum splits 80/20
     // exactly (±1 doc), where the hash-threshold fold only hits the ratio
@@ -1693,6 +1748,35 @@ object RelationalExt {
         |  FROM documents)
         |SELECT doc_id, lang, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+    "sample_stratified_neyman" ->
+      """WITH st AS (SELECT lang, count(*) AS n_h,
+        |   sum(CAST(n_chars AS HUGEINT)) AS sx,
+        |   sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+        |  FROM documents GROUP BY 1),
+        | w0 AS (SELECT lang, n_h,
+        |   round(CAST(n_h AS DOUBLE) * sqrt((CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_h AS DOUBLE))
+        |     / (CAST(n_h AS DOUBLE) - 1.0)), 6) AS ns6
+        |  FROM st),
+        | tot AS (SELECT CAST(sum(CAST(ns6 AS DECIMAL(28,6))) AS DOUBLE)
+        |     AS t_ns FROM w0),
+        | q AS (SELECT lang, n_h,
+        |   CAST(floor(ns6 * 200.0 / t_ns) AS BIGINT) AS q,
+        |   ns6 * 200.0 / t_ns - floor(ns6 * 200.0 / t_ns) AS frac
+        |  FROM w0 CROSS JOIN tot),
+        | tq AS (SELECT CAST(sum(q) AS BIGINT) AS q_sum FROM q),
+        | alloc AS (SELECT lang,
+        |   q + CASE WHEN row_number() OVER (ORDER BY frac DESC, lang)
+        |     <= 200 - q_sum THEN 1 ELSE 0 END AS n_alloc
+        |  FROM q CROSS JOIN tq),
+        | r AS (SELECT d.doc_id, d.lang, a.n_alloc,
+        |   row_number() OVER (PARTITION BY d.lang
+        |     ORDER BY md5('ney42:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+        |     AS rk
+        |  FROM documents d JOIN alloc a USING (lang))
+        |SELECT doc_id, lang, CAST(rk AS INT) AS rk,
+        | CAST(n_alloc AS BIGINT) AS n_alloc
+        |FROM r WHERE rk <= n_alloc ORDER BY doc_id""".stripMargin,
     "train_test_split_stratified" ->
       """SELECT doc_id, lang,
         | CASE WHEN (row_number() OVER (PARTITION BY lang

@@ -259,6 +259,32 @@ object TextOps {
         .orderBy(col("cnt").desc, col("word"))
         .limit(20)),
 
+    // T5/UL2-STYLE SPAN-CORRUPTION PLAN (Raffel et al. 2020): decide,
+    // deterministically, WHICH tokens a denoising objective masks —
+    // per-position salted-md5 coin at ~15% (first hex byte < 0x26 =
+    // 38/256), spans = maximal masked runs. The plan (not the masking
+    // itself) is the data-pipeline artifact: it must be reproducible
+    // across epochs/engines, which the hash coin gives for free. Shape:
+    // pure per-doc projection — zero shuffles before the presentation
+    // sort; per-doc arrays bound the HOF work to the document length.
+    // Run starts are counted with p=0 guarded BEFORE flags[p-1] is
+    // touched (ANSI mode errors on negative array indices).
+    "pipeline_span_corruption" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("flags", expr(
+          "transform(sequence(0, n_tokens - 1), p -> " +
+            "substring(md5(concat('span42:', CAST(doc_id AS STRING), " +
+            "':', CAST(p AS STRING))), 1, 2) < '26')"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("size(filter(flags, x -> x))").as("n_masked"),
+          expr("aggregate(sequence(0, n_tokens - 1), 0, (acc, p) -> " +
+            "acc + IF(CASE WHEN p = 0 THEN flags[0] " +
+            "ELSE flags[p] AND NOT flags[p - 1] END, 1, 0))").as("n_spans"))
+        .withColumn("mask_rate",
+          round(col("n_masked").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")),
+
     // Bigram frequency: same explode→two-phase-agg shape as wordcount;
     // bigrams come from the tight shingle UDF pattern (n=2).
     "text_ngram_freq" -> ((s, dir) =>
@@ -1083,6 +1109,23 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "pipeline_span_corruption" ->
+      """WITH t AS (SELECT doc_id,
+        |   len(string_split(text, ' ')) AS n_tokens FROM documents),
+        | f AS (SELECT doc_id, n_tokens,
+        |   list_transform(range(n_tokens), p ->
+        |     substr(md5('span42:' || CAST(doc_id AS VARCHAR) || ':'
+        |       || CAST(p AS VARCHAR)), 1, 2) < '26') AS flags
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        | CAST(len(list_filter(flags, x -> x)) AS INT) AS n_masked,
+        | CAST(coalesce(list_sum(list_transform(range(n_tokens), p ->
+        |   CASE WHEN CASE WHEN p = 0 THEN flags[1]
+        |     ELSE flags[p + 1] AND NOT flags[p] END
+        |   THEN 1 ELSE 0 END)), 0) AS INT) AS n_spans,
+        | round(CAST(len(list_filter(flags, x -> x)) AS DOUBLE)
+        |   / n_tokens, 6) AS mask_rate
+        |FROM f ORDER BY doc_id""".stripMargin,
     "pipeline_bpe_merges" ->
       ("WITH " + bpeCtes(5) + "\n" +
         (1 to 5).map(k =>
