@@ -91,6 +91,40 @@ object GraphOps {
     out
   }
 
+  /** SYNCHRONOUS LABEL PROPAGATION (Raghavan–Albert–Kumara 2007) with a
+    * fully deterministic tie rule — the community detector that needs no
+    * parameter except the round count, used to group near-dup
+    * neighborhoods into boilerplate families one notch coarser than
+    * connected components' "any path" rule. Every node starts as its own
+    * label; each round every node adopts its neighbors' PLURALITY label
+    * (most frequent; ties broken toward the SMALLEST label — classic LPA
+    * breaks ties randomly, which can never be hash-verified). Labels are
+    * doc-id longs, counts exact, the argmax is `max(struct(c, −lbl))` —
+    * one equi-join + two hash aggs per round, bit-identical across
+    * engines/partitionings (the pageRank determinism contract), and the
+    * oracle replays the identical recurrence as unrolled CTEs. Fixed K
+    * keeps lineage shallow; the result localCheckpoints so the cached
+    * edge frames can be freed (the pageRank block-hygiene pattern). */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one LPA round")
+    val (e, deg, n) = edgeFrames(pairs)
+    require(n > 0, "label propagation needs a non-empty edge set")
+    var lbl = deg.select(col("u").as("node"), col("u").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val nbr = e.join(lbl.withColumnRenamed("node", "vn"),
+          e("v") === col("vn"))
+        .groupBy(e("u").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      lbl = nbr.groupBy("node")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+    }
+    val out = lbl.localCheckpoint()
+    e.unpersist()
+    deg.unpersist()
+    out
+  }
+
   /** Rounds the last [[pageRankConverged]] call actually ran — test-only
     * observability, same pattern as [[DedupOps.lastCcRegime]]. */
   private[graft] val lastPrRounds = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -436,6 +470,16 @@ object GraphOps {
         .orderBy("lang")
     }),
 
+    // 4-round deterministic label propagation over the near-dup graph —
+    // community readout: (community label, member count, smallest member).
+    // Bit-exact vs the oracle's unrolled-CTE replay of the identical
+    // plurality/min-label recurrence.
+    "graph_label_propagation" -> ((s, dir) =>
+      labelPropagation(nearDupPairs(s, dir), rounds = 4)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), min("node").as("min_doc"))
+        .orderBy("community")),
+
     // Fixed-3-round PageRank over the near-dup graph: bit-exact vs the
     // DuckDB oracle because the whole recurrence is integer arithmetic —
     // the oracle unrolls the same three rounds as chained CTEs with `//`
@@ -567,6 +611,16 @@ object GraphOps {
        |     (150000000000 // cnt) + (85 * coalesce(i$k.s, 0)) // 100 AS pr
        |   FROM deg CROSS JOIN nn LEFT JOIN i$k ON deg.u = i$k.node)""".stripMargin
 
+  /** One unrolled LPA oracle round: plurality label with the min-label
+    * tie rule — (c DESC, lbl ASC) rank 1 ≡ the engine's
+    * `max(struct(c, −lbl))` pick. */
+  private def lpaRound(k: Int): String =
+    s""" r$k AS (SELECT e.u AS node, l${k - 1}.lbl, count(*) AS c
+       |   FROM e JOIN l${k - 1} ON e.v = l${k - 1}.node GROUP BY 1, 2),
+       | l$k AS (SELECT node, lbl FROM (SELECT node, lbl,
+       |     row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+       |   FROM r$k) WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "graph_modularity_lang" -> (GraphCtes + ",\n" +
       """ lp AS (SELECT pj.d1, pj.d2, da.lang AS l1, db.lang AS l2
@@ -599,6 +653,13 @@ object GraphOps {
         |   FROM deg CROSS JOIN nn),""".stripMargin + "\n" +
       (1 to 3).map(oracleRound).mkString(",\n") + "\n" +
       """SELECT node AS doc_id, pr FROM p3 ORDER BY pr DESC, doc_id""".stripMargin),
+
+    "graph_label_propagation" -> (GraphCtes +
+      ",\n l0 AS (SELECT u AS node, u AS lbl FROM deg),\n" +
+      (1 to 4).map(lpaRound).mkString(",\n") + "\n" +
+      """SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+        | min(node) AS min_doc
+        |FROM l4 GROUP BY 1 ORDER BY community""".stripMargin),
 
     // Each triangle {a<b<c} appears exactly once: (a,b),(b,c),(a,c) are
     // all in the d1<d2-normalized pair list pj.

@@ -259,6 +259,40 @@ class GraphSpec extends SparkSpec {
     assert(GraphOps.commonNeighbors(bigStar, 1).count() == 0)
   }
 
+  /** Driver-side replay of the synchronous plurality/min-label LPA
+    * recurrence — the oracle for [[GraphOps.labelPropagation]] on
+    * arbitrary graphs. */
+  private def refLpa(pairs: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nbrs = sym.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keys.map(k => k -> k).toMap
+    for (_ <- 1 to rounds) {
+      val prev = lbl
+      lbl = nbrs.map { case (v, ns) =>
+        val cnt = ns.groupBy(prev).map { case (l, xs) => l -> xs.size }
+        v -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation matches the driver-side synchronous replay") {
+    val pairs = testPairs.toDF("d1", "d2")
+    for (k <- Seq(1, 4)) {
+      val got = GraphOps.labelPropagation(pairs, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refLpa(testPairs, k), s"rounds=$k")
+    }
+    // two disjoint triangles converge to two communities labeled by
+    // their smallest members
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("d1", "d2")
+    val comm = GraphOps.labelPropagation(tri, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comm.filterKeys(_ < 10L).values.toSet.size == 1)
+    assert(comm.filterKeys(_ >= 10L).values.toSet.size == 1)
+  }
+
   test("adamicAdar: 1/ln(deg) snap-and-accumulate scored on a synthetic fixture") {
     // Non-vacuous exercise of the weighted path (graph_adamic_adar's
     // cross-engine row at test sf is 0 rows, so the arithmetic is only
