@@ -101,6 +101,41 @@ object MultimodalOps {
       MediaPipeline.extractFeatures(s, media).orderBy("doc_id")
     }),
 
+    // BLUR / LOW-TEXTURE SCREEN — the 1-D analog of the Laplacian-
+    // variance blur detector every image-curation pipeline runs before
+    // training (flat gradients = blurry/synthetic/padding assets): per
+    // payload, the population variance of adjacent-byte deltas,
+    // computed as exact integer moments (n, Σd, Σd²) in one
+    // mapPartitions pass at the codec boundary (in production the
+    // decode stub yields pixel rows; here the byte twin of the ASCII
+    // text — the MediaPipeline convention). One IEEE expression per
+    // asset afterwards; the verdict column reads the ROUNDED variance
+    // so the threshold can't flake. Embarrassingly parallel, zero
+    // shuffles before the presentation sort.
+    "multimodal_blur_screen" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+        .as[(Long, Array[Byte])]
+      val mom = media.mapPartitions { it =>
+        it.map { case (id, b) =>
+          var i = 0; var n = 0L; var sd = 0L; var sdd = 0L
+          while (i + 1 < b.length) {
+            val d = (b(i + 1) - b(i)).toLong
+            n += 1; sd += d; sdd += d * d; i += 1
+          }
+          (id, n, sd, sdd)
+        }
+      }.toDF("doc_id", "n_deltas", "sum_d", "sum_d2")
+      val v6 = round((col("sum_d2").cast("double")
+        - col("sum_d").cast("double") * col("sum_d") / col("n_deltas"))
+        / col("n_deltas"), 6)
+      mom.select(col("doc_id"), col("n_deltas"),
+          when(col("n_deltas") > 0, v6).as("delta_variance"),
+          when(col("n_deltas") > 0, v6 < lit(200.0)).as("is_low_texture"))
+        .orderBy("doc_id")
+    }),
+
     // Batched model scoring over the embedding column (GPU-inference
     // plumbing with a deterministic stub model — see batchScore).
     "multimodal_batch_score" -> ((s, dir) =>
@@ -322,6 +357,25 @@ object MultimodalOps {
          | ${cnt("i", "cnt_i")}, ${cnt("o", "cnt_o")}, ${cnt("u", "cnt_u")}
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "multimodal_blur_screen" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        | dd AS (SELECT doc_id, CAST(L - 1 AS BIGINT) AS n_deltas,
+        |   CAST(coalesce(list_sum(list_transform(range(1, L), i ->
+        |     ascii(substr(text, i + 1, 1)) - ascii(substr(text, i, 1)))),
+        |     0) AS BIGINT) AS sum_d,
+        |   CAST(coalesce(list_sum(list_transform(range(1, L), i ->
+        |     (ascii(substr(text, i + 1, 1)) - ascii(substr(text, i, 1)))
+        |     * (ascii(substr(text, i + 1, 1)) - ascii(substr(text, i, 1))))),
+        |     0) AS BIGINT) AS sum_d2
+        |  FROM d),
+        | v AS (SELECT doc_id, n_deltas,
+        |   round((CAST(sum_d2 AS DOUBLE)
+        |     - CAST(sum_d AS DOUBLE) * sum_d / n_deltas) / n_deltas, 6) AS v6
+        |  FROM dd)
+        |SELECT doc_id, n_deltas,
+        | CASE WHEN n_deltas > 0 THEN v6 END AS delta_variance,
+        | CASE WHEN n_deltas > 0 THEN v6 < 200.0 END AS is_low_texture
+        |FROM v ORDER BY doc_id""".stripMargin,
     "multimodal_batch_score" -> {
       // Literal weight list (same doubles the stub model computes);
       // list_dot_product accumulates sequentially — bit-identical to the

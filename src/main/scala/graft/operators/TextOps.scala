@@ -1019,6 +1019,34 @@ object TextOps {
         .agg(count(lit(1)).as("n_words"),
           sum(ceil(length(col("w")) / lit(4.0)).cast("long")).as("n_bpe_pieces"))
         .orderBy("doc_id")),
+
+    // TOKENIZER FERTILITY per language — the first table a tokenizer
+    // review shows: pieces/word (fertility) and chars/piece by lang,
+    // the numbers that reveal a vocabulary under-serving a script
+    // (fertility 2× on one language = that language pays 2× the
+    // sequence length per word). Uses the same length/4 BPE-ish piece
+    // rule as text_token_count so the two keys reconcile. Shape:
+    // explode → per-(lang, doc) partial agg → per-lang agg, both
+    // map-side combinable; exact integer sums, two terminal divisions.
+    "pipeline_tokenizer_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(ceil(length(col("w")) / lit(4.0)).cast("long")).as("n_pieces"),
+          sum(length(col("w")).cast("long")).as("n_word_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_pieces").as("n_pieces"),
+          sum("n_word_chars").as("n_word_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("n_word_chars").cast("double") / col("n_pieces"), 6)
+            .as("chars_per_piece"))
+        .orderBy("lang")),
   )
 
   /** Document-frequency ceiling for contamination shingles. A shingle in
@@ -1109,6 +1137,20 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "pipeline_tokenizer_fertility" ->
+      """WITH w AS (SELECT lang, doc_id,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | pd AS (SELECT lang, doc_id, count(*) AS n_words,
+        |   sum(CAST(ceil(len(w) / 4.0) AS BIGINT)) AS n_pieces,
+        |   sum(CAST(len(w) AS BIGINT)) AS n_word_chars
+        |  FROM w GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_words) AS BIGINT) AS n_words,
+        | CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+        | round(CAST(sum(n_pieces) AS DOUBLE) / sum(n_words), 6) AS fertility,
+        | round(CAST(sum(n_word_chars) AS DOUBLE) / sum(n_pieces), 6)
+        |   AS chars_per_piece
+        |FROM pd GROUP BY 1 ORDER BY lang""".stripMargin,
     "pipeline_span_corruption" ->
       """WITH t AS (SELECT doc_id,
         |   len(string_split(text, ' ')) AS n_tokens FROM documents),
