@@ -735,6 +735,49 @@ object AnalyticsExt {
     // bit-identical even when the trend goes negative. Per-key bounded
     // collect + one exchange, same contract as ts_ewma; the streaming
     // form would carry the same 2-long state in transformWithState.
+    // HOLT–WINTERS ADDITIVE (triple exponential smoothing, period 24 h)
+    // — ts_holt's seasonal completion: level + trend + a 24-slot
+    // hour-of-day seasonal table, the classic ops-forecasting
+    // recurrence. Same integer-lattice discipline as ts_holt /
+    // ts_ewma: hourly totals in exact micro-units, smoothing weights
+    // α=β=γ=1/2 as integer `div 2` (truncation toward zero — DuckDB's
+    // `//` matches Spark's `div` on negatives, and seasonal deltas DO
+    // go negative), so the whole recurrence is bit-exact cross-engine
+    // and the oracle replays it as a recursive CTE carrying the
+    // seasonal LIST. Shape: one corpus hash agg → the bounded calendar
+    // grid (≤720 rows/month), then a sequential fold over that grid
+    // inside one executor task (inherent to exponential smoothing; the
+    // corpus is never the fold input). Released: the 24 seasonal
+    // offsets + final level/trend.
+    "ts_holt_winters" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+          .cast("long")).as("vi"))
+        .select(col("h"), hour(col("h")).as("hr"), col("vi"))
+      hourly
+        .agg(count(lit(1)).as("n_hours"),
+          sort_array(collect_list(struct(col("h"), col("hr"), col("vi"))))
+            .as("evs"))
+        .withColumn("st", expr(
+          "aggregate(slice(evs, 2, size(evs)), " +
+            "named_struct('l', evs[0].vi, 'b', CAST(0 AS BIGINT), " +
+            "'s', array_repeat(CAST(0 AS BIGINT), 24)), " +
+            "(acc, e) -> named_struct(" +
+            "'l', (e.vi - acc.s[e.hr] + acc.l + acc.b) div 2, " +
+            "'b', (((e.vi - acc.s[e.hr] + acc.l + acc.b) div 2) " +
+            "- acc.l + acc.b) div 2, " +
+            "'s', transform(acc.s, (x, j) -> IF(j = e.hr, " +
+            "(e.vi - ((e.vi - acc.s[e.hr] + acc.l + acc.b) div 2) + x) " +
+            "div 2, x))))"))
+        .select(col("n_hours"), col("st.l").as("level_micro"),
+          col("st.b").as("trend_micro"),
+          posexplode(col("st.s")).as(Seq("hr", "seasonal_micro")))
+        .select(col("hr"), col("seasonal_micro"), col("level_micro"),
+          col("trend_micro"), col("n_hours"))
+        .orderBy("hr")
+    }),
+
     "ts_holt" -> ((s, dir) =>
       events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
@@ -1005,6 +1048,43 @@ object AnalyticsExt {
         (col("ssw") / (col("nt") - col("k")))
       ss.select(col("k").as("n_groups"), col("nt").cast("long").as("n_total"),
         round(f, 6).as("w_stat"))
+    }),
+
+    // MOOD'S MEDIAN TEST (round 11) — the bluntest k-group location
+    // test: classify every event as above/≤ the GRAND median, then a
+    // χ² on the k×2 contingency. Completes the nonparametric ladder
+    // (pairwise Mann–Whitney → omnibus Kruskal–Wallis → this, the one
+    // that survives arbitrary monotone transforms and gross outliers).
+    // Exactness: the grand median is the exact percentile ↔
+    // quantile_cont pairing; above/below are exact longs from one
+    // corpus agg; each cell term is one IEEE tree over exact integers
+    // and the cross-type sum rides the DECIMAL(28,12) lattice (the
+    // agg_chisq_independence rule).
+    "agg_mood_median_test" -> ((s, dir) => {
+      val dec = "decimal(28,12)"
+      val med = events(s, dir)
+        .agg(percentile(col("value"), lit(0.5)).as("gm"))
+      val o = events(s, dir).crossJoin(broadcast(med))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > col("gm"), 1L).otherwise(0L)).as("above"),
+          first(col("gm")).as("gm"))
+      val tot = o.agg(sum("n").as("nt"), sum("above").as("at"))
+      val nD = col("n").cast("double")
+      val ea = nD * col("at") / col("nt")
+      val eb = nD * (col("nt") - col("at")) / col("nt")
+      val below = col("n") - col("above")
+      val contrib = ((col("above") - ea) * (col("above") - ea) / ea
+        + (below - eb) * (below - eb) / eb)
+      o.crossJoin(broadcast(tot))
+        .groupBy("nt", "at")
+        .agg(count(lit(1)).as("n_groups"),
+          round(first(col("gm")), 6).as("grand_median"),
+          sum(contrib.cast(dec)).cast("double").as("chi2"))
+        .select(col("n_groups"), col("nt").cast("long").as("n_total"),
+          col("at").cast("long").as("n_above"), col("grand_median"),
+          round(col("chi2"), 6).as("chi2"),
+          (col("n_groups") - 1).as("df"))
     }),
 
     // χ² TEST OF INDEPENDENCE (round 10) — event_type × day-of-week
@@ -2046,6 +2126,34 @@ object AnalyticsExt {
     // field — probed empirically ((acc,x) -> {l: acc.l+x.l, b: acc.l}
     // yields b = the NEW l). Scalar recursion has no such hazard and `//`
     // truncates toward zero exactly like Spark's `div`.
+    "ts_holt_winters" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+        |     AS BIGINT) AS vi
+        |  FROM events GROUP BY 1),
+        | o AS (SELECT h, CAST(hour(h) AS INT) AS hr, vi,
+        |   row_number() OVER (ORDER BY h) AS rn FROM hourly),
+        | nn AS (SELECT count(*) AS n_hours FROM o),
+        | r AS (
+        |  SELECT rn, vi AS l, CAST(0 AS BIGINT) AS b,
+        |   list_transform(range(24), j -> CAST(0 AS BIGINT)) AS s
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn,
+        |   (o.vi - r.s[o.hr + 1] + r.l + r.b) // 2,
+        |   (((o.vi - r.s[o.hr + 1] + r.l + r.b) // 2) - r.l + r.b) // 2,
+        |   list_transform(range(24), j -> CASE WHEN j = o.hr
+        |     THEN (o.vi - ((o.vi - r.s[o.hr + 1] + r.l + r.b) // 2)
+        |       + r.s[o.hr + 1]) // 2
+        |     ELSE r.s[j + 1] END)
+        |  FROM r JOIN o ON o.rn = r.rn + 1),
+        | last AS (SELECT * FROM r ORDER BY rn DESC LIMIT 1)
+        |SELECT CAST(j AS INT) AS hr, s[j + 1] AS seasonal_micro,
+        | l AS level_micro, b AS trend_micro,
+        | (SELECT CAST(n_hours AS BIGINT) FROM nn) AS n_hours
+        |FROM last, (SELECT unnest(range(24)) AS j) g
+        |ORDER BY hr""".stripMargin,
     "ts_holt" ->
       """WITH RECURSIVE e AS (SELECT user_id, event_type,
         |   CAST(ts AS TIMESTAMP) AS ts2, event_id,
@@ -2214,6 +2322,27 @@ object AnalyticsExt {
         |SELECT CAST(k AS BIGINT) AS n_groups, CAST(nt AS BIGINT) AS n_total,
         | round((ssb / (k - 1.0)) / (ssw / (nt - k)), 6) AS w_stat
         |FROM ss""".stripMargin,
+    "agg_mood_median_test" ->
+      """WITH med AS (SELECT quantile_cont(value, 0.5) AS gm FROM events),
+        | o AS (SELECT event_type, count(*) AS n,
+        |   sum(CASE WHEN value > gm THEN 1 ELSE 0 END) AS above,
+        |   max(gm) AS gm
+        |  FROM events CROSS JOIN med GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |   CAST(sum(above) AS BIGINT) AS at FROM o),
+        | c AS (SELECT o.event_type, o.n, o.above, o.gm, tot.nt, tot.at,
+        |   CAST(o.n AS DOUBLE) * tot.at / tot.nt AS ea,
+        |   CAST(o.n AS DOUBLE) * (tot.nt - tot.at) / tot.nt AS eb
+        |  FROM o CROSS JOIN tot)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        | max(nt) AS n_total, max(at) AS n_above,
+        | round(max(gm), 6) AS grand_median,
+        | round(CAST(sum(CAST(
+        |   (above - ea) * (above - ea) / ea
+        |   + ((n - above) - eb) * ((n - above) - eb) / eb
+        |   AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2,
+        | CAST(count(*) - 1 AS BIGINT) AS df
+        |FROM c""".stripMargin,
     "agg_chisq_independence" ->
       """WITH o AS (SELECT event_type,
         |   CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
