@@ -63,7 +63,13 @@ Test / testGrouping := {
         Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
     }
 }
-Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 6)
+// REPLACE (not append to) the default restriction set: sbt ships with
+// Tags.limit(ForkedTestGroup, 1) and limits intersect, so `+=` alone
+// would leave the groups sequential.
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(12),
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.exclusive(Tags.Clean))
 
 // CI-halving aliases kept for low-memory environments ("sbt testHeavy"
 // then "sbt testLight" == "sbt test" sequentially, one JVM at a time).

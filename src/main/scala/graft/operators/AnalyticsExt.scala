@@ -1324,7 +1324,7 @@ object AnalyticsExt {
       val cc = dA / (dA + dB)
       val dfY = lit(1.0) / (cc * cc / (hA - 1.0)
         + (lit(1.0) - cc) * (lit(1.0) - cc) / (hB - 1.0))
-      side("a").join(side("b"),
+      side("a").join(broadcast(side("b")),
           col("type_a") < col("type_b"), "inner")
         .select(col("type_a"), col("type_b"),
           col("ha").as("h_a"), col("hb").as("h_b"),

@@ -131,6 +131,15 @@ class PlanSpec extends SparkSpec {
             "win_percent_cume", // 1-row percentile_approx bucket-bounds cross
                                 // (ScalableWindows two-level row_number)
             "win_rolling_corr", // same 1-row bounds cross (trailing-block machine)
+            "agg_mood_median_test", // 1-row grand-median + 1-row margin
+                                    // totals broadcast crosses
+            "sample_stratified_neyman", // 1-row N*S total + 1-row seat-sum
+                                        // crosses onto the |langs| frame
+            "ts_lead_lag_corr", // bounded 7-row lag frame crossed onto the
+                                // hourly click series
+            "agg_rank_biserial", // the rank-test machine's bounds cross
+            "agg_yuen_trimmed_ttest", // same machine + |types|-row self
+                                      // theta-join of finished aggregates
             "agg_mann_whitney", // |types|-row broadcast cross onto the value domain
             "agg_ks_test", // same |types|-row broadcast cross (shared machine)
             "agg_kruskal_wallis", // 1-row (N, tie-mass) frame crossed onto |types| rows
@@ -169,6 +178,8 @@ class PlanSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
     val allow: Map[String, String] = Map(
       "ts_survival_hazard" -> "<=censorDay(25)-row day grid",
+      "sample_stratified_neyman" ->
+        "largest-remainder seat rank over the |langs|-row allocation frame",
       "ts_backtest_snaive" -> "|calendar hours| rows (time-bounded, ~720/month)",
       "ts_changepoint_cusum" ->
         "cumsum + running-min over the bounded hourly grid (~720/month)",
