@@ -827,6 +827,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("seq-monitor exactness guard fails the query past the 2^53 moment ceiling") {
+    import graft.streaming.StreamingSeqMonitor
+    import graft.streaming.StreamingSeqMonitor.EventIn
+    withRocksDb {
+      // one event whose squared-moment contribution exceeds the
+      // double-exact range: the fold must raise instead of emitting a
+      // double-rounded readout
+      val ms = MemoryStream[EventIn]
+      val q = StreamingSeqMonitor.monitor(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_obf_guard")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        ms.addData(Seq(EventIn("A", 1, 1L,
+          StreamingSeqMonitor.MomentExactCeiling + 1L)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("2^53")), msgs(ex).mkString(" | "))
+    }
+  }
+
   test("streaming EWMA ≡ batch ts_ewma (exact, ordered feed, any chunking)") {
     import graft.streaming.StreamingEwma
     import graft.streaming.StreamingEwma.EventIn
