@@ -913,6 +913,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Holt–Winters ≡ batch ts_holt_winters (exact, ordered feed)") {
+    import graft.streaming.StreamingHoltWinters
+    import graft.streaming.StreamingHoltWinters.HourIn
+    withRocksDb {
+      // the same hourly micro-unit grid the batch key folds (one global
+      // series), fed in hour order across three arrival waves
+      val hourly = Tables.events(spark, sfDir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+          .cast("long")).as("vi"))
+        .select(lit("all").as("series"), unix_micros(col("h")).as("hi"),
+          hour(col("h")).as("hr"), col("vi"))
+        .as[HourIn].collect().toSeq.sortBy(_.hi)
+      val waves = hourly.grouped((hourly.size / 3).max(1)).toSeq
+      val ms = MemoryStream[HourIn]
+      val q = StreamingHoltWinters.holtWinters(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_hw")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      // latest emission = max n_hours (strictly monotone)
+      val fin = spark.table("stream_hw").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getSeq[Long](4)))
+        .maxBy(_._1)
+      val batch = SparkEntry.queries("ts_holt_winters")(spark, sfDir)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(batch.length == 24)
+      batch.foreach { case (hr, seasonal, level, trend, n) =>
+        assert(n == fin._1 && level == fin._2 && trend == fin._3,
+          s"scalars at hr=$hr: batch ($n,$level,$trend) vs stream $fin")
+        assert(fin._4(hr) == seasonal, s"seasonal[$hr]")
+      }
+    }
+  }
+
   test("streaming debounce ≡ batch ts_debounce (exact, ordered feed)") {
     import graft.streaming.StreamingDebounce
     import graft.streaming.StreamingDebounce.EventIn
