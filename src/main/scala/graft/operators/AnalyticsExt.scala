@@ -1465,6 +1465,51 @@ object AnalyticsExt {
     // 1-row moment frame broadcast back, a pure projection, and one
     // |variants|-row agg. The readout: mean unchanged, variance cut —
     // var_reduction_pct is the sensitivity the platform gained.
+    // EMPIRICAL-BAYES RATE SHRINKAGE (round 11) — the per-unit
+    // conversion dashboard every experimentation platform ships: raw
+    // per-user purchase rates are noisy at small n, so each user's MLE
+    // is shrunk toward a Beta prior fit to the population by method of
+    // moments (James–Stein for rates): k = m(1−m)/v − 1, posterior mean
+    // (x + m·k)/(n + k). Determinism machine: per-user rates snap to
+    // the integer 1e-6 lattice ((1e6·x) div n), the prior's mean and
+    // variance are EXACT long sums over those lattice points (squares
+    // of ≤1e6-scale ints — within long up to ~1e6 users, guarded by the
+    // hi/lo release below), and the long→double release uses the 2^32
+    // hi/lo split (the agg_levene_bf rule — DuckDB double-rounds
+    // hugeint→double past 2^53, the split is bit-identical by
+    // construction). The final shrinkage is ONE IEEE expression per
+    // user from identical doubles in identical op order, released
+    // unrounded. Degenerate prior (zero variance or non-positive k)
+    // falls back to the lattice MLE in both engines. Shape: one corpus
+    // hash agg → |users| rows; two 1-row prior frames broadcast back.
+    "agg_eb_shrinkage" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"))
+        .withColumn("p_micro", expr("(1000000 * x) div n"))
+      val pri = per.agg(count(lit(1)).as("nu"), sum("p_micro").as("sp"))
+        .withColumn("m_micro", expr("sp div nu"))
+      val mom = per.crossJoin(broadcast(pri))
+        .agg(max("nu").as("nu"), max("m_micro").as("m_micro"),
+          sum(expr("(p_micro - m_micro) * (p_micro - m_micro)")).as("sd2"))
+      val prior = mom.select(col("sd2"),
+          (col("m_micro").cast("double") / lit(1000000.0d)).as("m"),
+          ((expr("sd2 div 4294967296").cast("double") * lit(4294967296.0d)
+            + expr("sd2 % 4294967296").cast("double"))
+            / (col("nu").cast("double") * lit(1.0e12d))).as("v"))
+        .withColumn("k", when(col("sd2") > 0,
+          expr("m * (1.0D - m) / v - 1.0D")))
+      per.crossJoin(broadcast(prior))
+        .select(col("user_id"), col("x"), col("n"),
+          (col("p_micro").cast("double") / lit(1000000.0d)).as("p_mle"),
+          when(col("k").isNotNull && col("k") > 0,
+            expr("(x + m * k) / (n + k)"))
+            .otherwise(col("p_micro").cast("double") / lit(1000000.0d))
+            .as("p_shrunk"))
+        .orderBy("user_id")
+    }),
+
     "agg_cuped_adjustment" -> ((s, dir) => {
       val dec = "decimal(28,12)"
       // dn projected once in the scan stage (not inside each aggregate
@@ -2670,6 +2715,34 @@ object AnalyticsExt {
         | CAST(ceil(2.0 * vr * (1.96 + 0.8416) * (1.96 + 0.8416)
         |   / ((0.01 * mean) * (0.01 * mean))) AS BIGINT) AS n_per_arm_1pct
         |FROM e ORDER BY event_type""".stripMargin,
+    "agg_eb_shrinkage" ->
+      """WITH per AS (SELECT user_id, count(*) AS n,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        | pm AS (SELECT user_id, n, x, (1000000 * x) // n AS p_micro
+        |  FROM per),
+        | pri AS (SELECT count(*) AS nu, sum(p_micro) AS sp FROM pm),
+        | mm AS (SELECT nu, sp // nu AS m_micro FROM pri),
+        | s2 AS (SELECT mm.nu AS nu, mm.m_micro AS m_micro,
+        |   sum((pm.p_micro - mm.m_micro) * (pm.p_micro - mm.m_micro))
+        |     AS sd2
+        |  FROM pm, mm GROUP BY 1, 2),
+        | pr AS (SELECT sd2,
+        |   CAST(m_micro AS DOUBLE) / 1000000.0 AS m,
+        |   (CAST(sd2 // 4294967296 AS DOUBLE) * 4294967296.0
+        |     + CAST(sd2 % 4294967296 AS DOUBLE))
+        |    / (CAST(nu AS DOUBLE) * 1e12) AS v
+        |  FROM s2),
+        | kk AS (SELECT sd2, m, v,
+        |   CASE WHEN sd2 > 0 THEN m * (1.0 - m) / v - 1.0 END AS k
+        |  FROM pr)
+        |SELECT pm.user_id, pm.x, pm.n,
+        | CAST(pm.p_micro AS DOUBLE) / 1000000.0 AS p_mle,
+        | CASE WHEN kk.k IS NOT NULL AND kk.k > 0
+        |      THEN (pm.x + kk.m * kk.k) / (pm.n + kk.k)
+        |      ELSE CAST(pm.p_micro AS DOUBLE) / 1000000.0 END AS p_shrunk
+        |FROM pm, kk ORDER BY pm.user_id""".stripMargin,
     "agg_cuped_adjustment" ->
       """WITH per AS (SELECT user_id,
         |   CAST(sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01' + 1) <= 15

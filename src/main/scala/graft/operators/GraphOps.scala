@@ -556,7 +556,42 @@ object GraphOps {
     "graph_adamic_adar" -> ((s, dir) =>
       adamicAdar(nearDupPairs(s, dir), minShared = 2L)
         .orderBy("a", "b")),
+
+    // Node-neighborhood Jaccard (round 11) — the NORMALIZED member of
+    // the link-prediction trio (counts → common_neighbors, rarity →
+    // adamic_adar, overlap fraction → this): |N(a)∩N(b)| / |N(a)∪N(b)|
+    // distinguishes "shares 3 of its 4 neighbors" from "shares 3 of
+    // 400" — the score cluster-refinement reads before merging two
+    // near-dup groups. Rides the identical wedge machine (hub ceiling,
+    // known-edge anti join, same memoized pair frame); degrees attach
+    // from the symmetric edge list, and since (a,b) is never itself an
+    // edge, |N(a)∪N(b)| = deg_a + deg_b − common exactly. Released on
+    // the integer 1e-6 lattice ((1e6·common) div union — both engines'
+    // truncating integer division), so no float crosses engines.
+    "graph_node_jaccard" -> ((s, dir) =>
+      nodeJaccard(nearDupPairs(s, dir), minShared = 2L)
+        .orderBy("a", "b")),
   )
+
+  /** Neighborhood Jaccard over an undirected pair set —
+    * [[commonNeighbors]] with full degrees attached: since an emitted
+    * (a,b) is never itself an edge (the anti join), |N(a)∪N(b)| =
+    * deg_a + deg_b − common exactly, and the score releases on the
+    * integer 1e-6 lattice (both engines' truncating division — no
+    * float crosses engines). Fixture-tested in GraphSpec (the corpus
+    * row set is empty at test sf, like the other wedge keys). */
+  def nodeJaccard(pairs: DataFrame, minShared: Long): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2"))
+    val deg = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
+      .groupBy(col("d1").as("u")).agg(count(lit(1)).as("deg"))
+    commonNeighbors(pairs, minShared)
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"),
+        expr("(1000000 * common_neighbors) div " +
+          "(deg_a + deg_b - common_neighbors)").as("jaccard_micro"))
+  }
 
   /** (cluster_id, n_nodes, n_edges, n_triangles) per connected component
     * of an undirected pair set — see the `graph_cluster_cohesion` query
@@ -728,6 +763,23 @@ object GraphOps {
         |   WHERE e1.v < e2.v GROUP BY 1, 2)
         |SELECT a, b, common_neighbors, aa_score FROM w
         |WHERE common_neighbors >= 2
+        | AND NOT EXISTS (SELECT 1 FROM pj WHERE pj.d1 = w.a AND pj.d2 = w.b)
+        |ORDER BY a, b""".stripMargin),
+
+    // The wedge replay with full degrees attached; the released score is
+    // the engine's exact integer lattice ((1e6·c) // (da+db−c)).
+    "graph_node_jaccard" -> (GraphCtes + ",\n" +
+      """ c AS (SELECT u FROM deg WHERE outdeg <= 50),
+        | w AS (SELECT e1.v AS a, e2.v AS b, count(*) AS common_neighbors
+        |   FROM e e1 JOIN e e2 ON e1.u = e2.u JOIN c ON c.u = e1.u
+        |   WHERE e1.v < e2.v GROUP BY 1, 2)
+        |SELECT w.a, w.b, w.common_neighbors,
+        | da.outdeg AS deg_a, db.outdeg AS deg_b,
+        | CAST((1000000 * w.common_neighbors)
+        |   // (da.outdeg + db.outdeg - w.common_neighbors) AS BIGINT)
+        |   AS jaccard_micro
+        |FROM w JOIN deg da ON da.u = w.a JOIN deg db ON db.u = w.b
+        |WHERE w.common_neighbors >= 2
         | AND NOT EXISTS (SELECT 1 FROM pj WHERE pj.d1 = w.a AND pj.d2 = w.b)
         |ORDER BY a, b""".stripMargin),
 

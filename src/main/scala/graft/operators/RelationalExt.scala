@@ -1137,6 +1137,41 @@ object RelationalExt {
         .orderBy("source")
     }),
 
+    // SHARD-SKEW AUDIT (round 11) — the layout health check a corpus
+    // owner runs before handing shards to the trainer: assign every doc
+    // its hash shard (salted md5, 2 hex digits mod 64 — 256 % 64 = 0 so
+    // the decode is bias-free), aggregate per-shard doc/byte loads, and
+    // release the skew verdict: max-shard/mean-shard load and the Gini
+    // coefficient of the byte distribution (the one number that says
+    // "your 64 shards are really 9 fat ones"). All integer/lattice
+    // arithmetic: Gini = Σ(2i−S−1)·b_(i) / (S·Σb) over the BYTES-ranked
+    // shard ledger, released as (1e6·num) div den. The rank window is
+    // unpartitioned BY CONSTRUCTION on a ≤64-row frame (PlanSpec
+    // allowlist) — the corpus is touched exactly once by the shard agg.
+    "pipeline_shard_skew_audit" -> ((s, dir) => {
+      val h = md5(concat(lit("shard7:"), col("doc_id")))
+      val per = t(s, dir, "documents")
+        .select((conv(substring(h, 1, 2), 16, 10).cast("int") % 64)
+          .as("shard"), col("n_chars"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_bytes"))
+      val tot = per.agg(count(lit(1)).as("s_cnt"),
+        sum("n_docs").as("tot_docs"), sum("n_bytes").as("tot_bytes"),
+        max("n_bytes").as("max_bytes"))
+      per.withColumn("i",
+          row_number().over(Window.orderBy(col("n_bytes"), col("shard"))))
+        .crossJoin(broadcast(tot))
+        .agg(
+          max("s_cnt").cast("int").as("n_shards"),
+          max("tot_docs").as("n_docs"),
+          max("tot_bytes").as("n_bytes"),
+          max("max_bytes").as("max_bytes"),
+          max(expr("(1000000 * s_cnt * max_bytes) div tot_bytes"))
+            .as("max_over_mean_micro"),
+          expr("(1000000 * sum((2*i - s_cnt - 1) * n_bytes)) div " +
+            "(max(s_cnt) * max(tot_bytes))").as("gini_micro"))
+    }),
+
     // Sequence packing — the pretraining batching step: concatenate each
     // source's docs in doc_id order and cut every PackTokenBudget
     // whitespace tokens; a doc belongs to the sequence its FIRST token
@@ -1537,6 +1572,32 @@ object RelationalExt {
       """SELECT source, count(*) AS n_docs, min(doc_id) AS min_id,
         | max(doc_id) AS max_id, CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_shard_skew_audit" ->
+      """WITH sh AS (SELECT
+        |   CAST((
+        |     (CAST(strpos('0123456789abcdef', substr(md5('shard7:' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 1)) AS BIGINT) - 1) * 16
+        |   + (CAST(strpos('0123456789abcdef', substr(md5('shard7:' ||
+        |        CAST(doc_id AS VARCHAR)), 2, 1)) AS BIGINT) - 1)
+        |   ) % 64 AS INT) AS shard, n_chars
+        |  FROM documents),
+        | per AS (SELECT shard, count(*) AS n_docs,
+        |   CAST(sum(n_chars) AS BIGINT) AS n_bytes
+        |  FROM sh GROUP BY 1),
+        | rk AS (SELECT shard, n_docs, n_bytes,
+        |   row_number() OVER (ORDER BY n_bytes, shard) AS i FROM per),
+        | tot AS (SELECT count(*) AS s_cnt,
+        |   CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+        |   CAST(sum(n_bytes) AS BIGINT) AS tot_bytes,
+        |   max(n_bytes) AS max_bytes FROM per)
+        |SELECT CAST(s_cnt AS INT) AS n_shards, tot_docs AS n_docs,
+        | tot_bytes AS n_bytes, max_bytes,
+        | CAST((1000000 * s_cnt * max_bytes) // tot_bytes AS BIGINT)
+        |   AS max_over_mean_micro,
+        | CAST((1000000 * (SELECT sum((2*i - s_cnt - 1) * n_bytes)
+        |     FROM rk, tot)) // (s_cnt * tot_bytes) AS BIGINT)
+        |   AS gini_micro
+        |FROM tot""".stripMargin,
     "pipeline_chunk_docs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
          | c AS (SELECT doc_id, toks,

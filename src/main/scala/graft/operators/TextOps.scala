@@ -251,6 +251,14 @@ object TextOps {
         round(graft.Tables.dsum6(col("ll")) / count(lit(1)), 6).as("avg_ll"))
   }
 
+  /** Stopword-boundary regex for [[queries]]' RAKE key — candidate
+    * phrases are the maximal text runs BETWEEN these function words.
+    * Same pattern string works in Java regex (Spark `split`) and RE2
+    * (DuckDB `regexp_split_to_array`): plain alternation inside `\b`
+    * anchors, no lookaround. */
+  private val RakeStopwords = "\\b(?:a|an|the|and|or|of|to|in|on|for" +
+    "|with|is|are|was|be|by|at|as|it|this|that)\\b"
+
   val queries: Map[String, Q] = Map(
     "text_wordcount" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -258,6 +266,45 @@ object TextOps {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
         .limit(20)),
+
+    // RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the unsupervised
+    // corpus-keyword report a curation run reads to see what a source
+    // is actually about: candidate phrases = maximal runs between
+    // stopwords, word score = degree/frequency over phrase
+    // co-occurrence (degree counts each occurrence's full phrase
+    // length, so words that keep company with long phrases outrank
+    // loners at equal frequency), phrase score = Σ member word scores.
+    // Determinism: the per-word ratio is snapped to the integer 1e-6
+    // lattice FIRST ((1e6·degree) div freq — both engines' integer
+    // division), so phrase scores are exact long sums and the top-50
+    // pick under (score desc, phrase asc) is total. Shape: two
+    // map-side explodes + three two-phase hash aggs + one broadcast
+    // word-score join + TakeOrdered — linear, no windows, no pair
+    // joins; the word-score table is |vocab|-bounded.
+    "text_rake_keywords" -> ((s, dir) => {
+      val frags = t(s, dir, "documents")
+        .select(explode(split(col("text"), RakeStopwords)).as("frag"))
+        .select(trim(col("frag")).as("phrase"))
+        .filter(col("phrase") =!= "")
+      val words = frags
+        .select(col("phrase"), size(split(col("phrase"), " ")).as("plen"))
+        .select(explode(split(col("phrase"), " ")).as("w"), col("plen"))
+      val wscore = words.groupBy("w")
+        .agg(expr("(1000000 * sum(plen)) div count(1)").as("wscore"))
+      val pocc = frags.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+      pocc.select(col("phrase"), col("n_occ"),
+          explode(split(col("phrase"), " ")).as("w"))
+        // no broadcast hint: AQE broadcasts the |vocab|-row score table
+        // at test scale and falls back to a shuffle join when a real
+        // corpus vocabulary outgrows the threshold
+        .join(wscore, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(count(lit(1)).cast("int").as("n_words"),
+          sum("wscore").as("score_micro"))
+        .select("phrase", "n_words", "n_occ", "score_micro")
+        .orderBy(col("score_micro").desc, col("phrase"))
+        .limit(50)
+    }),
 
     // T5/UL2-STYLE SPAN-CORRUPTION PLAN (Raffel et al. 2020): decide,
     // deterministically, WHICH tokens a denoising objective masks —
@@ -1137,6 +1184,25 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_rake_keywords" ->
+      """WITH fr AS (SELECT trim(f) AS phrase
+        |  FROM (SELECT unnest(regexp_split_to_array(text,
+        |    '\b(?:a|an|the|and|or|of|to|in|on|for|with|is|are|was|be|by|at|as|it|this|that)\b')) AS f
+        |   FROM documents)
+        |  WHERE trim(f) <> ''),
+        | wd AS (SELECT len(string_split(phrase, ' ')) AS plen,
+        |   unnest(string_split(phrase, ' ')) AS w FROM fr),
+        | ws AS (SELECT w,
+        |   CAST((1000000 * sum(plen)) // count(*) AS BIGINT) AS wscore
+        |  FROM wd GROUP BY 1),
+        | po AS (SELECT phrase, count(*) AS n_occ FROM fr GROUP BY 1),
+        | pw AS (SELECT phrase, n_occ,
+        |   unnest(string_split(phrase, ' ')) AS w FROM po)
+        |SELECT pw.phrase, CAST(count(*) AS INT) AS n_words, pw.n_occ,
+        | CAST(sum(ws.wscore) AS BIGINT) AS score_micro
+        |FROM pw JOIN ws ON pw.w = ws.w
+        |GROUP BY pw.phrase, pw.n_occ
+        |ORDER BY score_micro DESC, phrase LIMIT 50""".stripMargin,
     "pipeline_tokenizer_fertility" ->
       """WITH w AS (SELECT lang, doc_id,
         |   unnest(string_split(text, ' ')) AS w FROM documents),

@@ -313,6 +313,27 @@ class GraphSpec extends SparkSpec {
     assert(GraphOps.adamicAdar(edges, minShared = 1).count() == 4)
   }
 
+  test("nodeJaccard: lattice overlap scored on the adamicAdar fixture") {
+    // Same fixture graph (corpus rows are 0 at test sf, so the degree
+    // attach + lattice division is only compared here).
+    //   deg: 1→2, 2→2, 3→2, 4→3, 5→1.
+    //   (1,2): common {3,4} = 2, union = 2+2−2 = 2 → 1_000_000
+    //   (3,4): common {1,2} = 2, union = 2+3−2 = 3 → 666_666 (trunc)
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (4L, 5L))
+      .toDF("d1", "d2")
+    val got = GraphOps.nodeJaccard(edges, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set((1L, 2L, 2L, 2L, 2L, 1000000L),
+      (3L, 4L, 2L, 2L, 3L, 666666L)), s"nodeJaccard fixture mismatch: $got")
+    // minShared = 1 admits (1,5) and (2,5) through center 4:
+    // common 1, union 2+1−1 = 2 → 500_000.
+    val loose = GraphOps.nodeJaccard(edges, minShared = 1).collect()
+    assert(loose.length == 4)
+    assert(loose.count(_.getLong(5) == 500000L) == 2)
+  }
+
   test("graph_pagerank query runs on sf0.001 with full mass") {
     val out = SparkEntry.queries("graph_pagerank")(spark, sfDir)
     val rows = out.collect()

@@ -14,6 +14,7 @@ class OperatorSmokeSpec extends SparkSpec {
     "dedup_near_minhash", "sim_ann_lsh", "dedup_embed_cosine", "text_edit_distance",
     "dedup_cluster", "join_range_bucketed", "graph_common_neighbors",
     "graph_adamic_adar", // same candidate set as graph_common_neighbors
+    "graph_node_jaccard", // same candidate set as graph_common_neighbors
     "multimodal_frame_overlap")
 
   SparkEntry.queries.foreach { case (name, fn) =>

@@ -161,7 +161,9 @@ class PlanSpec extends SparkSpec {
             "sim_mrl_prefix_rerank", // bounded broadcast query set (as sim_knn)
             "pipeline_label_balance", // 1-row n_min aggregate cross join
             "text_bm25",     // 1-row (N, avgdl) corpus-stats cross join (as text_tfidf)
-            "sim_hybrid_rrf" // 1-row broadcast query vector + 1-row |q| aggregate
+            "sim_hybrid_rrf", // 1-row broadcast query vector + 1-row |q| aggregate
+            "pipeline_shard_skew_audit", // 1-row totals frame crossed onto the <=64-row shard ledger
+            "agg_eb_shrinkage" // two 1-row prior frames crossed onto the |users| agg
           ).contains(key), p)
       }
     }
@@ -189,7 +191,9 @@ class PlanSpec extends SparkSpec {
       "text_zipf_slope" -> "rank window over the TakeOrdered top-100 slice",
       "pipeline_curriculum_stages" ->
         ("the documented exact anchor (global ntile IS the contract); " +
-          "the 100 TB plan is pipeline_curriculum_stages_approx")
+          "the 100 TB plan is pipeline_curriculum_stages_approx"),
+      "pipeline_shard_skew_audit" ->
+        "Gini rank over the <=64-row shard ledger (corpus touched only by the shard agg)"
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { key =>
       val sp = SparkEntry.queries(key)(spark, sfDir).queryExecution.sparkPlan
