@@ -85,4 +85,4 @@ addCommandAlias("testLight",
     "graft.IvfSpec graft.LayoutSpec graft.PartitionInvarianceSpec " +
     "graft.PartitionPruningSpec graft.PqSpec graft.QuantizeSpec " +
     "graft.SessionizePropertySpec graft.SkewSpec graft.SourcesSpec " +
-    "graft.VecDotSpec")
+    "graft.StatsExtSpec graft.VecDotSpec")

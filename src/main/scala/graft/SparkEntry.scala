@@ -43,6 +43,7 @@ object SparkEntry {
     (RelationalExt.queries, RelationalExt.oracle),
     (TpchOps.queries, TpchOps.oracle),
     (AnalyticsExt.queries, AnalyticsExt.oracle),
+    (StatsExt.queries, StatsExt.oracle),
     (GraphOps.queries, GraphOps.oracle),
     (Aggregates.sketchQueries, Map.empty[String, String]),
     (SortSetOps.evolutionQueries, SortSetOps.evolutionOracle),

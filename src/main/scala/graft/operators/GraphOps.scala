@@ -571,7 +571,60 @@ object GraphOps {
     "graph_node_jaccard" -> ((s, dir) =>
       nodeJaccard(nearDupPairs(s, dir), minShared = 2L)
         .orderBy("a", "b")),
+
+    // HITS hubs & authorities (Kleinberg 1999) — the second classic
+    // link-analysis scorer beside PageRank, on the near-dup pair list
+    // read as a DIRECTED endorsement d1→d2 (the dedup-canonical
+    // convention: the lower id is the retained representative, so an
+    // edge reads "d1 vouches for its higher-id duplicate d2"). A good
+    // AUTHORITY is a document many retained representatives point at
+    // (a magnet for duplication); a good HUB is one that points at
+    // many strong authorities (a template/boilerplate source). Two
+    // UNNORMALIZED integer rounds: magnitudes are bounded by deg², so
+    // the whole recurrence is exact long arithmetic (the pageRank
+    // determinism contract — no L2 normalization float ever enters),
+    // and the oracle replays it as unrolled CTEs. Per round: one
+    // equi-join + one map-side-combined sum per direction, ids only.
+    "graph_hits" -> ((s, dir) =>
+      hits(nearDupPairs(s, dir), iters = 2)
+        .orderBy(desc("hub"), desc("auth"), col("doc_id"))),
   )
+
+  /** Two-round unnormalized integer HITS over a directed pair set
+    * `pairs(d1→d2)`: h⁰ = 1; aᵏ(v) = Σ_{u→v} hᵏ⁻¹(u); hᵏ(u) =
+    * Σ_{u→v} aᵏ(v). Nodes absent from a side score 0 there (pure
+    * sources have auth 0, pure sinks hub 0). Exact long arithmetic
+    * throughout — values ≤ (max deg)^(2·iters), far inside a long for
+    * the hub-ceiling-capped graphs this engine mines. */
+  def hits(pairs: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one HITS round")
+    val ownCache = pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val p = if (ownCache) pairs.persist() else pairs
+    val nodes = p.select(col("d1").as("node"))
+      .union(p.select(col("d2").as("node"))).distinct().persist()
+    var h = nodes.withColumn("hv", lit(1L))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = nodes.join(
+        p.join(h.withColumnRenamed("node", "hu"), col("d1") === col("hu"))
+          .groupBy(col("d2").as("an")).agg(sum("hv").as("s")),
+        col("node") === col("an"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("av"))
+      h = nodes.join(
+        p.join(a.withColumnRenamed("node", "avn"),
+            col("d2") === col("avn"))
+          .groupBy(col("d1").as("hn")).agg(sum("av").as("s")),
+        col("node") === col("hn"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("hv"))
+    }
+    val out = h.join(a, "node")
+      .select(col("node").as("doc_id"), col("hv").as("hub"),
+        col("av").as("auth"))
+      .localCheckpoint()
+    nodes.unpersist()
+    if (ownCache) p.unpersist()
+    out
+  }
 
   /** Neighborhood Jaccard over an undirected pair set —
     * [[commonNeighbors]] with full degrees attached: since an emitted
@@ -805,5 +858,29 @@ object GraphOps {
         | CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles
         |FROM npc JOIN epc USING (cluster_id) LEFT JOIN tpc USING (cluster_id)
         |ORDER BY cluster_id""".stripMargin),
+
+    // Unrolled integer HITS replay on the directed pj list (d1→d2);
+    // sums come back as HUGEINT, cast to BIGINT like the pagerank
+    // rounds.
+    "graph_hits" -> (GraphCtes + ",\n" +
+      """ hn AS (SELECT d1 AS node FROM pj UNION SELECT d2 FROM pj),
+        | h0 AS (SELECT node, CAST(1 AS BIGINT) AS hv FROM hn),""".stripMargin +
+      (1 to 2).map(hitsRound).mkString(",") + "\n" +
+      """SELECT h2.node AS doc_id, h2.hv AS hub, a2.av AS auth
+        |FROM h2 JOIN a2 USING (node)
+        |ORDER BY hub DESC, auth DESC, doc_id""".stripMargin),
   )
+
+  /** One unrolled HITS oracle round k: aᵏ from hᵏ⁻¹ over d1→d2, then
+    * hᵏ from aᵏ — the exact long recurrence of [[hits]]. */
+  private def hitsRound(k: Int): String =
+    s"""
+       | a$k AS (SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS av
+       |   FROM hn n LEFT JOIN (SELECT d2 AS v, sum(hv) AS s
+       |     FROM pj JOIN h${k - 1} ON pj.d1 = h${k - 1}.node
+       |     GROUP BY 1) s ON n.node = s.v),
+       | h$k AS (SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS hv
+       |   FROM hn n LEFT JOIN (SELECT d1 AS u, sum(av) AS s
+       |     FROM pj JOIN a$k ON pj.d2 = a$k.node
+       |     GROUP BY 1) s ON n.node = s.u)""".stripMargin
 }

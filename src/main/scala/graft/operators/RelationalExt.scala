@@ -331,6 +331,35 @@ object RelationalExt {
         .orderBy("doc_id")
     }),
 
+    // PREFERENCE-PAIR CONSTRUCTION (round 11) — the DPO/RLHF data-prep
+    // step: within each prompt group (here: a user's day of activity),
+    // emit one (chosen, rejected) pair — the highest- and lowest-reward
+    // responses — with a deterministic tiebreak, skipping groups where
+    // the extremes tie (equal rewards carry no preference signal).
+    // Rewards ride the micro lattice, so the margin is an exact long
+    // and the argmax/argmin are `max/min(struct(vi, event_id))` — ONE
+    // map-side-combinable hash agg over the corpus, no windows, no
+    // second pass; at 100 TB this is a single shuffle on the (user,
+    // day) prompt key. The oracle states the same extremes as rank-1
+    // rows of two windows (fine at oracle sf).
+    "pipeline_preference_pairs" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        date_trunc("day", col("ts")).as("day"), col("event_id"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+          .as("vi"))
+      ev.groupBy("user_id", "day").agg(
+          count(lit(1)).as("n_candidates"),
+          max(struct(col("vi"), col("event_id"))).as("mx"),
+          min(struct(col("vi"), col("event_id"))).as("mn"))
+        .filter(col("n_candidates") >= 2 && col("mx.vi") > col("mn.vi"))
+        .select(col("user_id"), col("day"),
+          col("mx.event_id").as("chosen_id"),
+          col("mn.event_id").as("rejected_id"),
+          (col("mx.vi") - col("mn.vi")).as("margin_micro"),
+          col("n_candidates"))
+        .orderBy("user_id", "day")
+    }),
+
     // EXACT-QUOTA STRATIFIED SAMPLE (round 10) — "exactly K docs per
     // language", the eval-set curation ask rate-based samplers only hit
     // in expectation (±√n — material when K is small). Deterministic
@@ -1801,6 +1830,28 @@ object RelationalExt {
         |      AS BIGINT) - 1)) % 5 AS INT) AS fold_id
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         |ORDER BY d.doc_id""").stripMargin,
+    "pipeline_preference_pairs" ->
+      """WITH ev AS (SELECT user_id,
+        |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_id,
+        |   CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vi
+        |  FROM events),
+        | r AS (SELECT *,
+        |   row_number() OVER (PARTITION BY user_id, day
+        |     ORDER BY vi DESC, event_id DESC) AS rmax,
+        |   row_number() OVER (PARTITION BY user_id, day
+        |     ORDER BY vi ASC, event_id ASC) AS rmin,
+        |   count(*) OVER (PARTITION BY user_id, day) AS n_candidates
+        |  FROM ev),
+        | ch AS (SELECT user_id, day, event_id AS chosen_id, vi AS vmax,
+        |   CAST(n_candidates AS BIGINT) AS n_candidates
+        |  FROM r WHERE rmax = 1),
+        | rj AS (SELECT user_id, day, event_id AS rejected_id,
+        |   vi AS vmin FROM r WHERE rmin = 1)
+        |SELECT ch.user_id, ch.day, chosen_id, rejected_id,
+        | vmax - vmin AS margin_micro, n_candidates
+        |FROM ch JOIN rj USING (user_id, day)
+        |WHERE n_candidates >= 2 AND vmax > vmin
+        |ORDER BY ch.user_id, ch.day""".stripMargin,
     "pipeline_quota_sample" ->
       """WITH r AS (SELECT doc_id, lang,
         |   row_number() OVER (PARTITION BY lang

@@ -1,0 +1,434 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Experimentation-platform statistics, wave 2 (round 11 continuation):
+  * rank correlation, assumption-free permutation p-values, multiple-
+  * testing control, and Wald's sequential probability-ratio test — the
+  * four readouts that turn the existing per-test layer (t / Mann–Whitney
+  * / ANOVA / OBF looks) into a platform: "are these metrics RELATED"
+  * (Spearman), "is the difference real WITHOUT distributional
+  * assumptions" (permutation), "which of the many metrics survive
+  * multiplicity" (Benjamini–Hochberg), and "when may we stop the
+  * experiment" (SPRT, the always-valid cousin of the OBF looks).
+  *
+  * Shared determinism contract (the AnalyticsExt house rules):
+  *  - every corpus-sized sum runs on an exact integer/DECIMAL lattice
+  *    (value micro-units via the agg_levene_bf cast), so no float
+  *    accumulation order can differ across engines/partitionings;
+  *  - integer sums above 2^53 are released to double via the 2^32 hi/lo
+  *    split ([[exactDbl]]) — bit-identical in Spark and DuckDB up to
+  *    2^85 (≈3.9e25; the moments here reach ~4e16 at sf0.1 — a third
+  *    split level is the mechanical extension past ~5e7 users/type);
+  *  - randomization is salted md5 (the srm42/boot idiom), identical hex
+  *    in both engines;
+  *  - transcendental CONSTANTS (the SPRT log-likelihood ratios) are
+  *    computed once in the JVM and interpolated as shortest-decimal
+  *    literals into both the Spark plan and the oracle SQL (the
+  *    mmrOracle round-10 fix rule), so both engines multiply exact
+  *    integer counts by the same 64 bits.
+  */
+object StatsExt {
+
+  /** Exact DECIMAL(38,0) → double release via a 2^32 hi/lo split (the
+    * agg_levene_bf rule): hi ≤ 2^53 and lo < 2^32 convert exactly,
+    * hi·2^32 is a pure exponent shift, and the one add is correctly
+    * rounded — bit-identical cross-engine even when the raw value
+    * exceeds 2^53. Caller must pass a NON-NEGATIVE column (integral
+    * `div` truncates toward zero on negatives in Spark but floors in
+    * DuckDB — release |x| and reapply the sign). */
+  private def exactDbl(name: String): Column =
+    expr(s"$name div 4294967296").cast("double") * lit(4294967296.0) +
+      (col(name) - expr(s"$name div 4294967296").cast("decimal(38,0)") *
+        lit(4294967296L)).cast("double")
+
+  /** Oracle-side twin of [[exactDbl]] on a DuckDB HUGEINT expression. */
+  private def exactDblSql(x: String): String =
+    s"(CAST(($x) // 4294967296 AS DOUBLE) * 4294967296.0" +
+      s" + CAST(($x) % 4294967296 AS DOUBLE))"
+
+  /** Per-(event_type, v) doubled average rank r2 = 2·avgrank over the
+    * users carrying each distinct v — the tie-correct rank substrate of
+    * Spearman, kept on the integer lattice (avgrank is a half-integer;
+    * ×2 makes it exact: ranks cum−cnt+1 … cum average to
+    * cum − (cnt−1)/2, so r2 = 2·cum − cnt + 1).
+    *
+    * TWO-LEVEL cumsum (the denseTypeValueCum machine): the value domain
+    * here is per-user aggregates — user-sized, i.e. corpus-tracking at
+    * 100 TB — so a per-type cumsum window would re-create the |types|-
+    * task parallelism floor the round-11 bucketed machines exist to
+    * kill. Same three steps: equi-width buckets over the domain
+    * (monotone coarsening — bit-identical sums), per-(type, bucket)
+    * totals cumsum'd over the tiny grid, within-bucket cumsum + offset. */
+  private def avgRank2(perUser: DataFrame, vcol: String): DataFrame = {
+    val vc = perUser.groupBy(col("event_type"), col(vcol))
+      .agg(count(lit(1)).as("cnt"))
+    val b = ScalableWindows.withBuckets(vc, vcol,
+      AnalyticsExt.RankTestBuckets)
+    val wB = Window.partitionBy("event_type").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = b.groupBy("event_type", "__bkt").agg(sum("cnt").as("bcnt"))
+      .withColumn("boff", sum("bcnt").over(wB) - col("bcnt"))
+      .select("event_type", "__bkt", "boff")
+    val wIn = Window.partitionBy(col("event_type"), col("__bkt"))
+      .orderBy(col(vcol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(off), Seq("event_type", "__bkt"))
+      .withColumn("cum", sum("cnt").over(wIn) + col("boff"))
+      .select(col("event_type"), col(vcol),
+        (col("cum") * 2 - col("cnt") + 1).as("r2"))
+  }
+
+  /** Permutation-test replicate count. p-values are exact rationals
+    * k/(Reps+1) — the whole reason this machine can be hash-verified
+    * against DuckDB when the t/z keys can only release statistics. */
+  val PermReps: Int = 199
+
+  /** Per-user micro-lattice event-value total (optionally per type):
+    * the metric both permutation keys randomize. One corpus pass. */
+  private def userTotals(s: SparkSession, dir: String,
+      byType: Boolean): DataFrame = {
+    val micro = (col("value").cast("decimal(18,6)") * 1000000)
+      .cast("long")
+    val keys: Seq[Column] =
+      if (byType) Seq(col("user_id"), col("event_type"))
+      else Seq(col("user_id"))
+    events(s, dir).groupBy(keys: _*)
+      .agg(sum(micro).as("y"), count(lit(1)).as("ne"))
+  }
+
+  /** users × (Reps+1) salted arm bits + the per-(r[, type]) moment
+    * cells. Salt "perm42:<r>:<user>" — r = 0 is the OBSERVED split
+    * (same md5-parity convention as the srm42 arm keys); r ≥ 1 are the
+    * label permutations. The explode is map-side combinable: the only
+    * shuffle is the ≤(Reps+1)·|types|·2-cell aggregate. */
+  private def permCells(u: DataFrame, byType: Boolean): DataFrame = {
+    val armed = u.select(
+        (if (byType) Seq(col("user_id"), col("event_type"), col("y"))
+         else Seq(col("user_id"), col("y"))) :+
+          explode(sequence(lit(0), lit(PermReps))).as("r"): _*)
+      .withColumn("arm",
+        substring(md5(concat(lit("perm42:"), col("r").cast("string"),
+          lit(":"), col("user_id").cast("string"))), 1, 1) < "8")
+    val gk: Seq[Column] =
+      if (byType) Seq(col("event_type"), col("r")) else Seq(col("r"))
+    armed.groupBy(gk: _*)
+      .agg(
+        sum(when(col("arm"), 1L).otherwise(0L)).cast("decimal(38,0)")
+          .as("na"),
+        sum(when(col("arm"), col("y")).otherwise(0L)
+          .cast("decimal(28,0)")).as("sa"),
+        sum(when(!col("arm"), 1L).otherwise(0L)).cast("decimal(38,0)")
+          .as("nb"),
+        sum(when(!col("arm"), col("y")).otherwise(0L)
+          .cast("decimal(28,0)")).as("sb"))
+      .withColumn("num",
+        (col("sa") * col("nb") - col("sb") * col("na"))
+          .cast("decimal(38,0)"))
+      .withColumn("den", (col("na") * col("nb")).cast("decimal(38,0)"))
+  }
+
+  /** Oracle twin of [[permCells]]: user totals ux(user_id, y[, type])
+    * must already be defined by the caller's WITH prefix. */
+  private def permCellsSql(byType: Boolean): String = {
+    val tcol = if (byType) "event_type, " else ""
+    s"""cells AS (SELECT ${tcol}r,
+       |   CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+       |   CAST(sum(CASE WHEN arm THEN y ELSE 0 END) AS HUGEINT) AS sa,
+       |   CAST(sum(CASE WHEN arm THEN 0 ELSE 1 END) AS HUGEINT) AS nb,
+       |   CAST(sum(CASE WHEN arm THEN 0 ELSE y END) AS HUGEINT) AS sb
+       |  FROM (SELECT u.*, r.r,
+       |     substring(md5('perm42:' || CAST(r.r AS VARCHAR) || ':' ||
+       |       CAST(u.user_id AS VARCHAR)), 1, 1) < '8' AS arm
+       |   FROM ux u CROSS JOIN (SELECT unnest(generate_series(0,
+       |     $PermReps)) AS r) r)
+       |  GROUP BY ALL),
+       | nd AS (SELECT *, sa * nb - sb * na AS num, na * nb AS den
+       |  FROM cells)""".stripMargin
+  }
+
+  // ----- SPRT constants: computed ONCE here, interpolated into both
+  // engines as shortest-decimal literals (the mmrOracle rule). H0: the
+  // purchase share is p0; H1: it is p1 (bracketing the corpus's ~20%
+  // so the LLR genuinely wanders); α = β = 0.05.
+  private val SprtP0 = 0.18
+  private val SprtP1 = 0.22
+  private val SprtC1 = math.log(SprtP1 / SprtP0) // per-success increment
+  private val SprtC2 = math.log((1.0 - SprtP1) / (1.0 - SprtP0)) // per-failure
+  private val SprtA = math.log((1.0 - 0.05) / 0.05) // accept-H1 boundary
+  private val SprtB = math.log(0.05 / (1.0 - 0.05)) // accept-H0 boundary
+
+  val queries: Map[String, Q] = Map(
+    // SPEARMAN RANK CORRELATION between a user's activity volume
+    // (events of a type) and their value total for that type — the
+    // monotone-association readout Pearson (agg_corr_matrix) cannot
+    // give when either margin is heavy-tailed. Tie-correct: Pearson on
+    // 2×-average-ranks (exact integers; the ×2 cancels in the ratio).
+    // The corpus is touched once (per-(user, type) agg); both rank
+    // layers run on the per-type value DOMAINS through the two-level
+    // bucketed cumsum, so no task ever carries a user-sized sequence;
+    // the moment sums are exact DECIMALs released through the 2^32
+    // hi/lo split.
+    "agg_spearman_corr" -> ((s, dir) => {
+      val u = userTotals(s, dir, byType = true)
+        .select(col("event_type"), col("user_id"),
+          col("ne").as("x"), col("y"))
+      val rx = avgRank2(u.select("event_type", "x"), "x")
+        .withColumnRenamed("r2", "r2x")
+      val ry = avgRank2(u.select("event_type", "y"), "y")
+        .withColumnRenamed("r2", "r2y")
+      def d14(c: Column) = c.cast("decimal(14,0)")
+      val m = u.join(rx, Seq("event_type", "x"))
+        .join(ry, Seq("event_type", "y"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(d14(col("r2x"))).as("sx"),
+          sum(d14(col("r2y"))).as("sy"),
+          sum(d14(col("r2x")) * d14(col("r2x"))).as("sxx"),
+          sum(d14(col("r2y")) * d14(col("r2y"))).as("syy"),
+          sum(d14(col("r2x")) * d14(col("r2y"))).as("sxy"))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val t = m.select(col("event_type"), col("n"),
+        (d38(col("n")) * col("sxy") - d38(col("sx")) * col("sy"))
+          .cast("decimal(38,0)").as("rnum"),
+        (d38(col("n")) * col("sxx") - d38(col("sx")) * col("sx"))
+          .cast("decimal(38,0)").as("vx"),
+        (d38(col("n")) * col("syy") - d38(col("sy")) * col("sy"))
+          .cast("decimal(38,0)").as("vy"))
+        .withColumn("anum", abs(col("rnum")).cast("decimal(38,0)"))
+      t.select(col("event_type"), col("n").as("n_users"),
+          when(col("vx") === 0 || col("vy") === 0, lit(null))
+            .otherwise(round(
+              when(col("rnum") < 0, -1.0).otherwise(1.0) *
+                exactDbl("anum") /
+                sqrt(exactDbl("vx") * exactDbl("vy")), 6))
+            .as("rho"))
+        .orderBy("event_type")
+    }),
+
+    // PERMUTATION TEST (Fisher randomization; Phipson–Smyth +1
+    // correction) on the arm difference of per-user value totals — the
+    // assumption-free p-value the t/z keys cannot release (their CDFs
+    // aren't computable cross-engine; a permutation p is an exact
+    // integer COUNT over re-labelings, so it hash-verifies). r = 0 is
+    // the observed srm42-style md5 split; r = 1..199 relabel whole
+    // USERS (the correct exchangeability unit — event-level shuffling
+    // would break within-user correlation). Exactness: |Δ_r| ≥ |Δ_obs|
+    // compares cross-multiplied DECIMAL(38,0) integers — no division
+    // ever happens, so ties count identically in both engines. The
+    // 200× user expansion is projection-only and map-side-combines to
+    // 400 cells; the corpus is touched once.
+    "agg_permutation_test" -> ((s, dir) => {
+      val u = userTotals(s, dir, byType = false)
+      val nd = permCells(u, byType = false)
+      val obs = nd.filter(col("r") === 0).select(
+        col("num").as("onum"), col("den").as("oden"),
+        (col("na") + col("nb")).cast("long").as("n_users"))
+      val ext = nd.filter(col("r") > 0).crossJoin(broadcast(obs))
+        .select(col("n_users"), col("onum"), col("oden"),
+          when(abs(col("num")) * col("oden") >=
+            abs(col("onum")) * col("den"), 1L).otherwise(0L).as("e"))
+        .groupBy("n_users", "onum", "oden")
+        .agg(sum(col("e")).as("n_extreme"))
+        .withColumn("aonum", abs(col("onum")).cast("decimal(38,0)"))
+      ext.select(col("n_users"), lit(PermReps).as("n_reps"),
+        round(when(col("onum") < 0, -1.0).otherwise(1.0) *
+          exactDbl("aonum") /
+          (col("oden").cast("double") * lit(1000000.0)), 6)
+          .as("obs_diff"),
+        col("n_extreme"),
+        ((col("n_extreme") + 1).cast("double") / lit(PermReps + 1.0))
+          .as("p_value"))
+    }),
+
+    // BENJAMINI–HOCHBERG FDR CONTROL over the per-metric permutation
+    // p-values — the multiple-testing layer every experiment scan
+    // needs (test 5 metrics at α=0.05 and ~1 false positive is FREE).
+    // Metrics = the per-type user value totals; arms = the SAME
+    // perm42 user split as agg_permutation_test (one experiment, many
+    // metrics — the real BH shape). Every p is an exact k/200
+    // rational, the BH step-up condition m·(k_i+1) ≤ 20·i is pure
+    // integer arithmetic (q = 0.10), and the adjusted p's suffix-min
+    // runs over tiny exactly-representable doubles — all on a ≤|types|-
+    // row frame (the bounded-window allowlist class). Corpus cost: one
+    // (user, type) agg + the 200× projection explode.
+    "agg_bh_fdr" -> ((s, dir) => {
+      val u = userTotals(s, dir, byType = true)
+      val nd = permCells(u, byType = true)
+      val obs = nd.filter(col("r") === 0)
+        .select(col("event_type"), col("num").as("onum"),
+          col("den").as("oden"))
+      val k = nd.filter(col("r") > 0)
+        .join(broadcast(obs), "event_type")
+        .select(col("event_type"),
+          when(abs(col("num")) * col("oden") >=
+            abs(col("onum")) * col("den"), 1L).otherwise(0L).as("e"))
+        .groupBy("event_type").agg(sum("e").as("k"))
+      // ≤|types|-row BH frame: rank by the integer k (⇔ by p, exact),
+      // step-up imax, suffix-min adjusted p.
+      val wI = Window.orderBy(col("k"), col("event_type"))
+      val wAll = Window.partitionBy(Seq.empty[Column]: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wSuf = Window.orderBy(col("i"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val ranked = k.withColumn("i", row_number().over(wI).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("cand",
+          when(col("m") * (col("k") + 1) <= lit(20L) * col("i"),
+            col("i")))
+        .withColumn("imax", max(col("cand")).over(wAll))
+        .withColumn("padj_raw",
+          min((col("m") * (col("k") + 1)).cast("double") /
+            (lit(PermReps + 1.0) * col("i").cast("double"))).over(wSuf))
+      ranked.select(col("event_type"),
+          col("k").as("n_extreme"),
+          ((col("k") + 1).cast("double") / lit(PermReps + 1.0))
+            .as("p_raw"),
+          least(lit(1.0), col("padj_raw")).as("p_adj"),
+          (col("imax").isNotNull && col("i") <= col("imax"))
+            .as("rejected"))
+        .orderBy("event_type")
+    }),
+
+    // WALD'S SPRT (1945) on the daily purchase share — the sequential
+    // stopping rule that, unlike the OBF looks (fixed K analyses),
+    // stays valid at EVERY day boundary: cumulative LLR = k·ln(p1/p0)
+    // + (n−k)·ln((1−p1)/(1−p0)) against the ln((1−β)/α) / ln(β/(1−α))
+    // boundaries. Corpus → one day-grid agg; the cumsum window is the
+    // bounded-calendar allowlist class; the only nonintegers are four
+    // JVM-computed literals shared verbatim with the oracle, so the
+    // verdict comparison sees identical bits on both sides.
+    "agg_sprt_sequential" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("k"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val llr = col("kc").cast("double") * lit(SprtC1) +
+        (col("nc") - col("kc")).cast("double") * lit(SprtC2)
+      daily
+        .withColumn("nc", sum("n").over(w))
+        .withColumn("kc", sum("k").over(w))
+        .select(col("day"), col("nc").as("n_cum"), col("kc").as("k_cum"),
+          round(llr, 6).as("llr"),
+          when(llr >= lit(SprtA), "accept_h1")
+            .when(llr <= lit(SprtB), "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy("day")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_spearman_corr" ->
+      s"""WITH u AS (SELECT event_type, user_id, count(*) AS x,
+         |   sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+         |     AS y
+         |  FROM events GROUP BY 1, 2),
+         | xc AS (SELECT event_type, x, count(*) AS cnt FROM u
+         |  GROUP BY 1, 2),
+         | rx AS (SELECT event_type, x, 2 * sum(cnt) OVER
+         |   (PARTITION BY event_type ORDER BY x) - cnt + 1 AS r2x
+         |  FROM xc),
+         | yc AS (SELECT event_type, y, count(*) AS cnt FROM u
+         |  GROUP BY 1, 2),
+         | ry AS (SELECT event_type, y, 2 * sum(cnt) OVER
+         |   (PARTITION BY event_type ORDER BY y) - cnt + 1 AS r2y
+         |  FROM yc),
+         | j AS (SELECT u.event_type, r2x, r2y FROM u
+         |  JOIN rx USING (event_type, x) JOIN ry USING (event_type, y)),
+         | m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |   sum(CAST(r2x AS HUGEINT)) AS sx,
+         |   sum(CAST(r2y AS HUGEINT)) AS sy,
+         |   sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+         |   sum(CAST(r2y AS HUGEINT) * r2y) AS syy,
+         |   sum(CAST(r2x AS HUGEINT) * r2y) AS sxy
+         |  FROM j GROUP BY 1),
+         | t AS (SELECT event_type, n, n * sxy - sx * sy AS rnum,
+         |   n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy FROM m)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_users,
+         | CASE WHEN vx = 0 OR vy = 0 THEN NULL ELSE
+         |  round((CASE WHEN rnum < 0 THEN -1.0 ELSE 1.0 END) *
+         |   ${exactDblSql("abs(rnum)")} /
+         |   sqrt(${exactDblSql("vx")} * ${exactDblSql("vy")}), 6)
+         | END AS rho
+         |FROM t ORDER BY event_type""".stripMargin,
+
+    "agg_permutation_test" ->
+      s"""WITH ux AS (SELECT user_id,
+         |   sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+         |     AS y
+         |  FROM events GROUP BY 1),
+         | ${permCellsSql(byType = false)},
+         | o AS (SELECT num AS onum, den AS oden,
+         |   CAST(na + nb AS BIGINT) AS n_users FROM nd WHERE r = 0),
+         | e AS (SELECT n_users, onum, oden,
+         |   CAST(sum(CASE WHEN abs(num) * oden >= abs(onum) * den
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+         |  FROM nd CROSS JOIN o WHERE r > 0 GROUP BY 1, 2, 3)
+         |SELECT n_users, $PermReps AS n_reps,
+         | round((CASE WHEN onum < 0 THEN -1.0 ELSE 1.0 END) *
+         |   ${exactDblSql("abs(onum)")} /
+         |   (CAST(oden AS DOUBLE) * 1000000.0), 6) AS obs_diff,
+         | n_extreme,
+         | CAST(n_extreme + 1 AS DOUBLE) / ${PermReps + 1}.0 AS p_value
+         |FROM e""".stripMargin,
+
+    "agg_bh_fdr" ->
+      s"""WITH ux AS (SELECT user_id, event_type,
+         |   sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+         |     AS y
+         |  FROM events GROUP BY 1, 2),
+         | ${permCellsSql(byType = true)},
+         | o AS (SELECT event_type, num AS onum, den AS oden FROM nd
+         |  WHERE r = 0),
+         | kk AS (SELECT nd.event_type,
+         |   CAST(sum(CASE WHEN abs(num) * oden >= abs(onum) * den
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM nd JOIN o USING (event_type) WHERE r > 0 GROUP BY 1),
+         | ranked AS (SELECT event_type, k,
+         |   CAST(row_number() OVER (ORDER BY k, event_type) AS BIGINT)
+         |     AS i,
+         |   CAST(count(*) OVER () AS BIGINT) AS m
+         |  FROM kk),
+         | step AS (SELECT *,
+         |   max(CASE WHEN m * (k + 1) <= 20 * i THEN i END) OVER ()
+         |     AS imax,
+         |   min(CAST(m * (k + 1) AS DOUBLE)
+         |     / (${PermReps + 1}.0 * CAST(i AS DOUBLE))) OVER
+         |     (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+         |      FOLLOWING) AS padj_raw
+         |  FROM ranked)
+         |SELECT event_type, k AS n_extreme,
+         | CAST(k + 1 AS DOUBLE) / ${PermReps + 1}.0 AS p_raw,
+         | least(1.0, padj_raw) AS p_adj,
+         | (imax IS NOT NULL AND i <= imax) AS rejected
+         |FROM step ORDER BY event_type""".stripMargin,
+
+    "agg_sprt_sequential" ->
+      s"""WITH daily AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP))
+         |   AS day, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |     END) AS BIGINT) AS k
+         |  FROM events GROUP BY 1),
+         | c AS (SELECT day,
+         |   sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+         |     AND CURRENT ROW) AS nc,
+         |   sum(k) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+         |     AND CURRENT ROW) AS kc
+         |  FROM daily),
+         | l AS (SELECT day, nc, kc,
+         |   CAST(kc AS DOUBLE) * $SprtC1
+         |     + CAST(nc - kc AS DOUBLE) * $SprtC2 AS llr FROM c)
+         |SELECT day, CAST(nc AS BIGINT) AS n_cum,
+         | CAST(kc AS BIGINT) AS k_cum, round(llr, 6) AS llr,
+         | CASE WHEN llr >= $SprtA THEN 'accept_h1'
+         |      WHEN llr <= $SprtB THEN 'accept_h0'
+         |      ELSE 'continue' END AS decision
+         |FROM l ORDER BY day""".stripMargin,
+  )
+}

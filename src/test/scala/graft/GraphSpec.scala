@@ -334,6 +334,20 @@ class GraphSpec extends SparkSpec {
     assert(loose.count(_.getLong(5) == 500000L) == 2)
   }
 
+  test("hits: two-round integer hub/authority replay on a fixture") {
+    // Directed d1→d2 edges (1→3),(2→3),(1→4),(2→4),(4→5); h⁰ = 1.
+    //   a¹ = indegree: a¹(3)=a¹(4)=2, a¹(5)=1.
+    //   h¹(1)=h¹(2)=a¹(3)+a¹(4)=4, h¹(4)=a¹(5)=1.
+    //   a²(3)=a²(4)=h¹(1)+h¹(2)=8, a²(5)=h¹(4)=1.
+    //   h²(1)=h²(2)=16, h²(4)=1; pure sinks hub 0, pure sources auth 0.
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (4L, 5L))
+      .toDF("d1", "d2")
+    val got = GraphOps.hits(edges, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 16L, 0L), (2L, 16L, 0L), (3L, 0L, 8L),
+      (4L, 1L, 8L), (5L, 0L, 1L)), s"hits fixture mismatch: $got")
+  }
+
   test("graph_pagerank query runs on sf0.001 with full mass") {
     val out = SparkEntry.queries("graph_pagerank")(spark, sfDir)
     val rows = out.collect()

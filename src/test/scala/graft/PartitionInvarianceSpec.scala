@@ -18,7 +18,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "pipeline_cluster_sample",
     // round-7 integer-lattice / exact-stats keys
     "ts_holt", "ts_cusum_changepoint", "ts_autocorr_lag1", "graph_kcore",
-    "text_jaccard_knn", "sessionize_stats")
+    "text_jaccard_knn", "sessionize_stats",
+    // round-11 continuation: StatsExt exact-release keys (lattice sums,
+    // hi/lo releases, salted relabelings — all claim partition freedom)
+    "agg_spearman_corr", "agg_permutation_test", "agg_bh_fdr",
+    "agg_sprt_sequential")
 
   private def runAt(parts: Int, key: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -163,7 +163,11 @@ class PlanSpec extends SparkSpec {
             "text_bm25",     // 1-row (N, avgdl) corpus-stats cross join (as text_tfidf)
             "sim_hybrid_rrf", // 1-row broadcast query vector + 1-row |q| aggregate
             "pipeline_shard_skew_audit", // 1-row totals frame crossed onto the <=64-row shard ledger
-            "agg_eb_shrinkage" // two 1-row prior frames crossed onto the |users| agg
+            "agg_eb_shrinkage", // two 1-row prior frames crossed onto the |users| agg
+            "agg_spearman_corr", // two 1-row bucket-bounds crosses (the
+                                 // ScalableWindows rank machine, x and y)
+            "agg_permutation_test" // 1-row observed-split frame crossed
+                                   // onto the 199-row replicate ledger
           ).contains(key), p)
       }
     }
@@ -193,7 +197,11 @@ class PlanSpec extends SparkSpec {
         ("the documented exact anchor (global ntile IS the contract); " +
           "the 100 TB plan is pipeline_curriculum_stages_approx"),
       "pipeline_shard_skew_audit" ->
-        "Gini rank over the <=64-row shard ledger (corpus touched only by the shard agg)"
+        "Gini rank over the <=64-row shard ledger (corpus touched only by the shard agg)",
+      "agg_bh_fdr" ->
+        "BH rank/step-up/suffix-min over the <=|event types|-row p-value frame",
+      "agg_sprt_sequential" ->
+        "cumulative-LLR window over the bounded day grid (~30 rows/month)"
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { key =>
       val sp = SparkEntry.queries(key)(spark, sfDir).queryExecution.sparkPlan
