@@ -691,8 +691,10 @@ object GraphOps {
 
   /** One unrolled oracle round: i<k> sums floor contributions, p<k>
     * applies teleport + damped sum — the exact integer recurrence of
-    * [[step]]. Sums cast back to BIGINT (DuckDB widens sum to HUGEINT). */
-  private def oracleRound(k: Int): String =
+    * [[step]]. Sums cast back to BIGINT (DuckDB widens sum to HUGEINT).
+    * Shared with the TextOps text_textrank oracle, whose word-graph
+    * CTEs bind the same e/deg/nn/p<k> names. */
+  private[operators] def oracleRound(k: Int): String =
     s""" i$k AS (SELECT e.v AS node, CAST(sum(p${k - 1}.pr // p${k - 1}.outdeg) AS BIGINT) AS s
        |   FROM e JOIN p${k - 1} ON e.u = p${k - 1}.node GROUP BY 1),
        | p$k AS (SELECT deg.u AS node, deg.outdeg,

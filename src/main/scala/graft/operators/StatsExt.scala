@@ -293,6 +293,97 @@ object StatsExt {
         .orderBy("event_type")
     }),
 
+    // DIFFERENCE-IN-DIFFERENCES (round 11) — the quasi-experimental
+    // readout for when randomization was imperfect or the treatment
+    // landed at a date boundary: compare the treated arm's pre→post
+    // change against the control arm's (parallel-trends assumption
+    // carries the causal claim). Cells: srm42 md5 arm × the CUPED
+    // absolute-day period split (day ≤ 15 = pre). One corpus agg with
+    // 12 conditional exact-DECIMAL moments → a single 1-row IEEE tree
+    // for the DiD estimate, its pooled SE (Σ s²_cell/n_cell), and t.
+    // No windows, no joins — the minimal possible plan shape.
+    "agg_diff_in_diff" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("value"),
+        ((datediff(to_date(col("ts")), lit("2024-01-01")) + 1) <= 15)
+          .as("pre"),
+        (substring(md5(concat(lit("srm42:"), col("user_id"))), 1, 1)
+          < "8").as("treat"))
+      def cells(p: Column, nm: String) = Seq(
+        sum(when(p, 1L).otherwise(0L)).cast("double").as(s"n$nm"),
+        dsum6(when(p, col("value")).otherwise(lit(0.0))).as(s"sx$nm"),
+        dsum6(when(p, col("value") * col("value")).otherwise(lit(0.0)))
+          .as(s"sxx$nm"))
+      val aggs = cells(col("treat") && col("pre"), "tr") ++
+        cells(col("treat") && !col("pre"), "tp") ++
+        cells(!col("treat") && col("pre"), "cr") ++
+        cells(!col("treat") && !col("pre"), "cp")
+      val g = ev.agg(aggs.head, aggs.tail: _*)
+      def m(nm: String) = col(s"sx$nm") / col(s"n$nm")
+      def vr(nm: String) =
+        (col(s"sxx$nm") - col(s"sx$nm") * col(s"sx$nm") / col(s"n$nm")) /
+          (col(s"n$nm") - lit(1.0))
+      val did = (m("tp") - m("tr")) - (m("cp") - m("cr"))
+      val se = sqrt(vr("tp") / col("ntp") + vr("tr") / col("ntr")
+        + vr("cp") / col("ncp") + vr("cr") / col("ncr"))
+      g.select(
+        col("ntr").cast("long").as("n_t_pre"),
+        col("ntp").cast("long").as("n_t_post"),
+        col("ncr").cast("long").as("n_c_pre"),
+        col("ncp").cast("long").as("n_c_post"),
+        round(did, 6).as("did_estimate"),
+        round(se, 6).as("se"),
+        round(did / se, 6).as("t_stat"))
+    }),
+
+    // COCHRAN–MANTEL–HAENSZEL TEST (round 11) — the stratified 2×2
+    // association test: "does arm A convert better than arm B AFTER
+    // controlling for day-of-week?" — the confounder-adjusted answer a
+    // raw pooled 2×2 gets wrong whenever traffic mix shifts across
+    // strata (Simpson's pair, beside agg_chisq_independence's
+    // unstratified reading). K = 7 dow strata, success = purchase,
+    // arms = the srm42 md5 split. Exact integer cells (a, n1, m1, n)
+    // from ONE corpus agg; per-stratum E, V, and the MH odds-ratio
+    // terms are each a single IEEE tree over those integers; the
+    // cross-stratum sums ride the DECIMAL(28,12) lattice (the ANOVA /
+    // Kruskal–Wallis rule — the only place engine-ordered float
+    // addition could sneak in); continuity-corrected χ² released at
+    // 6 dp.
+    "agg_cmh_test" -> ((s, dir) => {
+      val dec = "decimal(28,12)"
+      val ev = events(s, dir).select(
+        dayofweek(col("ts")).as("dow"),
+        (col("event_type") === "purchase").as("succ"),
+        (substring(md5(concat(lit("srm42:"), col("user_id"))), 1, 1)
+          < "8").as("arma"))
+      val cellsK = ev.groupBy("dow").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("arma"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("succ"), 1L).otherwise(0L)).as("m1"),
+        sum(when(col("arma") && col("succ"), 1L).otherwise(0L)).as("a"))
+      val nD = col("n").cast("double")
+      val e = col("n1").cast("double") * col("m1") / nD
+      val v = col("n1").cast("double") * (col("n") - col("n1")) *
+        col("m1") * (col("n") - col("m1")) /
+        (nD * nD * (nD - lit(1.0)))
+      val bC = col("n1") - col("a") // arm A failures
+      val cC = col("m1") - col("a") // arm B successes
+      val dC = col("n") - col("n1") - col("m1") + col("a") // arm B failures
+      val g = cellsK.agg(
+        count(lit(1)).as("k_strata"),
+        sum(col("a")).as("a_total"),
+        sum((col("a").cast("double") - e).cast(dec)).cast("double")
+          .as("sae"),
+        sum(v.cast(dec)).cast("double").as("sv"),
+        sum(((col("a") * dC).cast("double") / nD).cast(dec))
+          .cast("double").as("orn"),
+        sum(((bC * cC).cast("double") / nD).cast(dec))
+          .cast("double").as("ord"))
+      g.select(col("k_strata"), col("a_total"),
+        round(col("orn") / col("ord"), 6).as("or_mh"),
+        round((abs(col("sae")) - lit(0.5)) * (abs(col("sae")) - lit(0.5))
+          / col("sv"), 6).as("chi2_cmh"))
+    }),
+
     // WALD'S SPRT (1945) on the daily purchase share — the sequential
     // stopping rule that, unlike the OBF looks (fixed K analyses),
     // stays valid at EVERY day boundary: cumulative LLR = k·ln(p1/p0)
@@ -408,6 +499,85 @@ object StatsExt {
          | least(1.0, padj_raw) AS p_adj,
          | (imax IS NOT NULL AND i <= imax) AS rejected
          |FROM step ORDER BY event_type""".stripMargin,
+
+    "agg_diff_in_diff" ->
+      """WITH ev AS (SELECT value,
+        |   (CAST(ts AS DATE) - DATE '2024-01-01' + 1) <= 15 AS pre,
+        |   substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |     AS treat
+        |  FROM events),
+        | g AS (SELECT
+        |   CAST(sum(CASE WHEN treat AND pre THEN 1 ELSE 0 END)
+        |     AS DOUBLE) AS ntr,
+        |   CAST(sum(CAST(CASE WHEN treat AND pre THEN value ELSE 0 END
+        |     AS DECIMAL(18,6))) AS DOUBLE) AS sxtr,
+        |   CAST(sum(CAST(CASE WHEN treat AND pre THEN value * value
+        |     ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS sxxtr,
+        |   CAST(sum(CASE WHEN treat AND NOT pre THEN 1 ELSE 0 END)
+        |     AS DOUBLE) AS ntp,
+        |   CAST(sum(CAST(CASE WHEN treat AND NOT pre THEN value
+        |     ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS sxtp,
+        |   CAST(sum(CAST(CASE WHEN treat AND NOT pre THEN value * value
+        |     ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS sxxtp,
+        |   CAST(sum(CASE WHEN NOT treat AND pre THEN 1 ELSE 0 END)
+        |     AS DOUBLE) AS ncr,
+        |   CAST(sum(CAST(CASE WHEN NOT treat AND pre THEN value
+        |     ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS sxcr,
+        |   CAST(sum(CAST(CASE WHEN NOT treat AND pre THEN value * value
+        |     ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS sxxcr,
+        |   CAST(sum(CASE WHEN NOT treat AND NOT pre THEN 1 ELSE 0 END)
+        |     AS DOUBLE) AS ncp,
+        |   CAST(sum(CAST(CASE WHEN NOT treat AND NOT pre THEN value
+        |     ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS sxcp,
+        |   CAST(sum(CAST(CASE WHEN NOT treat AND NOT pre THEN
+        |     value * value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |     AS sxxcp
+        |  FROM ev),
+        | f AS (SELECT *,
+        |   (sxtp / ntp - sxtr / ntr) - (sxcp / ncp - sxcr / ncr) AS did,
+        |   sqrt((sxxtp - sxtp * sxtp / ntp) / (ntp - 1.0) / ntp
+        |     + (sxxtr - sxtr * sxtr / ntr) / (ntr - 1.0) / ntr
+        |     + (sxxcp - sxcp * sxcp / ncp) / (ncp - 1.0) / ncp
+        |     + (sxxcr - sxcr * sxcr / ncr) / (ncr - 1.0) / ncr) AS se
+        |  FROM g)
+        |SELECT CAST(ntr AS BIGINT) AS n_t_pre,
+        | CAST(ntp AS BIGINT) AS n_t_post,
+        | CAST(ncr AS BIGINT) AS n_c_pre,
+        | CAST(ncp AS BIGINT) AS n_c_post,
+        | round(did, 6) AS did_estimate, round(se, 6) AS se,
+        | round(did / se, 6) AS t_stat
+        |FROM f""".stripMargin,
+
+    "agg_cmh_test" ->
+      """WITH ev AS (SELECT
+        |   CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+        |   event_type = 'purchase' AS succ,
+        |   substr(md5('srm42:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |     AS arma
+        |  FROM events),
+        | cells AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CASE WHEN arma THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(sum(CASE WHEN succ THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |   CAST(sum(CASE WHEN arma AND succ THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS a
+        |  FROM ev GROUP BY 1),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS k_strata,
+        |   CAST(sum(a) AS BIGINT) AS a_total,
+        |   CAST(sum(CAST(CAST(a AS DOUBLE)
+        |     - CAST(n1 AS DOUBLE) * m1 / CAST(n AS DOUBLE)
+        |     AS DECIMAL(28,12))) AS DOUBLE) AS sae,
+        |   CAST(sum(CAST(CAST(n1 AS DOUBLE) * (n - n1) * m1 * (n - m1)
+        |     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |       * (CAST(n AS DOUBLE) - 1.0))
+        |     AS DECIMAL(28,12))) AS DOUBLE) AS sv,
+        |   CAST(sum(CAST(CAST(a * (n - n1 - m1 + a) AS DOUBLE)
+        |     / CAST(n AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS orn,
+        |   CAST(sum(CAST(CAST((n1 - a) * (m1 - a) AS DOUBLE)
+        |     / CAST(n AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ord
+        |  FROM cells)
+        |SELECT k_strata, a_total, round(orn / ord, 6) AS or_mh,
+        | round((abs(sae) - 0.5) * (abs(sae) - 0.5) / sv, 6) AS chi2_cmh
+        |FROM g""".stripMargin,
 
     "agg_sprt_sequential" ->
       s"""WITH daily AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP))

@@ -259,6 +259,13 @@ object TextOps {
   private val RakeStopwords = "\\b(?:a|an|the|and|or|of|to|in|on|for" +
     "|with|is|are|was|be|by|at|as|it|this|that)\\b"
 
+  /** The RAKE function-word list as a plain word set — shared by
+    * text_textrank's co-occurrence filter (same words, set membership
+    * instead of the split regex). */
+  private val StopwordSet = Seq("a", "an", "the", "and", "or", "of",
+    "to", "in", "on", "for", "with", "is", "are", "was", "be", "by",
+    "at", "as", "it", "this", "that")
+
   val queries: Map[String, Q] = Map(
     "text_wordcount" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -266,6 +273,36 @@ object TextOps {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
         .limit(20)),
+
+    // TEXTRANK KEYWORDS (Mihalcea & Tarau 2004) — the graph-centrality
+    // keyword ranker beside RAKE's degree/frequency heuristic: build
+    // the window-2 word co-occurrence graph (adjacent non-stopword
+    // token pairs, undirected, deduped) and rank words by PageRank on
+    // it — a word matters because it keeps company with words that
+    // matter, which catches connective corpus vocabulary RAKE's
+    // phrase-local scores miss. Runs the EXACT integer PageRank
+    // machine (GraphOps.pageRank — micro-unit mass, integer div, bit-
+    // identical cross-engine; the oracle replays the same 3 unrolled
+    // rounds over the word graph). Shape: one per-doc HOF projection
+    // builds adjacent pairs (no self-join on position), one distinct,
+    // then |vocab|-bounded rank rounds; top-30 via TakeOrdered.
+    "text_textrank" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(expr(
+          "filter(transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)), " +
+            "p -> p.w1 <> p.w2)")).as("p"))
+        .select(least(col("p.w1"), col("p.w2")).as("d1"),
+          greatest(col("p.w1"), col("p.w2")).as("d2"))
+        .filter(!col("d1").isin(StopwordSet: _*) &&
+          !col("d2").isin(StopwordSet: _*))
+        .distinct()
+      GraphOps.pageRank(pairs, iters = 3)
+        .select(col("doc_id").as("word"), col("pr"))
+        .orderBy(col("pr").desc, col("word"))
+        .limit(30)
+    }),
 
     // RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the unsupervised
     // corpus-keyword report a curation run reads to see what a source
@@ -1184,6 +1221,30 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Word-graph CTEs bind the e/deg/nn/p<k> names GraphOps.oracleRound
+    // expects, so the pagerank rounds are shared verbatim with the
+    // doc-graph oracle.
+    "text_textrank" -> {
+      val stopList = StopwordSet.map(w => s"'$w'").mkString(", ")
+      s"""WITH tk AS (SELECT string_split(text, ' ') AS toks
+         |  FROM documents),
+         | bp AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT toks,
+         |    unnest(generate_series(1, len(toks) - 1)) AS i FROM tk)),
+         | pj AS (SELECT DISTINCT least(w1, w2) AS d1,
+         |   greatest(w1, w2) AS d2
+         |  FROM bp WHERE w1 <> w2
+         |   AND least(w1, w2) NOT IN ($stopList)
+         |   AND greatest(w1, w2) NOT IN ($stopList)),
+         | e AS (SELECT d1 AS u, d2 AS v FROM pj
+         |  UNION ALL SELECT d2, d1 FROM pj),
+         | deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY 1),
+         | nn AS (SELECT count(*) AS cnt FROM deg),
+         | p0 AS (SELECT deg.u AS node, deg.outdeg,
+         |   1000000000000 // cnt AS pr FROM deg CROSS JOIN nn),""".stripMargin +
+        (1 to 3).map(GraphOps.oracleRound).mkString(",\n") + "\n" +
+        "SELECT node AS word, pr FROM p3 ORDER BY pr DESC, node LIMIT 30"
+    },
     "text_rake_keywords" ->
       """WITH fr AS (SELECT trim(f) AS phrase
         |  FROM (SELECT unnest(regexp_split_to_array(text,

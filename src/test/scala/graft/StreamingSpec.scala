@@ -1228,6 +1228,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming count-min sketch ≡ batch aggregate BYTES (linear sketch, any order)") {
+    import graft.streaming.StreamingCountMin
+    import graft.streaming.StreamingCountMin.EventIn
+    withRocksDb {
+      // CMS is a LINEAR sketch: sequential adds and the batch
+      // aggregate's partial-merge tree produce the identical counter
+      // table under exactly-once delivery, so the pin is byte equality
+      // of the serialized sketches — feed in a shuffled non-event-time
+      // order to prove order freedom.
+      val rows = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"))
+        .as[EventIn].collect().toSeq
+        .sortBy(e => (e.user_id * 2654435761L + e.event_type.hashCode) % 991)
+      val waves = rows.grouped((rows.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingCountMin.countMin(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_count_min")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      finally q.stop()
+      // latest emission per type = the one with the full count
+      val streamed = spark.table("stream_count_min")
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rs) => t -> rs.maxBy(_.getLong(1)) }
+        .map { case (t, r) => t -> (r.getLong(1), r.getAs[Array[Byte]](2)) }
+      val batch = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), expr(
+          s"count_min_sketch(user_id, ${StreamingCountMin.Eps}d, " +
+            s"${StreamingCountMin.Confidence}d, ${StreamingCountMin.Seed})")
+          .as("sk"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Array[Byte]](2)))
+        .toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (t, (n, bytes)) =>
+        assert(n == batch(t)._1, s"$t count")
+        assert(java.util.Arrays.equals(bytes, batch(t)._2),
+          s"$t sketch bytes diverge")
+      }
+    }
+  }
+
   test("streaming weighted reservoir ≡ batch sample_weighted (exact, any chunking)") {
     import graft.streaming.StreamingWeightedSample
     import graft.streaming.StreamingWeightedSample.DocIn
