@@ -173,9 +173,12 @@ object StatsExt {
     // the moment sums are exact DECIMALs released through the 2^32
     // hi/lo split.
     "agg_spearman_corr" -> ((s, dir) => {
+      // checkpointed leaf: the per-user frame feeds BOTH rank layers
+      // and the final join — uncached, the corpus agg would run 3×
       val u = userTotals(s, dir, byType = true)
         .select(col("event_type"), col("user_id"),
           col("ne").as("x"), col("y"))
+        .localCheckpoint()
       val rx = avgRank2(u.select("event_type", "x"), "x")
         .withColumnRenamed("r2", "r2x")
       val ry = avgRank2(u.select("event_type", "y"), "y")
