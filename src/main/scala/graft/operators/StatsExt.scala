@@ -387,6 +387,78 @@ object StatsExt {
           / col("sv"), 6).as("chi2_cmh"))
     }),
 
+    // GRANGER-CAUSALITY SCREEN (round 11) — "does click activity at
+    // hour t−1 help predict purchases at hour t beyond purchases' own
+    // history?" — the lagged-regression F-test that upgrades
+    // ts_lead_lag_corr's correlation into a directional predictive
+    // claim (both directions released; Granger asymmetry is the
+    // readout). Restricted OLS y~1+y₋₁ vs unrestricted y~1+y₋₁+x₋₁,
+    // F = (RSS_r − RSS_u)(n−3)/RSS_u. Corpus → ONE hourly agg; the
+    // dense hour grid, its lag window, and both moment aggregations
+    // are calendar-bounded (~720 rows/month — the ts_backtest_snaive
+    // allowlist class). Moments: quadratic sums of exact integer
+    // hourly counts ride DECIMAL(28,0) and release through the 2^32
+    // hi/lo split; the OLS solve is one shared Cramer IEEE tree.
+    "ts_granger_causality" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("p"),
+          sum(when(col("event_type") === "click", 1L)
+            .otherwise(0L)).as("c"))
+        .localCheckpoint() // feeds both the grid bounds and the join
+      val grid = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)"))
+          .as("h"))
+      val dense = grid.join(hourly, Seq("h"), "left")
+        .na.fill(0L, Seq("p", "c"))
+      val w = Window.orderBy("h")
+      val lagged = dense.select(col("h"), col("p"), col("c"),
+          lag("p", 1).over(w).as("pl"), lag("c", 1).over(w).as("cl"))
+        .filter(col("pl").isNotNull)
+      val base = lagged.select(
+          lit("click_to_purchase").as("direction"), col("p").as("y"),
+          col("pl").as("x1"), col("cl").as("x2"))
+        .unionAll(lagged.select(
+          lit("purchase_to_click").as("direction"), col("c").as("y"),
+          col("cl").as("x1"), col("pl").as("x2")))
+      def q(x: Column) = x.cast("decimal(28,0)")
+      val mraw = base.groupBy("direction").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x1")).cast("double").as("s1"),
+        sum(col("x2")).cast("double").as("s2"),
+        sum(q(col("x1") * col("x1"))).cast("decimal(38,0)").as("q11"),
+        sum(q(col("x2") * col("x2"))).cast("decimal(38,0)").as("q22"),
+        sum(q(col("x1") * col("x2"))).cast("decimal(38,0)").as("q12"),
+        sum(q(col("x1") * col("y"))).cast("decimal(38,0)").as("q1y"),
+        sum(q(col("x2") * col("y"))).cast("decimal(38,0)").as("q2y"),
+        sum(q(col("y") * col("y"))).cast("decimal(38,0)").as("qyy"))
+      val m = mraw.select(col("direction"), col("n"), col("sy"),
+        col("s1"), col("s2"),
+        exactDbl("q11").as("r11"), exactDbl("q22").as("r22"),
+        exactDbl("q12").as("r12"), exactDbl("q1y").as("r1y"),
+        exactDbl("q2y").as("r2y"), exactDbl("qyy").as("ryy"))
+      val s11 = col("r11") - col("s1") * col("s1") / col("n")
+      val s22 = col("r22") - col("s2") * col("s2") / col("n")
+      val s12 = col("r12") - col("s1") * col("s2") / col("n")
+      val s1y = col("r1y") - col("s1") * col("sy") / col("n")
+      val s2y = col("r2y") - col("s2") * col("sy") / col("n")
+      val syy = col("ryy") - col("sy") * col("sy") / col("n")
+      val rssR = syy - s1y * s1y / s11
+      val det = s11 * s22 - s12 * s12
+      val b1 = (s1y * s22 - s2y * s12) / det
+      val b2 = (s2y * s11 - s1y * s12) / det
+      val rssU = syy - b1 * s1y - b2 * s2y
+      val f = (rssR - rssU) * (col("n") - lit(3.0)) / rssU
+      m.select(col("direction"), col("n").cast("long").as("n_hours"),
+          round(b2, 6).as("b_cross_lag"),
+          round(rssR, 6).as("rss_restricted"),
+          round(rssU, 6).as("rss_unrestricted"),
+          round(f, 6).as("f_stat"))
+        .orderBy("direction")
+    }),
+
     // WALD'S SPRT (1945) on the daily purchase share — the sequential
     // stopping rule that, unlike the OBF looks (fixed K analyses),
     // stays valid at EVERY day boundary: cumulative LLR = k·ln(p1/p0)
@@ -581,6 +653,59 @@ object StatsExt {
         |SELECT k_strata, a_total, round(orn / ord, 6) AS or_mh,
         | round((abs(sae) - 0.5) * (abs(sae) - 0.5) / sv, 6) AS chi2_cmh
         |FROM g""".stripMargin,
+
+    "ts_granger_causality" ->
+      s"""WITH hourly AS (SELECT
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |     END) AS BIGINT) AS p,
+         |   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+         |     END) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         | grid AS (SELECT unnest(generate_series(
+         |   (SELECT min(h) FROM hourly), (SELECT max(h) FROM hourly),
+         |   INTERVAL 1 HOUR)) AS h),
+         | dense AS (SELECT g.h, COALESCE(p, 0) AS p, COALESCE(c, 0) AS c
+         |  FROM grid g LEFT JOIN hourly USING (h)),
+         | lagged AS (SELECT h, p, c, lag(p) OVER (ORDER BY h) AS pl,
+         |   lag(c) OVER (ORDER BY h) AS cl FROM dense),
+         | base AS (SELECT 'click_to_purchase' AS direction, p AS y,
+         |   pl AS x1, cl AS x2 FROM lagged WHERE pl IS NOT NULL
+         |  UNION ALL SELECT 'purchase_to_click', c, cl, pl FROM lagged
+         |   WHERE pl IS NOT NULL),
+         | mm AS (SELECT direction, CAST(count(*) AS DOUBLE) AS n,
+         |   CAST(sum(y) AS DOUBLE) AS sy,
+         |   CAST(sum(x1) AS DOUBLE) AS s1,
+         |   CAST(sum(x2) AS DOUBLE) AS s2,
+         |   sum(CAST(x1 * x1 AS HUGEINT)) AS q11,
+         |   sum(CAST(x2 * x2 AS HUGEINT)) AS q22,
+         |   sum(CAST(x1 * x2 AS HUGEINT)) AS q12,
+         |   sum(CAST(x1 * y AS HUGEINT)) AS q1y,
+         |   sum(CAST(x2 * y AS HUGEINT)) AS q2y,
+         |   sum(CAST(y * y AS HUGEINT)) AS qyy
+         |  FROM base GROUP BY 1),
+         | r AS (SELECT direction, n, sy, s1, s2,
+         |   ${exactDblSql("q11")} AS r11, ${exactDblSql("q22")} AS r22,
+         |   ${exactDblSql("q12")} AS r12, ${exactDblSql("q1y")} AS r1y,
+         |   ${exactDblSql("q2y")} AS r2y, ${exactDblSql("qyy")} AS ryy
+         |  FROM mm),
+         | cent AS (SELECT direction, n,
+         |   r11 - s1 * s1 / n AS s11, r22 - s2 * s2 / n AS s22,
+         |   r12 - s1 * s2 / n AS s12, r1y - s1 * sy / n AS s1y,
+         |   r2y - s2 * sy / n AS s2y, ryy - sy * sy / n AS syy
+         |  FROM r),
+         | sol AS (SELECT direction, n, syy - s1y * s1y / s11 AS rss_r,
+         |   (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+         |   (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2,
+         |   s1y, s2y, syy FROM cent),
+         | fin AS (SELECT direction, n, b2, rss_r,
+         |   syy - b1 * s1y - b2 * s2y AS rss_u FROM sol)
+         |SELECT direction, CAST(n AS BIGINT) AS n_hours,
+         | round(b2, 6) AS b_cross_lag,
+         | round(rss_r, 6) AS rss_restricted,
+         | round(rss_u, 6) AS rss_unrestricted,
+         | round((rss_r - rss_u) * (n - 3.0) / rss_u, 6) AS f_stat
+         |FROM fin ORDER BY direction""".stripMargin,
 
     "agg_sprt_sequential" ->
       s"""WITH daily AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP))

@@ -274,6 +274,43 @@ object TextOps {
         .orderBy(col("cnt").desc, col("word"))
         .limit(20)),
 
+    // LEXICON SENTIMENT SCREEN (round 11) — the cheap moderation /
+    // tone-audit pass a curation pipeline runs per source before any
+    // model-based scorer: polarity = (|pos ∩ tokens| − |neg ∩ tokens|)
+    // / |tokens| against a fixed word lexicon, aggregated per source.
+    // The lexicon is deliberately tiny and swappable — the OPERATOR is
+    // the artifact (per-doc HOF counting, zero shuffles before the
+    // per-source agg; at 100 TB: one projection + one 20-row hash
+    // agg). Determinism: the per-doc score rides the 1e-6 integer
+    // lattice with an OFFSET division ((1e6·(pos−neg+n)) div n − 1e6)
+    // so the truncating `div` never sees a negative numerator (Spark
+    // truncates toward zero, DuckDB `//` floors — they differ exactly
+    // there); the per-source mean is two correctly-rounded divisions
+    // over exact longs.
+    "text_sentiment_lexicon" -> ((s, dir) => {
+      val pos = "('fast', 'big', 'value')"
+      val neg = "('slow', 'error', 'filter')"
+      val scored = t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"),
+          expr("size(toks)").as("ntok"),
+          expr(s"size(filter(toks, w -> w IN $pos))").as("npos"),
+          expr(s"size(filter(toks, w -> w IN $neg))").as("nneg"))
+        .select(col("source"), col("npos"), col("nneg"),
+          (expr("(1000000 * CAST(npos - nneg + ntok AS BIGINT)) div ntok")
+            - lit(1000000L)).as("score_micro"))
+      scored.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("score_micro") > 0, 1L).otherwise(0L))
+            .as("n_positive"),
+          sum(when(col("score_micro") < 0, 1L).otherwise(0L))
+            .as("n_negative"),
+          round(sum(col("score_micro")).cast("double")
+            / count(lit(1)).cast("double") / lit(1000000.0), 6)
+            .as("mean_polarity"))
+        .orderBy("source")
+    }),
+
     // TEXTRANK KEYWORDS (Mihalcea & Tarau 2004) — the graph-centrality
     // keyword ranker beside RAKE's degree/frequency heuristic: build
     // the window-2 word co-occurrence graph (adjacent non-stopword
@@ -1248,6 +1285,26 @@ object TextOps {
         (1 to 3).map(GraphOps.oracleRound).mkString(",\n") + "\n" +
         "SELECT node AS word, pr FROM p3 ORDER BY pr DESC, node LIMIT 30"
     },
+    "text_sentiment_lexicon" ->
+      """WITH sc AS (SELECT source,
+        |   len(string_split(text, ' ')) AS ntok,
+        |   len(list_filter(string_split(text, ' '),
+        |     w -> w IN ('fast', 'big', 'value'))) AS npos,
+        |   len(list_filter(string_split(text, ' '),
+        |     w -> w IN ('slow', 'error', 'filter'))) AS nneg
+        |  FROM documents),
+        | scored AS (SELECT source,
+        |   (1000000 * CAST(npos - nneg + ntok AS BIGINT)) // ntok
+        |     - 1000000 AS score_micro
+        |  FROM sc)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_positive,
+        | CAST(sum(CASE WHEN score_micro < 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_negative,
+        | round(CAST(sum(score_micro) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_polarity
+        |FROM scored GROUP BY 1 ORDER BY source""".stripMargin,
     "text_rake_keywords" ->
       """WITH fr AS (SELECT trim(f) AS phrase
         |  FROM (SELECT unnest(regexp_split_to_array(text,

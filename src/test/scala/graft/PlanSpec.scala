@@ -201,7 +201,9 @@ class PlanSpec extends SparkSpec {
       "agg_bh_fdr" ->
         "BH rank/step-up/suffix-min over the <=|event types|-row p-value frame",
       "agg_sprt_sequential" ->
-        "cumulative-LLR window over the bounded day grid (~30 rows/month)"
+        "cumulative-LLR window over the bounded day grid (~30 rows/month)",
+      "ts_granger_causality" ->
+        "lag window over the bounded dense hour grid (~720 rows/month)"
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { key =>
       val sp = SparkEntry.queries(key)(spark, sfDir).queryExecution.sparkPlan
