@@ -572,6 +572,20 @@ object GraphOps {
       nodeJaccard(nearDupPairs(s, dir), minShared = 2L)
         .orderBy("a", "b")),
 
+    // DEGREE ASSORTATIVITY (Newman 2002) — one number summarizing the
+    // near-dup graph's mixing pattern: r > 0 = hubs pair with hubs
+    // (dense boilerplate families that survive clustering), r < 0 =
+    // hubs pair with leaves (star-shaped template graphs where the
+    // canonical-pick rule matters most). Pearson correlation of the
+    // endpoint degrees over the SYMMETRIC edge list (each undirected
+    // edge counted in both orientations — Newman's convention, and it
+    // makes the x/y margins identical). Exact: degrees are integers,
+    // all five moment sums ride DECIMAL(38,0) and release through the
+    // 2^32 hi/lo split; NULL on a degree-regular graph (zero
+    // variance), like agg_spearman_corr's guard.
+    "graph_assortativity" -> ((s, dir) =>
+      assortativity(nearDupPairs(s, dir))),
+
     // HITS hubs & authorities (Kleinberg 1999) — the second classic
     // link-analysis scorer beside PageRank, on the near-dup pair list
     // read as a DIRECTED endorsement d1→d2 (the dedup-canonical
@@ -589,6 +603,45 @@ object GraphOps {
       hits(nearDupPairs(s, dir), iters = 2)
         .orderBy(desc("hub"), desc("auth"), col("doc_id"))),
   )
+
+  /** Degree-assortativity coefficient over an undirected pair set:
+    * Pearson r of (deg u, deg v) across the symmetric edge list.
+    * Returns one row (n_edges_directed, r_assort) — NULL r on a
+    * degree-regular graph. Exact DECIMAL moments, hi/lo release. */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+    val deg = e.groupBy("u").agg(count(lit(1)).as("dg"))
+    val du = deg.select(col("u"), col("dg").as("du"))
+    val dv = deg.select(col("u").as("v"), col("dg").as("dv"))
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val m = e.join(du, "u").join(dv, "v").agg(
+      count(lit(1)).as("m"),
+      sum(d19(col("du"))).as("sx"),
+      sum(d19(col("dv"))).as("sy"),
+      sum(d19(col("du")) * d19(col("dv"))).cast("decimal(38,0)")
+        .as("sxy"),
+      sum(d19(col("du")) * d19(col("du"))).cast("decimal(38,0)")
+        .as("sxx"),
+      sum(d19(col("dv")) * d19(col("dv"))).cast("decimal(38,0)")
+        .as("syy"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val t = m.select(col("m"),
+        (d38(col("m")) * col("sxy") - d38(col("sx")) * col("sy"))
+          .cast("decimal(38,0)").as("rnum"),
+        (d38(col("m")) * col("sxx") - d38(col("sx")) * col("sx"))
+          .cast("decimal(38,0)").as("vx"),
+        (d38(col("m")) * col("syy") - d38(col("sy")) * col("sy"))
+          .cast("decimal(38,0)").as("vy"))
+      .withColumn("anum", abs(col("rnum")).cast("decimal(38,0)"))
+    t.select(col("m").as("n_edges_directed"),
+      when(col("vx") === 0 || col("vy") === 0, lit(null))
+        .otherwise(round(
+          when(col("rnum") < 0, -1.0).otherwise(1.0) *
+            StatsExt.exactDbl("anum") /
+            sqrt(StatsExt.exactDbl("vx") * StatsExt.exactDbl("vy")), 6))
+        .as("r_assort"))
+  }
 
   /** Two-round unnormalized integer HITS over a directed pair set
     * `pairs(d1→d2)`: h⁰ = 1; aᵏ(v) = Σ_{u→v} hᵏ⁻¹(u); hᵏ(u) =
@@ -860,6 +913,28 @@ object GraphOps {
         | CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles
         |FROM npc JOIN epc USING (cluster_id) LEFT JOIN tpc USING (cluster_id)
         |ORDER BY cluster_id""".stripMargin),
+
+    // Endpoint-degree Pearson over the symmetric edge list; the same
+    // hi/lo release tree as the engine.
+    "graph_assortativity" -> (GraphCtes + ",\n" +
+      s""" j AS (SELECT a.outdeg AS du, b.outdeg AS dv
+         |  FROM e JOIN deg a ON e.u = a.u JOIN deg b ON e.v = b.u),
+         | mo AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+         |   sum(CAST(du AS HUGEINT)) AS sx,
+         |   sum(CAST(dv AS HUGEINT)) AS sy,
+         |   sum(CAST(du AS HUGEINT) * dv) AS sxy,
+         |   sum(CAST(du AS HUGEINT) * du) AS sxx,
+         |   sum(CAST(dv AS HUGEINT) * dv) AS syy FROM j),
+         | ta AS (SELECT m, m * sxy - sx * sy AS rnum,
+         |   m * sxx - sx * sx AS vx, m * syy - sy * sy AS vy FROM mo)
+         |SELECT CAST(m AS BIGINT) AS n_edges_directed,
+         | CASE WHEN vx = 0 OR vy = 0 THEN NULL ELSE
+         |  round((CASE WHEN rnum < 0 THEN -1.0 ELSE 1.0 END)
+         |   * ${StatsExt.exactDblSql("abs(rnum)")}
+         |   / sqrt(${StatsExt.exactDblSql("vx")}
+         |     * ${StatsExt.exactDblSql("vy")}), 6)
+         | END AS r_assort
+         |FROM ta""".stripMargin),
 
     // Unrolled integer HITS replay on the directed pj list (d1→d2);
     // sums come back as HUGEINT, cast to BIGINT like the pagerank

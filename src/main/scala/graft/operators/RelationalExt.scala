@@ -331,6 +331,43 @@ object RelationalExt {
         .orderBy("doc_id")
     }),
 
+    // GROUP-RELATIVE ADVANTAGE (round 11) — the GRPO-style reward
+    // normalization beside pipeline_preference_pairs' DPO pairs: per
+    // prompt group (user, day), advantage_i = (r_i − mean_g)/sd_g —
+    // group-relative standardization needs no value model, which is
+    // exactly why group-sampled RL preprocessing wants it as a data
+    // op. Degenerate groups (n = 1, zero variance) emit advantage 0,
+    // the skip convention. Shape: ONE window over the high-cardinality
+    // prompt key (a single shuffle at 100 TB); group moments are exact
+    // micro-lattice sums (Σr² rides DECIMAL(38,0) — a single event's
+    // square can pass 2^53 — and releases via the hi/lo split), the
+    // per-event release is one IEEE tree.
+    "pipeline_group_advantage" -> ((s, dir) => {
+      val micro = (col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        date_trunc("day", col("ts")).as("day"), micro.as("vi"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "day")
+      val st = ev
+        .withColumn("ng", count(lit(1)).over(w))
+        .withColumn("svi", sum(col("vi")).over(w))
+        .withColumn("svv",
+          sum(col("vi").cast("decimal(38,0)") * col("vi")).over(w))
+      val nD = col("ng").cast("double")
+      val sviD = col("svi").cast("double")
+      val svvD = StatsExt.exactDbl("svv")
+      val varS = (svvD - sviD * sviD / nD) / (nD - lit(1.0))
+      val adv = when(col("ng") === 1 || varS <= 0.0, lit(0.0))
+        .otherwise((col("vi").cast("double") - sviD / nD) / sqrt(varS))
+      st.select(col("event_id"), col("user_id"), col("day"),
+          round(col("vi").cast("double") / lit(1000000.0), 6)
+            .as("reward"),
+          col("ng").as("n_group"),
+          round(adv, 6).as("advantage"))
+        .orderBy("event_id")
+    }),
+
     // PREFERENCE-PAIR CONSTRUCTION (round 11) — the DPO/RLHF data-prep
     // step: within each prompt group (here: a user's day of activity),
     // emit one (chosen, rejected) pair — the highest- and lowest-reward
@@ -1830,6 +1867,30 @@ object RelationalExt {
         |      AS BIGINT) - 1)) % 5 AS INT) AS fold_id
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         |ORDER BY d.doc_id""").stripMargin,
+    "pipeline_group_advantage" ->
+      s"""WITH ev AS (SELECT event_id, user_id,
+         |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |   CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |     AS vi
+         |  FROM events),
+         | st AS (SELECT event_id, user_id, day, vi,
+         |   CAST(count(*) OVER win AS BIGINT) AS ng,
+         |   CAST(sum(vi) OVER win AS BIGINT) AS svi,
+         |   sum(CAST(vi AS HUGEINT) * vi) OVER win AS svv
+         |  FROM ev WINDOW win AS (PARTITION BY user_id, day)),
+         | r AS (SELECT event_id, user_id, day, vi, ng,
+         |   CAST(ng AS DOUBLE) AS nd, CAST(svi AS DOUBLE) AS svid,
+         |   ${StatsExt.exactDblSql("svv")} AS svvd
+         |  FROM st)
+         |SELECT event_id, user_id, day,
+         | round(CAST(vi AS DOUBLE) / 1000000.0, 6) AS reward,
+         | ng AS n_group,
+         | round(CASE WHEN ng = 1 OR
+         |    (svvd - svid * svid / nd) / (nd - 1.0) <= 0.0 THEN 0.0
+         |   ELSE (CAST(vi AS DOUBLE) - svid / nd)
+         |    / sqrt((svvd - svid * svid / nd) / (nd - 1.0)) END, 6)
+         |   AS advantage
+         |FROM r ORDER BY event_id""".stripMargin,
     "pipeline_preference_pairs" ->
       """WITH ev AS (SELECT user_id,
         |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_id,

@@ -39,14 +39,15 @@ object StatsExt {
     * rounded — bit-identical cross-engine even when the raw value
     * exceeds 2^53. Caller must pass a NON-NEGATIVE column (integral
     * `div` truncates toward zero on negatives in Spark but floors in
-    * DuckDB — release |x| and reapply the sign). */
-  private def exactDbl(name: String): Column =
+    * DuckDB — release |x| and reapply the sign). Shared with
+    * GraphOps.assortativity (package-private). */
+  private[operators] def exactDbl(name: String): Column =
     expr(s"$name div 4294967296").cast("double") * lit(4294967296.0) +
       (col(name) - expr(s"$name div 4294967296").cast("decimal(38,0)") *
         lit(4294967296L)).cast("double")
 
   /** Oracle-side twin of [[exactDbl]] on a DuckDB HUGEINT expression. */
-  private def exactDblSql(x: String): String =
+  private[operators] def exactDblSql(x: String): String =
     s"(CAST(($x) // 4294967296 AS DOUBLE) * 4294967296.0" +
       s" + CAST(($x) % 4294967296 AS DOUBLE))"
 
@@ -387,6 +388,41 @@ object StatsExt {
           / col("sv"), 6).as("chi2_cmh"))
     }),
 
+    // PAIRED t-TEST (round 11) — the within-subject member of the
+    // t-family (two-sample: agg_ab_ttest; trimmed: Yuen; this: each
+    // user as their own control): d_u = post − pre value total per
+    // user over the CUPED absolute-day split, t = mean(d)·√n / sd(d).
+    // Pairing removes between-user variance — the workhorse for
+    // before/after feature launches without a concurrent control.
+    // d_u is an exact micro-lattice long (difference of two exact
+    // DECIMAL sums), Σd/Σd² ride DECIMAL(38,0) and release through
+    // the 2^32 hi/lo split; one corpus agg + one 1-row IEEE tree.
+    "agg_paired_ttest" -> ((s, dir) => {
+      val micro = (col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+      val per = events(s, dir)
+        .select(col("user_id"), micro.as("vi"),
+          ((datediff(to_date(col("ts")), lit("2024-01-01")) + 1) <= 15)
+            .as("pre"))
+        .groupBy("user_id")
+        .agg((sum(when(!col("pre"), col("vi")).otherwise(0L))
+          - sum(when(col("pre"), col("vi")).otherwise(0L))).as("d"))
+      val g = per.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("d").cast("decimal(38,0)")).as("sd"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("sdd"))
+        .withColumn("asd", abs(col("sd")).cast("decimal(38,0)"))
+      val sdD = when(col("sd") < 0, -1.0).otherwise(lit(1.0)) *
+        exactDbl("asd") / lit(1000000.0)
+      val sddD = exactDbl("sdd") / lit(1000000000000.0)
+      val meanD = sdD / col("n")
+      val varD = (sddD - sdD * sdD / col("n")) / (col("n") - lit(1.0))
+      g.select(col("n").cast("long").as("n_users"),
+        round(meanD, 6).as("mean_diff"),
+        round(sqrt(varD), 6).as("sd_diff"),
+        round(meanD / sqrt(varD / col("n")), 6).as("t_stat"))
+    }),
+
     // GRANGER-CAUSALITY SCREEN (round 11) — "does click activity at
     // hour t−1 help predict purchases at hour t beyond purchases' own
     // history?" — the lagged-regression F-test that upgrades
@@ -653,6 +689,30 @@ object StatsExt {
         |SELECT k_strata, a_total, round(orn / ord, 6) AS or_mh,
         | round((abs(sae) - 0.5) * (abs(sae) - 0.5) / sv, 6) AS chi2_cmh
         |FROM g""".stripMargin,
+
+    "agg_paired_ttest" ->
+      s"""WITH per AS (SELECT user_id,
+         |   sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01' + 1)
+         |     > 15 THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+         |     AS BIGINT) ELSE 0 END)
+         |   - sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01' + 1)
+         |     <= 15 THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+         |     AS BIGINT) ELSE 0 END) AS d
+         |  FROM events GROUP BY 1),
+         | g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |   sum(CAST(d AS HUGEINT)) AS sd,
+         |   sum(CAST(d AS HUGEINT) * d) AS sdd FROM per),
+         | r AS (SELECT n,
+         |   (CASE WHEN sd < 0 THEN -1.0 ELSE 1.0 END)
+         |     * ${exactDblSql("abs(sd)")} / 1000000.0 AS sdd6,
+         |   ${exactDblSql("sdd")} / 1000000000000.0 AS sdd12 FROM g)
+         |SELECT CAST(n AS BIGINT) AS n_users,
+         | round(sdd6 / n, 6) AS mean_diff,
+         | round(sqrt((sdd12 - sdd6 * sdd6 / n) / (n - 1.0)), 6)
+         |   AS sd_diff,
+         | round((sdd6 / n) / sqrt(((sdd12 - sdd6 * sdd6 / n)
+         |   / (n - 1.0)) / n), 6) AS t_stat
+         |FROM r""".stripMargin,
 
     "ts_granger_causality" ->
       s"""WITH hourly AS (SELECT
