@@ -263,6 +263,37 @@ object MultimodalOps {
     // quarantine instead of a crashing decoder). The oracle re-derives
     // the closed form from doc_id, which pins both the minting and the
     // prefix-compare logic.
+    // ASPECT-RATIO BUCKETING (round 11) — the SDXL-style batch-packing
+    // prep: assign every image to the nearest of a fixed aspect-bucket
+    // list so same-shape images batch together (mixed aspects force
+    // per-image padding; bucketed batches don't). The (w, h) metadata
+    // is a deterministic decode-stub function of n_chars (in
+    // production: the image header — the assignment arithmetic is the
+    // operator). Nearest-aspect is EXACT integer math: |w·bh − h·bw|
+    // cross-multiplied distances, made cross-bucket comparable by the
+    // 144/bh common-denominator factor (144 = lcm of the bh set), so
+    // no float ratio ever enters and ties break by fixed bucket order
+    // via one array_min over a 5-struct literal — pure scan-stage
+    // projection, one 5-row hash agg, zero joins at any corpus size.
+    "multimodal_aspect_bucket" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars"))
+        .withColumn("w", (lit(256) + col("n_chars") % 512).cast("long"))
+        .withColumn("h",
+          (lit(256) + (col("n_chars") * 7) % 512).cast("long"))
+      val buckets = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+      val cand = array(buckets.zipWithIndex.map { case ((bw, bh), i) =>
+        struct(
+          (abs(col("w") * bh - col("h") * bw) * lit(144 / bh)).as("s"),
+          lit(i).as("i"), lit(s"$bw:$bh").as("b"))
+      }: _*)
+      docs.withColumn("best", array_min(cand))
+        .groupBy(col("best.b").as("bucket"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("w") * col("h")).as("sum_pixels"))
+        .orderBy("bucket")
+    }),
+
     "multimodal_codec_detect" -> ((s, dir) => {
       val magic = when(col("doc_id") % 3 === 0, lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)))
         .when(col("doc_id") % 3 === 1, lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)))
@@ -305,6 +336,21 @@ object MultimodalOps {
 
   val oracle: Map[String, String] = Map(
     "multimodal_phash_dedup" -> phashOracle,
+    // Same integer cross-multiplied nearest-aspect pick; the argmin is
+    // a rank-1 window over the 5 unnested candidates per doc.
+    "multimodal_aspect_bucket" ->
+      """WITH d AS (SELECT doc_id, 256 + n_chars % 512 AS w,
+        |   256 + (n_chars * 7) % 512 AS h FROM documents),
+        | c AS (SELECT doc_id, w, h, b.i, b.name,
+        |   abs(w * b.bh - h * b.bw) * (144 // b.bh) AS s
+        |  FROM d CROSS JOIN (VALUES (1, 1, 0, '1:1'), (4, 3, 1, '4:3'),
+        |   (3, 4, 2, '3:4'), (16, 9, 3, '16:9'), (9, 16, 4, '9:16'))
+        |   AS b(bw, bh, i, name)),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY s, i) AS rn FROM c)
+        |SELECT name AS bucket, CAST(count(*) AS BIGINT) AS n_assets,
+        | CAST(sum(w * h) AS BIGINT) AS sum_pixels
+        |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY bucket""".stripMargin,
     // The slice arithmetic mirrors frameSample: start = ⌊len·i/4⌋
     // (0-based) → substring(…, start+1, 16) on the ASCII text (byte ≡
     // char for this corpus, the same identity multimodal_features pins).

@@ -164,6 +164,34 @@ object SimilarityOps {
     }),
 
     // k=5 nearest neighbors for each of the 10 query vectors (vec_id < 10).
+    // HARD-NEGATIVE MINING (round 11) — contrastive-training data
+    // prep: for each anchor query, the top-k most-similar vectors
+    // whose LABEL DIFFERS (high-score wrong-class candidates — the
+    // negatives that actually move an embedding model, vs easy random
+    // ones). Exactly sim_knn_per_query's scale shape — bounded
+    // broadcast anchor set, one corpus scan, WindowGroupLimit top-k —
+    // plus the label-disagreement predicate riding the broadcast join
+    // condition, so non-negatives are dropped BEFORE the dot product.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val c = v.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("label").as("c_label"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("c_id"))
+      c.join(broadcast(q), col("q_id") =!= col("c_id") &&
+          col("q_label") =!= col("c_label"))
+        .select(col("q_id"), col("c_id"), col("c_label"),
+          vecDot(col("q_emb"), col("c_emb")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("c_id"), col("c_label"),
+          round(col("sim"), 6).as("sim"), col("rk"))
+        .orderBy("q_id", "rk")
+    }),
+
     "sim_knn_per_query" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
       val q = v.filter(col("vec_id") < 10)
@@ -1076,6 +1104,16 @@ object SimilarityOps {
         |   x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INT) AS VARCHAR)),
         |   ',') AS codes_csv
         |FROM s ORDER BY vec_id""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""SELECT q_id, c_id, c_label, round(sim, 6) AS sim, rk FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    b.label AS c_label, $oracleDot AS sim,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $oracleDot DESC, b.vec_id) AS INT) AS rk
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |   AND a.label <> b.label
+         |  WHERE a.vec_id < 10)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "sim_knn_per_query" ->
       s"""SELECT q_id, c_id, round(sim, 6) AS sim, rk FROM (
          |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, $oracleDot AS sim,

@@ -5,15 +5,22 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Experimentation-platform statistics, wave 2 (round 11 continuation):
-  * rank correlation, assumption-free permutation p-values, multiple-
-  * testing control, and Wald's sequential probability-ratio test — the
-  * four readouts that turn the existing per-test layer (t / Mann–Whitney
-  * / ANOVA / OBF looks) into a platform: "are these metrics RELATED"
-  * (Spearman), "is the difference real WITHOUT distributional
-  * assumptions" (permutation), "which of the many metrics survive
-  * multiplicity" (Benjamini–Hochberg), and "when may we stop the
-  * experiment" (SPRT, the always-valid cousin of the OBF looks).
+/** Experimentation-platform statistics, wave 2 (round 11 continuation) —
+  * the readouts that turn the per-test layer (t / Mann–Whitney / ANOVA /
+  * OBF looks) into a platform:
+  *  - "are these metrics RELATED": `agg_spearman_corr`;
+  *  - "is the difference real WITHOUT distributional assumptions":
+  *    `agg_permutation_test` (the engine's first EXACT cross-engine
+  *    p-values — permutation counts are rationals);
+  *  - "which of many metrics survive multiplicity": `agg_bh_fdr`;
+  *  - "when may we stop": `agg_sprt_sequential` (always-valid, beside
+  *    the OBF looks);
+  *  - "was it causal when randomization was imperfect":
+  *    `agg_diff_in_diff`, `agg_cmh_test` (stratified), and the
+  *    within-subject `agg_paired_ttest`;
+  *  - "does X PREDICT Y": `ts_granger_causality`;
+  *  - engagement/concentration health: `ts_dau_mau_stickiness`,
+  *    `agg_gini_concentration`.
   *
   * Shared determinism contract (the AnalyticsExt house rules):
   *  - every corpus-sized sum runs on an exact integer/DECIMAL lattice
@@ -388,6 +395,75 @@ object StatsExt {
           / col("sv"), 6).as("chi2_cmh"))
     }),
 
+    // DAU/MAU STICKINESS (round 11) — the engagement ratio every
+    // product review tracks: daily actives over trailing-30-day
+    // actives, per day. The exact form: one (user, day) dedup pass,
+    // then the trailing-window distinct via a bounded-broadcast theta
+    // join (the |days| grid is calendar-bounded, so the ≤30×
+    // user-day expansion feeds a two-phase distinct agg — linear, no
+    // per-day rescan of events). The 100 TB relief valve when the 30×
+    // expansion bites is the ts_active_users_hll pattern (mergeable
+    // daily sketches, union over the trailing frame) — this key is
+    // the exact anchor.
+    "ts_dau_mau_stickiness" -> ((s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint() // feeds dau, the day grid, and the range join
+      val days = ud.select("day").distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = ud.withColumnRenamed("day", "uday")
+        .join(broadcast(days), col("uday") <= col("day") &&
+          col("uday") > col("day") - expr("INTERVAL 30 DAYS"))
+        .groupBy("day").agg(countDistinct("user_id").as("mau"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          round(col("dau").cast("double") / col("mau").cast("double"),
+            6).as("stickiness"))
+        .orderBy("day")
+    }),
+
+    // GINI / WHALE-CONCENTRATION READOUT (round 11) — how concentrated
+    // is value across users? (The same machine reads source
+    // concentration in a corpus.) Gini from the rank identity
+    // G = (2·Σ rn·y − (n+1)·Σy) / (n·Σy) over users ranked ascending
+    // by total value, plus the top-1% / top-10% shares every
+    // concentration review wants beside it. TIE-SAFE by algebra: tied
+    // y's contribute y·Σrn over the tie run, which is invariant to the
+    // tiebreak. The user-sized ranking runs through
+    // ScalableWindows.bucketedRowNumber (the §8.9 two-level machine) —
+    // no corpus-sized single-task sort; all moments exact
+    // DECIMAL(38,0), hi/lo releases.
+    "agg_gini_concentration" -> ((s, dir) => {
+      val u = userTotals(s, dir, byType = false)
+        .select(col("user_id"), col("y"))
+        .localCheckpoint() // feeds the bucket bounds, the rank frame, and nn
+      val rn = ScalableWindows.bucketedRowNumber(u, Seq.empty, "y",
+        Seq(col("y"), col("user_id")))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val nn1 = u.agg(count(lit(1)).as("nn"))
+      val g = rn.crossJoin(broadcast(nn1)).agg(
+        count(lit(1)).as("n"),
+        sum(d38(col("y"))).as("sy"),
+        sum((d38(col("rn")) * col("y")).cast("decimal(38,0)"))
+          .as("sry"),
+        sum(when(col("rn") > col("nn") - expr("nn div 100"),
+          d38(col("y"))).otherwise(d38(lit(0)))).as("y1"),
+        sum(when(col("rn") > col("nn") - expr("nn div 10"),
+          d38(col("y"))).otherwise(d38(lit(0)))).as("y10"))
+      val j = g.select(col("n"),
+        (d38(lit(2)) * col("sry") - d38(col("n") + 1) * col("sy"))
+          .cast("decimal(38,0)").as("gnum"),
+        (d38(col("n")) * col("sy")).cast("decimal(38,0)").as("gden"),
+        col("sy").cast("decimal(38,0)").as("syd"),
+        col("y1").cast("decimal(38,0)").as("y1"),
+        col("y10").cast("decimal(38,0)").as("y10"))
+      j.select(col("n").as("n_users"),
+        round(exactDbl("gnum") / exactDbl("gden"), 6).as("gini"),
+        round(exactDbl("y1") / exactDbl("syd"), 6).as("top1pct_share"),
+        round(exactDbl("y10") / exactDbl("syd"), 6).as("top10pct_share"))
+    }),
+
     // PAIRED t-TEST (round 11) — the within-subject member of the
     // t-family (two-sample: agg_ab_ttest; trimmed: Yuen; this: each
     // user as their own control): d_u = post − pre value total per
@@ -689,6 +765,50 @@ object StatsExt {
         |SELECT k_strata, a_total, round(orn / ord, 6) AS or_mh,
         | round((abs(sae) - 0.5) * (abs(sae) - 0.5) / sv, 6) AS chi2_cmh
         |FROM g""".stripMargin,
+
+    "ts_dau_mau_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        | days AS (SELECT DISTINCT day FROM ud),
+        | dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud
+        |  GROUP BY 1),
+        | mau AS (SELECT d.day,
+        |   CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+        |  FROM days d JOIN ud u ON u.day <= d.day
+        |   AND u.day > d.day - INTERVAL 30 DAY
+        |  GROUP BY 1)
+        |SELECT day, dau, mau,
+        | round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6)
+        |   AS stickiness
+        |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin,
+
+    "agg_gini_concentration" ->
+      s"""WITH u AS (SELECT user_id,
+         |   sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+         |     AS y
+         |  FROM events GROUP BY 1),
+         | rn AS (SELECT y,
+         |   CAST(row_number() OVER (ORDER BY y, user_id) AS BIGINT)
+         |     AS rn, CAST(count(*) OVER () AS BIGINT) AS nn
+         |  FROM u),
+         | g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |   sum(CAST(y AS HUGEINT)) AS sy,
+         |   sum(CAST(rn AS HUGEINT) * y) AS sry,
+         |   sum(CASE WHEN rn > nn - nn // 100 THEN CAST(y AS HUGEINT)
+         |     ELSE 0 END) AS y1,
+         |   sum(CASE WHEN rn > nn - nn // 10 THEN CAST(y AS HUGEINT)
+         |     ELSE 0 END) AS y10
+         |  FROM rn),
+         | j AS (SELECT n, 2 * sry - (n + 1) * sy AS gnum,
+         |   CAST(n AS HUGEINT) * sy AS gden, sy, y1, y10 FROM g)
+         |SELECT n AS n_users,
+         | round(${exactDblSql("gnum")} / ${exactDblSql("gden")}, 6)
+         |   AS gini,
+         | round(${exactDblSql("y1")} / ${exactDblSql("sy")}, 6)
+         |   AS top1pct_share,
+         | round(${exactDblSql("y10")} / ${exactDblSql("sy")}, 6)
+         |   AS top10pct_share
+         |FROM j""".stripMargin,
 
     "agg_paired_ttest" ->
       s"""WITH per AS (SELECT user_id,

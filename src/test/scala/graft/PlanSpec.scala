@@ -166,8 +166,13 @@ class PlanSpec extends SparkSpec {
             "agg_eb_shrinkage", // two 1-row prior frames crossed onto the |users| agg
             "agg_spearman_corr", // two 1-row bucket-bounds crosses (the
                                  // ScalableWindows rank machine, x and y)
-            "agg_permutation_test" // 1-row observed-split frame crossed
-                                   // onto the 199-row replicate ledger
+            "agg_permutation_test", // 1-row observed-split frame crossed
+                                    // onto the 199-row replicate ledger
+            "agg_gini_concentration", // 1-row bucket-bounds + 1-row user-
+                                      // count crosses (two-level rank)
+            "sim_hard_negatives", // bounded broadcast anchor set (as sim_knn)
+            "ts_dau_mau_stickiness" // bounded |days|-grid broadcast theta
+                                    // join (trailing-30d window)
           ).contains(key), p)
       }
     }
@@ -203,7 +208,11 @@ class PlanSpec extends SparkSpec {
       "agg_sprt_sequential" ->
         "cumulative-LLR window over the bounded day grid (~30 rows/month)",
       "ts_granger_causality" ->
-        "lag window over the bounded dense hour grid (~720 rows/month)"
+        "lag window over the bounded dense hour grid (~720 rows/month)",
+      "agg_gini_concentration" ->
+        ("global rank is the contract; the corpus-sized sort runs " +
+          "bucket-partitioned, only the 64-row bucket-grid cumsum is " +
+          "unpartitioned (ScalableWindows.bucketedRowNumber)")
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { key =>
       val sp = SparkEntry.queries(key)(spark, sfDir).queryExecution.sparkPlan
