@@ -44,6 +44,7 @@ object SparkEntry {
     (TpchOps.queries, TpchOps.oracle),
     (AnalyticsExt.queries, AnalyticsExt.oracle),
     (StatsExt.queries, StatsExt.oracle),
+    (SegmentOps.queries, SegmentOps.oracle),
     (GraphOps.queries, GraphOps.oracle),
     (Aggregates.sketchQueries, Map.empty[String, String]),
     (SortSetOps.evolutionQueries, SortSetOps.evolutionOracle),

@@ -32,6 +32,71 @@ object AnalyticsExt {
         when(substring(md5(concat(lit("srm42:"), col("user_id"))), 1, 1)
           < "8", lit("A")).otherwise(lit("B")))
 
+  /** DuckDB twin of [[markovFixedPoint]]'s grid + iteration chain: the
+    * shared WITH-clause prefix (transition pairs → micro-lattice pm →
+    * twelve unrolled integer iterations v1..v12) used by both markov
+    * oracle entries. */
+  private lazy val markovCtesSql: String = {
+    val iters = (1 to 12).map(n =>
+      s""" v$n AS (SELECT j AS state,
+         |   CAST(sum(v * pm) // 1000000 AS BIGINT) AS v
+         |  FROM v${n - 1} JOIN pm ON v${n - 1}.state = pm.i
+         |  GROUP BY j)""".stripMargin).mkString(",\n")
+    s"""WITH pr AS (SELECT user_id, event_type,
+       |   lead(event_type) OVER (PARTITION BY user_id
+       |     ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       | pairs AS (SELECT event_type AS i, to_type AS j, count(*) AS c
+       |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       | rt AS (SELECT i, CAST(sum(c) AS BIGINT) AS ct FROM pairs
+       |  GROUP BY 1),
+       | pm AS (SELECT pairs.i, pairs.j, (1000000 * c) // ct AS pm
+       |  FROM pairs JOIN rt USING (i)),
+       | states AS (SELECT DISTINCT i AS state FROM pairs
+       |  UNION SELECT DISTINCT j FROM pairs),
+       | kk AS (SELECT count(*) AS k FROM states),
+       | v0 AS (SELECT state,
+       |   CAST(1000000 // (SELECT k FROM kk) AS BIGINT) AS v
+       |  FROM states),
+       |$iters""".stripMargin
+  }
+
+  /** The fixed-point Markov machine shared by ts_markov_steady and
+    * ts_markov_entropy_rate: micro-lattice transition matrix
+    * pm_ij = (1e6·c_ij) div c_i from ONE corpus pass (per-user lag
+    * window + pair agg), then twelve bit-exact integer power
+    * iterations v'(j) = (Σ_i v(i)·pm_ij) div 1e6 run driver-side on
+    * the collected ≤|types|² grid behind a tripwired `require` (the
+    * MMR-page bounded-collect idiom — the state grid is
+    * vocabulary-bounded, never corpus-sized). Returns (pm cells,
+    * stationary micro-units per state). */
+  private def markovFixedPoint(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[(String, String, Long)], Map[String, Long]) = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("i"), col("to_type").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val rowsT = pairs.groupBy("i").agg(sum("c").as("ct"))
+    val pm = pairs.join(rowsT, "i")
+      .select(col("i"), col("j"), expr("(1000000 * c) div ct").as("pm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(pm.length <= 4096, "markov state-grid tripwire: |types|^2 " +
+      "cells expected, got a corpus-sized frame")
+    val states = (pm.map(_._1) ++ pm.map(_._2)).distinct.sorted
+    var v: Map[String, Long] =
+      states.map(st => st -> 1000000L / states.length).toMap
+    for (_ <- 1 to 12) {
+      val nv = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      pm.foreach { case (i, j, p) => nv(j) += v.getOrElse(i, 0L) * p }
+      v = nv.iterator.map { case (st, acc) => st -> acc / 1000000L }.toMap
+    }
+    (pm, v)
+  }
+
   /** The dow×hour seasonal-profile decomposition frame shared by
     * ts_seasonal_decompose and ts_seasonal_strength: hourly actuals,
     * the per-(dow, hr) mean profile broadcast back, and the residual.
@@ -2093,6 +2158,135 @@ object AnalyticsExt {
         col("o_orderkey"), col("o_custkey"),
         zorderKey(col("o_orderkey"), col("o_custkey")).as("zkey"))
         .orderBy("o_orderkey")),
+
+    // LOCAL-PEAK DETECTION (round 11) — strict local maxima of the
+    // dense hourly event-count series with their prominence over the
+    // higher neighbor (the alerting primitive behind "traffic spiked at
+    // 14:00"): cnt > prev AND cnt > next on the gap-filled grid, so a
+    // missing hour reads as 0 and a spike after silence is still a
+    // peak. Corpus → ONE hourly agg; the lag/lead window runs on the
+    // calendar-bounded dense grid (~720 rows/month — the
+    // ts_backtest_snaive allowlist class). Pure integer counts.
+    "ts_peak_detect" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds both the grid bounds and the join
+      val grid = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("h"), "left").na.fill(0L, Seq("cnt"))
+      val w = Window.orderBy("h")
+      dense.select(col("h"), col("cnt"),
+          lag("cnt", 1).over(w).as("prev_cnt"),
+          lead("cnt", 1).over(w).as("next_cnt"))
+        .filter(col("prev_cnt").isNotNull && col("next_cnt").isNotNull &&
+          col("cnt") > col("prev_cnt") && col("cnt") > col("next_cnt"))
+        .select(col("h"), col("cnt"), col("prev_cnt"), col("next_cnt"),
+          (col("cnt") - greatest(col("prev_cnt"), col("next_cnt")))
+            .as("prominence"))
+        .orderBy("h")
+    }),
+
+    // MARKOV STATIONARY DISTRIBUTION (round 11) — the long-run state
+    // occupancy of the event-type transition chain (ts_transition_matrix
+    // upgraded from one step to the fixed point): where does a user's
+    // behavior settle? Arithmetic is FIXED-POINT INTEGER by contract so
+    // the power iteration is bit-identical cross-engine with no float
+    // accumulation order anywhere: P in micro-units pm = (1e6·c_ij) div
+    // c_i, v₀ = 1e6 div k, and twelve iterations of
+    // v'(j) = (Σ_i v(i)·pm(i,j)) div 1e6 — exact long sums, truncating
+    // div, mass leakage ≤ k µunits/step by construction. The corpus is
+    // touched ONCE (the per-user lag window + pair agg); the iteration
+    // runs driver-side on the collected ≤|types|² grid behind a
+    // tripwired `require` (the MMR-page bounded-collect idiom — the
+    // state grid is vocabulary-bounded, never corpus-sized).
+    "ts_markov_steady" -> ((s, dir) => {
+      val (_, v) = markovFixedPoint(s, dir)
+      import s.implicits._
+      v.toSeq.sortBy(_._1).toDF("event_type", "stationary_micro")
+        .select(col("event_type"), col("stationary_micro"),
+          round(col("stationary_micro") / lit(1000000.0), 6).as("stationary"))
+        .orderBy("event_type")
+    }),
+
+    // MARKOV ENTROPY RATE (round 11) — how unpredictable is the NEXT
+    // action given the current one? H = −Σ_i π_i Σ_j p_ij·ln p_ij over
+    // the SAME micro-lattice transition grid and fixed-point π as
+    // ts_markov_steady (so the two keys reconcile cell for cell): a
+    // falling entropy rate means behavior is funnelling, ln|types| is
+    // the ceiling. Per-cell ln terms ride Spark expressions and snap to
+    // DECIMAL(28,12) before the order-free grid sum (the entropy_kl
+    // rule); zero-probability cells are excluded in both engines.
+    "ts_markov_entropy_rate" -> ((s, dir) => {
+      val (pm, v) = markovFixedPoint(s, dir)
+      import s.implicits._
+      val cells = pm.toSeq.map { case (i, j, p) => (i, j, p, v.getOrElse(i, 0L)) }
+        .toDF("i", "j", "pm", "vi")
+      val term = ((col("vi") / lit(1000000.0)) * (col("pm") / lit(1000000.0)) *
+        log(col("pm") / lit(1000000.0))).cast("decimal(28,12)")
+      cells.filter(col("pm") > 0L)
+        .agg(countDistinct(col("i")).as("n_states"),
+          count(lit(1)).as("n_cells"),
+          round(-sum(term).cast("double"), 6).as("entropy_rate_nats"))
+    }),
+
+    // NEW-vs-RETURNING DAILY SPLIT (round 11) — the growth chart every
+    // product review opens with: per day, how many active users are
+    // seen for the FIRST time vs returning? first-seen rides the same
+    // min-over-user window as cohort_retention (no self-join onto the
+    // feed); the daily rollup runs on the deduped (user, day) frame —
+    // events shuffle once, integer counts only.
+    "ts_new_vs_returning" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+        .withColumn("first_d", min(col("d")).over(w))
+        .select(col("user_id"), col("d"), col("first_d")).distinct()
+        .groupBy(col("d").as("day"))
+        .agg(sum(when(col("d") === col("first_d"), 1L).otherwise(0L))
+          .as("n_new"),
+          sum(when(col("d") > col("first_d"), 1L).otherwise(0L))
+            .as("n_returning"),
+          count(lit(1)).as("n_active"))
+        .select(col("day"), col("n_new"), col("n_returning"), col("n_active"),
+          round(col("n_new").cast("double") / col("n_active"), 6)
+            .as("new_share"))
+        .orderBy("day")
+    }),
+
+    // INTER-ARRIVAL DISTRIBUTION (round 11) — the Poisson-process
+    // health check: per-user gaps between consecutive events, bucketed
+    // on a log-ish grid (1s…24h). Heavy sub-second mass = bot traffic;
+    // a missing 1–10m mode = the session gap parameter is wrong (this
+    // key is how the sessionizer's 30-minute gap gets justified from
+    // data). One per-user lag window (user-partitioned — scale-safe),
+    // then a ≤8-row bucket agg; all integer µs arithmetic.
+    "ts_interarrival_hist" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .filter(col("gap_us").isNotNull)
+      val tot = gaps.agg(count(lit(1)).as("ng"))
+      gaps.select(
+          when(col("gap_us") < 1000000L, "a_lt_1s")
+            .when(col("gap_us") < 10000000L, "b_1s_10s")
+            .when(col("gap_us") < 60000000L, "c_10s_1m")
+            .when(col("gap_us") < 600000000L, "d_1m_10m")
+            .when(col("gap_us") < 3600000000L, "e_10m_1h")
+            .when(col("gap_us") < 21600000000L, "f_1h_6h")
+            .when(col("gap_us") < 86400000000L, "g_6h_24h")
+            .otherwise("h_ge_24h").as("bucket"),
+          col("gap_us"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_gaps"), max("gap_us").as("max_gap_us"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_gaps"),
+          round(col("n_gaps").cast("double") / col("ng").cast("double"), 6)
+            .as("share"),
+          col("max_gap_us"))
+        .orderBy("bucket")
+    }),
   )
 
   /** Interleave the low 16 bits of `x` (even positions) and `y` (odd):
@@ -3294,5 +3488,73 @@ object AnalyticsExt {
         |      WHEN s_ts IS NULL THEN 'keep' ELSE 'update' END AS action
         |FROM target FULL OUTER JOIN source ON target.user_id = source.user_id
         |ORDER BY user_id""".stripMargin,
+    "ts_markov_steady" ->
+      s"""$markovCtesSql
+         |SELECT state AS event_type, v AS stationary_micro,
+         | round(v / 1000000.0, 6) AS stationary
+         |FROM v12 ORDER BY event_type""".stripMargin,
+
+    "ts_markov_entropy_rate" ->
+      s"""$markovCtesSql
+         |SELECT CAST(count(DISTINCT pm.i) AS BIGINT) AS n_states,
+         | count(*) AS n_cells,
+         | round(-CAST(sum(CAST((v / 1000000.0) * (pm / 1000000.0)
+         |   * ln(pm / 1000000.0) AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |   AS entropy_rate_nats
+         |FROM pm JOIN v12 ON pm.i = v12.state WHERE pm > 0""".stripMargin,
+
+    "ts_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        | f AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1)
+        |SELECT d AS day,
+        | CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_new,
+        | CAST(sum(CASE WHEN d > first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_returning,
+        | count(*) AS n_active,
+        | round(CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 6) AS new_share
+        |FROM ud JOIN f USING (user_id) GROUP BY d ORDER BY day""".stripMargin,
+
+    "ts_interarrival_hist" ->
+      """WITH g AS (SELECT user_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP))
+        |     - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        | gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+        | tot AS (SELECT count(*) AS ng FROM gg),
+        | b AS (SELECT CASE
+        |    WHEN gap_us < 1000000 THEN 'a_lt_1s'
+        |    WHEN gap_us < 10000000 THEN 'b_1s_10s'
+        |    WHEN gap_us < 60000000 THEN 'c_10s_1m'
+        |    WHEN gap_us < 600000000 THEN 'd_1m_10m'
+        |    WHEN gap_us < 3600000000 THEN 'e_10m_1h'
+        |    WHEN gap_us < 21600000000 THEN 'f_1h_6h'
+        |    WHEN gap_us < 86400000000 THEN 'g_6h_24h'
+        |    ELSE 'h_ge_24h' END AS bucket, gap_us FROM gg)
+        |SELECT bucket, count(*) AS n_gaps,
+        | round(CAST(count(*) AS DOUBLE)
+        |   / (SELECT CAST(ng AS DOUBLE) FROM tot), 6) AS share,
+        | CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "ts_peak_detect" ->
+      """WITH hourly AS (SELECT
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   count(*) AS cnt FROM events GROUP BY 1),
+        | grid AS (SELECT unnest(generate_series(
+        |   (SELECT min(h) FROM hourly), (SELECT max(h) FROM hourly),
+        |   INTERVAL 1 HOUR)) AS h),
+        | dense AS (SELECT g.h, COALESCE(cnt, 0) AS cnt
+        |  FROM grid g LEFT JOIN hourly USING (h)),
+        | ll AS (SELECT h, cnt, lag(cnt) OVER (ORDER BY h) AS prev_cnt,
+        |   lead(cnt) OVER (ORDER BY h) AS next_cnt FROM dense)
+        |SELECT h, cnt, prev_cnt, next_cnt,
+        | CAST(cnt - greatest(prev_cnt, next_cnt) AS BIGINT) AS prominence
+        |FROM ll WHERE prev_cnt IS NOT NULL AND next_cnt IS NOT NULL
+        |  AND cnt > prev_cnt AND cnt > next_cnt
+        |ORDER BY h""".stripMargin,
   )
 }

@@ -1603,6 +1603,60 @@ object RelationalExt {
         shiftright(col("o_orderkey"), 2).as("b_shr"),
         bit_count(col("o_orderkey")).as("b_pop"),
       ).orderBy("o_orderkey")),
+
+    // TOKEN-BUDGET APPORTIONMENT (round 11) — allocate a fixed training
+    // token budget across sources by Hamilton's largest-remainder
+    // method, FULLY INTEGER-EXACT (the float-quota Neyman key's exact
+    // sibling): base_i = (B·tok_i) div T, remainder seats to the
+    // largest (B·tok_i) mod T with source-name tiebreak. The method
+    // satisfies exact quota (base ≤ alloc ≤ base+1, Σalloc = B) — the
+    // contract a reproducible data-mix spec needs. Corpus → one
+    // per-source token agg; everything after runs on the |sources| grid
+    // (the bounded seat-rank window of sample_stratified_neyman).
+    "pipeline_token_budget_mix" -> ((s, dir) => {
+      val budget = 100000L
+      val st = t(s, dir, "documents").groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok"))
+      val tot = st.agg(sum("tok").as("tt"))
+      val q = st.crossJoin(broadcast(tot))
+        .select(col("source"), col("tok"),
+          expr(s"($budget * tok) div tt").as("base"),
+          expr(s"($budget * tok) % tt").as("rem"))
+      val seats = q.agg((lit(budget) - sum("base")).as("n_seats"))
+      val wR = Window.orderBy(col("rem").desc, col("source"))
+      q.crossJoin(broadcast(seats))
+        .withColumn("rk", row_number().over(wR))
+        .select(col("source"), col("tok").as("n_tokens"), col("base"),
+          (col("base") + when(col("rk") <= col("n_seats"), 1L)
+            .otherwise(0L)).as("alloc"))
+        .orderBy("source")
+    }),
+
+    // REJECTION SAMPLING / BEST-OF-GROUP SELECTION (round 11) — the
+    // distillation-curation primitive: within each (source, lang)
+    // candidate group keep only the HIGHEST-quality document, and only
+    // if it clears the acceptance threshold (best-of-n with rejection —
+    // the batch shape of RFT/distillation data selection). Argmax is
+    // tie-deterministic via the two-phase max-then-min-id plan (exact
+    // double equality against the group max — max SELECTS a value, it
+    // never averages); both aggs are map-side combinable and the join
+    // key is the group, so no corpus pair-join exists at any scale.
+    "pipeline_rejection_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("lang"),
+        col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      val g = d.groupBy("source", "lang")
+        .agg(max("quality").as("best_quality"),
+          count(lit(1)).as("n_candidates"))
+      d.join(g, Seq("source", "lang"))
+        .filter(col("quality") === col("best_quality"))
+        .groupBy(col("source"), col("lang"), col("best_quality"),
+          col("n_candidates"))
+        .agg(min("doc_id").as("best_doc"))
+        .filter(col("best_quality") >= 0.5)
+        .select(col("source"), col("lang"), col("best_doc"),
+          col("best_quality"), col("n_candidates"))
+        .orderBy("source", "lang")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2306,6 +2360,34 @@ object RelationalExt {
         | o_orderkey >> 2 AS b_shr,
         | CAST(bit_count(o_orderkey) AS INT) AS b_pop
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "pipeline_token_budget_mix" ->
+      """WITH st AS (SELECT source,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+        |  FROM documents GROUP BY 1),
+        | tot AS (SELECT CAST(sum(tok) AS BIGINT) AS tt FROM st),
+        | q AS (SELECT source, tok,
+        |   (100000 * tok) // (SELECT tt FROM tot) AS base,
+        |   (100000 * tok) % (SELECT tt FROM tot) AS rem FROM st),
+        | seats AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS n_seats
+        |  FROM q),
+        | r AS (SELECT source, tok, base, rem,
+        |   row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+        |SELECT source, tok AS n_tokens, CAST(base AS BIGINT) AS base,
+        | CAST(base + CASE WHEN rk <= (SELECT n_seats FROM seats)
+        |   THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin,
+    "pipeline_rejection_sample" ->
+      s"""WITH d AS (SELECT source, lang, doc_id,
+         |   ${TextOps.qualitySql("text")} AS quality FROM documents),
+         | g AS (SELECT source, lang, max(quality) AS best_quality,
+         |   count(*) AS n_candidates FROM d GROUP BY 1, 2)
+         |SELECT d.source, d.lang, min(d.doc_id) AS best_doc,
+         | g.best_quality, g.n_candidates
+         |FROM d JOIN g ON d.source = g.source AND d.lang = g.lang
+         |  AND d.quality = g.best_quality
+         |WHERE g.best_quality >= 0.5
+         |GROUP BY d.source, d.lang, g.best_quality, g.n_candidates
+         |ORDER BY d.source, d.lang""".stripMargin,
   )
 
   /** Full-batch logistic-regression trainer: fixed-`iters` gradient

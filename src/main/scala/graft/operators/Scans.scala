@@ -225,6 +225,35 @@ object Scans {
         .agg(sum(col("nbytes")).as("total_bytes"))
         .orderBy("lang")
     }),
+
+    // PARQUET FOOTER INTROSPECTION (round 11) — per-row-group rows /
+    // column count / compressed bytes straight from the file footer,
+    // the storage-layout audit a 100 TB table needs before tuning
+    // maxPartitionBytes / row-group targets (row groups are the scan
+    // parallelism AND min-max skipping quantum — LayoutSpec's lever,
+    // exposed as a queryable frame). Footer reads are METADATA-ONLY
+    // (O(KB) per file, never data pages) and run on the driver exactly
+    // where Spark's own file listing does; at fleet scale the file list
+    // fans out via `spark.read.parquet(paths).inputFiles` +
+    // mapPartitions over file names — same footer API, executor-side.
+    "scan_parquet_footer" -> ((s, dir) => {
+      val conf = s.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val rgs = try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+          case (b, i) =>
+            (i, b.getRowCount,
+              b.getColumns.size().toLong,
+              b.getColumns.asScala.map(_.getTotalSize).sum)
+        }
+      } finally reader.close()
+      import s.implicits._
+      rgs.toDF("rg_id", "num_rows", "n_columns", "compressed_bytes")
+        .orderBy("rg_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -282,5 +311,16 @@ object Scans {
     "scan_binary_files" ->
       """SELECT lang, CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // The one oracle that names a PATH instead of a view: footer
+    // introspection has no table-level SQL form. The driver's
+    // correctness pass runs at sf0.01 by contract (TESTDATA.md), which
+    // is the path pinned here; the Spark side stays $dir-relative.
+    "scan_parquet_footer" ->
+      """SELECT CAST(row_group_id AS INT) AS rg_id,
+        | CAST(max(row_group_num_rows) AS BIGINT) AS num_rows,
+        | count(*) AS n_columns,
+        | CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes
+        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        |GROUP BY row_group_id ORDER BY rg_id""".stripMargin,
   )
 }

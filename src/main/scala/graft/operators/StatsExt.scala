@@ -599,6 +599,290 @@ object StatsExt {
             .otherwise("continue").as("decision"))
         .orderBy("day")
     }),
+
+    // TUKEY HSD POST-HOC (round 11) — the pairwise follow-up
+    // agg_anova_oneway's significant F demands: which groups actually
+    // differ? q_ij = |m_i − m_j| / √(MSW/2·(1/n_i + 1/n_j)) (the
+    // Tukey–Kramer unequal-n form) for every type pair. Group moments
+    // are the ANOVA machine's exact dsum6 frames; MSW's cross-group sum
+    // rides the DECIMAL(28,12) lattice; the ≤k² pair grid is a
+    // broadcast self theta-join of the finished |types|-row aggregate —
+    // the corpus is touched once.
+    "agg_tukey_hsd" -> ((s, dir) => {
+      val dec = "decimal(28,12)"
+      val st = events(s, dir).groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum6(col("value")).as("sx"),
+        dsum6(col("value") * col("value")).as("sxx"))
+      val tot = st.agg(
+        sum(col("n").cast(dec)).cast("double").as("nt"),
+        count(lit(1)).as("k"),
+        sum((col("sxx") - col("sx") * col("sx") / col("n")).cast(dec))
+          .cast("double").as("ssw"))
+      val a = st.select(col("event_type").as("type_a"), col("n").as("na"),
+        col("sx").as("sxa"))
+      val b = st.select(col("event_type").as("type_b"), col("n").as("nb"),
+        col("sx").as("sxb"))
+      val md = col("sxa") / col("na") - col("sxb") / col("nb")
+      val msw = col("ssw") / (col("nt") - col("k"))
+      val se = sqrt(msw / lit(2.0) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      a.join(b, col("type_a") < col("type_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("type_a"), col("type_b"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(md, 6).as("mean_diff"), round(se, 6).as("se"),
+          round(abs(md) / se, 6).as("q_stat"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // McNEMAR'S TEST (round 11) — paired binary outcomes on the SAME
+    // subjects, at (user, day) grain: on days a user views, do they
+    // also click? Only the DISCORDANT subject-days (view-only vs
+    // click-only) carry information; the continuity-corrected
+    // χ² = (|b−c|−1)²/(b+c) is the within-subject analog of
+    // agg_chisq_independence. (User grain is degenerate here — every
+    // user eventually does both — which is exactly why the paired test
+    // runs on the finer panel.) One corpus agg to per-(user, day)
+    // presence bits, one 4-cell reduce, one IEEE tree over exact longs;
+    // χ² is NULL when no discordant pairs exist.
+    "agg_mcnemar" -> ((s, dir) => {
+      val per = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d")).agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+      val cells = per.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x") * col("y")).as("n_both"),
+        sum(col("x") * (lit(1L) - col("y"))).as("b"),
+        sum((lit(1L) - col("x")) * col("y")).as("c"))
+      val dd = abs(col("b") - col("c")) - lit(1L)
+      cells.select(col("n_pairs"), col("n_both"),
+        col("b").as("n_view_only"), col("c").as("n_click_only"),
+        when(col("b") + col("c") === 0L, lit(null).cast("double"))
+          .otherwise(round((dd * dd).cast("double") / (col("b") + col("c")),
+            6)).as("chi2_cc"))
+    }),
+
+    // CAPTURE–RECAPTURE POPULATION ESTIMATE (round 11) — the Chapman
+    // estimator applied to the two corpus halves as the two "capture"
+    // occasions: N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with m the users seen in
+    // both. Estimates the TRUE audience size including never-seen users
+    // — the ecology trick product analytics borrows for reach
+    // estimation. All counts exact longs from one corpus agg; the
+    // variance's 4-way product rides DECIMAL(38,0) and releases via the
+    // hi/lo split (it passes 2^53 long before the counts do).
+    "agg_capture_recapture" -> ((s, dir) => {
+      val dayN = datediff(to_date(col("ts")), lit("2024-01-01")) + 1
+      val per = events(s, dir).groupBy("user_id").agg(
+        max(when(dayN <= 15, 1L).otherwise(0L)).as("p1"),
+        max(when(dayN > 15, 1L).otherwise(0L)).as("p2"))
+      val cells = per.agg(
+        sum("p1").as("n1"), sum("p2").as("n2"),
+        sum(col("p1") * col("p2")).as("m"))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val nhat = (col("n1") + lit(1.0)) * (col("n2") + lit(1.0)) /
+        (col("m") + lit(1.0)) - lit(1.0)
+      val varNum = (d38(col("n1") + 1) * (col("n2") + 1) *
+        (col("n1") - col("m")) * (col("n2") - col("m")))
+        .cast("decimal(38,0)")
+      val varDen = (col("m") + lit(1.0)) * (col("m") + lit(1.0)) *
+        (col("m") + lit(2.0))
+      cells.select(col("n1").as("n_first"), col("n2").as("n_second"),
+          col("m").as("n_both"), round(nhat, 6).as("chapman_nhat"),
+          varNum.as("vn"), varDen.as("vd"))
+        .select(col("n_first"), col("n_second"), col("n_both"),
+          col("chapman_nhat"),
+          round(sqrt(exactDbl("vn") / col("vd")), 6).as("se_nhat"))
+    }),
+
+    // MARKET-BASKET ASSOCIATION RULES (round 11) — support /
+    // confidence / lift over event-type pairs co-occurring in the same
+    // (user, day) basket: "users who error also purchase?" is the
+    // behavioral-association readout, and the same machine mines
+    // co-occurring sources/tags in a corpus. The basket frame is the
+    // DEDUPED (user, day, type) projection, so the self-join fans out
+    // ≤|types| rows per basket (k² pairs, k vocabulary-bounded) — an
+    // equi-join on the basket key, never a corpus pair join. All
+    // counts exact longs; support/confidence/lift are single IEEE
+    // trees.
+    "agg_market_basket" -> ((s, dir) => {
+      val b = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          col("event_type")).distinct()
+        .localCheckpoint() // feeds both join sides + two count frames
+      val tot = b.select("user_id", "d").distinct()
+        .agg(count(lit(1)).as("nb"))
+      val pt = b.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val pc = b.as("x").join(b.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.d") === col("y.d") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pc.join(broadcast(pt.select(col("event_type").as("type_a"),
+          col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(pt.select(col("event_type").as("type_b"),
+          col("n_t").as("n_b"))), "type_b")
+        .crossJoin(broadcast(tot))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          round(col("n_ab").cast("double") / col("nb"), 6).as("support"),
+          round(col("n_ab").cast("double") / col("n_a"), 6)
+            .as("confidence"),
+          round(col("n_ab").cast("double") * col("nb") /
+            (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // BENFORD FIRST-DIGIT AUDIT (round 11) — the fraud/data-quality
+    // screen: does the leading digit of order amounts follow
+    // log10(1+1/d)? Fabricated or truncated monetary data fails this
+    // loudly. The digit comes from the INTEGER micro-lattice rendered
+    // as a string (no float log10 at a power-of-10 boundary can
+    // misbucket); the nine expected shares are JVM-computed constants
+    // interpolated into both engines (the SPRT literal rule); each
+    // (O−E)²/E cell is one IEEE tree over an exact count and that
+    // constant. One corpus agg → 9-row grid.
+    "agg_benford_digits" -> ((s, dir) => {
+      val benford = (1 to 9).map(d => math.log10(1 + 1.0 / d))
+      val mi = (col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("long")
+      val o = t(s, dir, "orders")
+        .select(substring(mi.cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = o.agg(sum("n_obs").as("nt"))
+      val expS = (2 to 9).foldLeft(
+        when(col("digit") === "1", lit(benford(0)))) { (acc, d) =>
+        acc.when(col("digit") === d.toString, lit(benford(d - 1)))
+      }
+      val e = col("nt").cast("double") * expS
+      o.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          round(col("n_obs").cast("double") / col("nt"), 6).as("obs_share"),
+          round(expS, 6).as("exp_share"),
+          round((col("n_obs") - e) * (col("n_obs") - e) / e, 6)
+            .as("chi2_contrib"))
+        .orderBy("digit")
+    }),
+
+    // TWO-PROPORTION z-TEST (round 11) — the conversion-rate member of
+    // the A/B test family (agg_ab_ttest tests means; this tests the
+    // binary conversion the Wilson-CI key only intervals): pooled
+    // z = (p̂_a − p̂_b)/√(p̂(1−p̂)(1/n_a + 1/n_b)) over the salted-md5
+    // 50/50 user split (the srm42 arm idiom — engine/partition/run
+    // stable). Conversion is measured at (user, day) grain — "did the
+    // user purchase that day" — the agg_mcnemar panel rule: lifetime
+    // user-grain conversion saturates to 1 on any long corpus and the
+    // test degenerates (p̂=1 ⇒ zero variance). One corpus agg to the
+    // panel bits, a 2-row arm agg, one IEEE tree over exact longs.
+    "agg_two_proportion_z" -> ((s, dir) => {
+      val per = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d")).agg(
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .select(col("conv"),
+          when(substring(md5(concat(lit("srm42:"), col("user_id"))), 1, 1)
+            < "8", "a").otherwise("b").as("arm"))
+      val g = per.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+      val a = g.filter(col("arm") === "a")
+        .select(col("n").as("n_a"), col("k").as("k_a"))
+      val b = g.filter(col("arm") === "b")
+        .select(col("n").as("n_b"), col("k").as("k_b"))
+      val pa = col("k_a").cast("double") / col("n_a")
+      val pb = col("k_b").cast("double") / col("n_b")
+      val pp = (col("k_a") + col("k_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      a.crossJoin(b).select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round(z, 6).as("z_stat"))
+    }),
+
+    // COHEN'S KAPPA (round 11) — chance-corrected agreement between two
+    // document "raters" (here: the composite quality heuristic vs the
+    // plain length rule — do the cheap filter and the rich filter agree
+    // beyond chance?). The measurement every labeling/filtering
+    // pipeline needs before trusting a cheaper proxy rater. Exact 2×2
+    // cell counts from one corpus agg; marginal products release as
+    // correctly-rounded double products (exact-int inputs), κ is one
+    // shared IEEE tree.
+    "agg_cohens_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        (TextOps.qualityScore(col("text")) >= 0.5).cast("long").as("r1"),
+        (col("n_chars") >= 200L).cast("long").as("r2"))
+      val cells = d.agg(count(lit(1)).as("n"),
+        sum(col("r1") * col("r2")).as("a"),
+        sum(col("r1") * (lit(1L) - col("r2"))).as("b"),
+        sum((lit(1L) - col("r1")) * col("r2")).as("c"))
+        .withColumn("dd", col("n") - col("a") - col("b") - col("c"))
+      val nD = col("n").cast("double")
+      val po = (col("a") + col("dd")).cast("double") / col("n")
+      val pe = ((col("a") + col("b")).cast("double") * (col("a") + col("c"))
+        + (col("c") + col("dd")).cast("double") * (col("b") + col("dd"))) /
+        (nD * nD)
+      cells.select(col("n").as("n_docs"), col("a").as("agree_pos"),
+        col("dd").as("agree_neg"), (col("b") + col("c")).as("disagree"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }),
+
+    // WALD–WOLFOWITZ RUNS TEST (round 11) — is the daily traffic
+    // sequence RANDOM around its median, or does it trend/oscillate?
+    // (Too few runs = regime persistence; too many = alternation —
+    // either invalidates the i.i.d. assumption the per-day A/B readouts
+    // lean on.) Days above the exact daily-count median become a ±
+    // sequence; R = 1 + sign changes via a lag over the ~30-row day
+    // grid (ties-on-median days drop, the classic rule); z uses the
+    // exact-integer moments μ = 2n₁n₂/(n₁+n₂)+1. One corpus agg →
+    // calendar-bounded everything.
+    "agg_runs_test" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = daily.agg(percentile(col("cnt"), lit(0.5)).as("md"))
+      val signed = daily.crossJoin(broadcast(med))
+        .filter(col("cnt") =!= col("md"))
+        .select(col("day"), (col("cnt") > col("md")).cast("long").as("s"))
+      val w = Window.orderBy("day")
+      val runs = signed
+        .withColumn("chg",
+          when(lag("s", 1).over(w).isNull, 1L)
+            .when(col("s") =!= lag("s", 1).over(w), 1L).otherwise(0L))
+        .agg(sum("chg").as("r"), sum("s").as("n1"),
+          sum(lit(1L) - col("s")).as("n2"))
+      val n1D = col("n1").cast("double")
+      val n2D = col("n2").cast("double")
+      val nD = n1D + n2D
+      val mu = lit(2.0) * n1D * n2D / nD + lit(1.0)
+      val sg = sqrt(lit(2.0) * n1D * n2D *
+        (lit(2.0) * n1D * n2D - n1D - n2D) / (nD * nD * (nD - lit(1.0))))
+      runs.select(col("r").as("n_runs"), col("n1").as("n_above"),
+        col("n2").as("n_below"), round(mu, 6).as("expected_runs"),
+        round((col("r") - mu) / sg, 6).as("z_stat"))
+    }),
+
+    // POISSON RATE TEST (round 11) — did the purchase RATE change
+    // between the two corpus halves? The conditional test: given
+    // c₁+c₂ events, c₁ ~ Binomial(c₁+c₂, ½) under equal rates (equal
+    // 15-day exposures — the CUPED split), z = (c₁−c₂)/√(c₁+c₂), with
+    // the rate ratio beside it. The count-data sibling of
+    // agg_two_proportion_z: one corpus agg to two exact longs, one
+    // IEEE tree.
+    "agg_poisson_rate_test" -> ((s, dir) => {
+      val dayN = datediff(to_date(col("ts")), lit("2024-01-01")) + 1
+      val g = events(s, dir).filter(col("event_type") === "purchase")
+        .agg(sum(when(dayN <= 15, 1L).otherwise(0L)).as("c1"),
+          sum(when(dayN > 15, 1L).otherwise(0L)).as("c2"))
+      g.select(col("c1").as("n_first"), col("c2").as("n_second"),
+        round(col("c1").cast("double") / lit(15.0), 6).as("rate_first"),
+        round(col("c2").cast("double") / lit(15.0), 6).as("rate_second"),
+        round(col("c1").cast("double") / col("c2"), 6).as("rate_ratio"),
+        round((col("c1") - col("c2")).cast("double") /
+          sqrt((col("c1") + col("c2")).cast("double")), 6).as("z_stat"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -908,5 +1192,186 @@ object StatsExt {
          |      WHEN llr <= $SprtB THEN 'accept_h0'
          |      ELSE 'continue' END AS decision
          |FROM l ORDER BY day""".stripMargin,
+
+    "agg_tukey_hsd" ->
+      s"""WITH st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |   ${dsum6Sql("value")} AS sx, ${dsum6Sql("value * value")} AS sxx
+         | FROM events GROUP BY 1),
+         | tot AS (SELECT
+         |   CAST(sum(CAST(n AS DECIMAL(28,12))) AS DOUBLE) AS nt,
+         |   count(*) AS k,
+         |   CAST(sum(CAST(sxx - sx * sx / n AS DECIMAL(28,12)))
+         |     AS DOUBLE) AS ssw FROM st),
+         | pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |   a.n AS na, b.n AS nb, a.sx AS sxa, b.sx AS sxb
+         |  FROM st a JOIN st b ON a.event_type < b.event_type),
+         | x AS (SELECT type_a, type_b, na, nb,
+         |   sxa / na - sxb / nb AS md,
+         |   sqrt(ssw / (nt - k) / 2.0 * (1.0 / na + 1.0 / nb)) AS se
+         |  FROM pr CROSS JOIN tot)
+         |SELECT type_a, type_b, CAST(na AS BIGINT) AS n_a,
+         | CAST(nb AS BIGINT) AS n_b,
+         | round(md, 6) AS mean_diff, round(se, 6) AS se,
+         | round(abs(md) / se, 6) AS q_stat
+         |FROM x ORDER BY type_a, type_b""".stripMargin,
+
+    "agg_mcnemar" ->
+      """WITH per AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+        |   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1, 2),
+        | cells AS (SELECT count(*) AS n_pairs,
+        |   CAST(sum(x * y) AS BIGINT) AS n_both,
+        |   CAST(sum(x * (1 - y)) AS BIGINT) AS b,
+        |   CAST(sum((1 - x) * y) AS BIGINT) AS c FROM per)
+        |SELECT n_pairs, n_both, b AS n_view_only, c AS n_click_only,
+        | CASE WHEN b + c = 0 THEN NULL
+        |  ELSE round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+        |   / (b + c), 6) END AS chi2_cc
+        |FROM cells""".stripMargin,
+
+    "agg_capture_recapture" ->
+      s"""WITH per AS (SELECT user_id,
+         |   max(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01' + 1)
+         |     <= 15 THEN 1 ELSE 0 END) AS p1,
+         |   max(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01' + 1)
+         |     > 15 THEN 1 ELSE 0 END) AS p2
+         |  FROM events GROUP BY 1),
+         | cells AS (SELECT CAST(sum(p1) AS BIGINT) AS n1,
+         |   CAST(sum(p2) AS BIGINT) AS n2,
+         |   CAST(sum(p1 * p2) AS BIGINT) AS m FROM per),
+         | x AS (SELECT n1, n2, m,
+         |   (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 AS nhat,
+         |   CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * (n1 - m) * (n2 - m)
+         |     AS vn,
+         |   (m + 1.0) * (m + 1.0) * (m + 2.0) AS vd FROM cells)
+         |SELECT n1 AS n_first, n2 AS n_second, m AS n_both,
+         | round(nhat, 6) AS chapman_nhat,
+         | round(sqrt(${exactDblSql("vn")} / vd), 6) AS se_nhat
+         |FROM x""".stripMargin,
+
+    "agg_market_basket" ->
+      """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+        |   event_type FROM events),
+        | tot AS (SELECT count(*) AS nb
+        |  FROM (SELECT DISTINCT user_id, d FROM b)),
+        | pt AS (SELECT event_type, count(*) AS n_t FROM b GROUP BY 1),
+        | pc AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |   count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.d = y.d
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        | round(CAST(n_ab AS DOUBLE) / (SELECT nb FROM tot), 6)
+        |   AS support,
+        | round(CAST(n_ab AS DOUBLE) / a.n_t, 6) AS confidence,
+        | round(CAST(n_ab AS DOUBLE) * (SELECT nb FROM tot)
+        |   / (CAST(a.n_t AS DOUBLE) * bb.n_t), 6) AS lift
+        |FROM pc JOIN pt a ON pc.type_a = a.event_type
+        | JOIN pt bb ON pc.type_b = bb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "agg_benford_digits" -> {
+      val benford = (1 to 9).map(d => math.log10(1 + 1.0 / d))
+      val caseExpr = (1 to 9).map(d =>
+        s"WHEN digit = '$d' THEN ${benford(d - 1)}").mkString(" ")
+      s"""WITH o AS (SELECT substring(CAST(CAST(CAST(o_totalprice
+         |     AS DECIMAL(18,4)) * 10000 AS BIGINT) AS VARCHAR), 1, 1)
+         |     AS digit, count(*) AS n_obs
+         |  FROM orders GROUP BY 1),
+         | tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nt FROM o),
+         | x AS (SELECT digit, n_obs, (SELECT nt FROM tot) AS nt,
+         |   CASE $caseExpr END AS es FROM o)
+         |SELECT digit, n_obs,
+         | round(CAST(n_obs AS DOUBLE) / nt, 6) AS obs_share,
+         | round(es, 6) AS exp_share,
+         | round((n_obs - CAST(nt AS DOUBLE) * es)
+         |   * (n_obs - CAST(nt AS DOUBLE) * es)
+         |   / (CAST(nt AS DOUBLE) * es), 6) AS chi2_contrib
+         |FROM x ORDER BY digit""".stripMargin
+    },
+
+    "agg_two_proportion_z" ->
+      """WITH per AS (SELECT
+        |   CASE WHEN substring(md5('srm42:' || CAST(user_id AS VARCHAR)),
+        |     1, 1) < '8' THEN 'a' ELSE 'b' END AS arm,
+        |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS conv
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        | g AS (SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS k
+        |  FROM per GROUP BY 1),
+        | aa AS (SELECT n AS n_a, k AS k_a FROM g WHERE arm = 'a'),
+        | bb AS (SELECT n AS n_b, k AS k_b FROM g WHERE arm = 'b'),
+        | x AS (SELECT n_a, k_a, n_b, k_b,
+        |   CAST(k_a AS DOUBLE) / n_a AS pa,
+        |   CAST(k_b AS DOUBLE) / n_b AS pb,
+        |   CAST(k_a + k_b AS DOUBLE) / (n_a + n_b) AS pp
+        |  FROM aa CROSS JOIN bb)
+        |SELECT n_a, k_a, n_b, k_b,
+        | round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        | round((pa - pb) / sqrt(pp * (1.0 - pp)
+        |   * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+        |FROM x""".stripMargin,
+
+    "agg_cohens_kappa" ->
+      s"""WITH d AS (SELECT
+         |   CASE WHEN ${TextOps.qualitySql("text")} >= 0.5 THEN 1
+         |     ELSE 0 END AS r1,
+         |   CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS r2
+         |  FROM documents),
+         | cells AS (SELECT count(*) AS n,
+         |   CAST(sum(r1 * r2) AS BIGINT) AS a,
+         |   CAST(sum(r1 * (1 - r2)) AS BIGINT) AS b,
+         |   CAST(sum((1 - r1) * r2) AS BIGINT) AS c FROM d),
+         | x AS (SELECT n, a, b, c, n - a - b - c AS dd FROM cells),
+         | y AS (SELECT n, a, b, c, dd,
+         |   CAST(a + dd AS DOUBLE) / n AS po,
+         |   (CAST(a + b AS DOUBLE) * (a + c)
+         |     + CAST(c + dd AS DOUBLE) * (b + dd))
+         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+         |  FROM x)
+         |SELECT n AS n_docs, a AS agree_pos, dd AS agree_neg,
+         | CAST(b + c AS BIGINT) AS disagree,
+         | round(po, 6) AS po, round(pe, 6) AS pe,
+         | round((po - pe) / (1.0 - pe), 6) AS kappa
+         |FROM y""".stripMargin,
+
+    "agg_runs_test" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        | med AS (SELECT quantile_cont(cnt, 0.5) AS md FROM daily),
+        | signed AS (SELECT day,
+        |   CAST(cnt > (SELECT md FROM med) AS BIGINT) AS s
+        |  FROM daily WHERE cnt <> (SELECT md FROM med)),
+        | runs AS (SELECT
+        |   CAST(sum(CASE WHEN pl IS NULL THEN 1
+        |     WHEN s <> pl THEN 1 ELSE 0 END) AS BIGINT) AS r,
+        |   CAST(sum(s) AS BIGINT) AS n1,
+        |   CAST(sum(1 - s) AS BIGINT) AS n2
+        |  FROM (SELECT s, lag(s) OVER (ORDER BY day) AS pl FROM signed)),
+        | x AS (SELECT r, n1, n2,
+        |   CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |   CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd FROM runs)
+        |SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+        | round(2.0 * n1d * n2d / nd + 1.0, 6) AS expected_runs,
+        | round((r - (2.0 * n1d * n2d / nd + 1.0))
+        |   / sqrt(2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d)
+        |     / (nd * nd * (nd - 1.0))), 6) AS z_stat
+        |FROM x""".stripMargin,
+
+    "agg_poisson_rate_test" ->
+      """WITH g AS (SELECT
+        |   CAST(sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01' + 1)
+        |     <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |   CAST(sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01' + 1)
+        |     > 15 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c1 AS n_first, c2 AS n_second,
+        | round(CAST(c1 AS DOUBLE) / 15.0, 6) AS rate_first,
+        | round(CAST(c2 AS DOUBLE) / 15.0, 6) AS rate_second,
+        | round(CAST(c1 AS DOUBLE) / c2, 6) AS rate_ratio,
+        | round(CAST(c1 - c2 AS DOUBLE) / sqrt(CAST(c1 + c2 AS DOUBLE)),
+        |   6) AS z_stat
+        |FROM g""".stripMargin,
   )
 }

@@ -1144,6 +1144,105 @@ object TextOps {
           sum(ceil(length(col("w")) / lit(4.0)).cast("long")).as("n_bpe_pieces"))
         .orderBy("doc_id")),
 
+    // READABILITY INDICES (round 11) — Coleman–Liau and ARI per doc,
+    // the two classics that need only CHARACTER/WORD/SENTENCE counts
+    // (no syllable dictionary): CLI = 0.0588·L − 0.296·S − 15.8 with
+    // L = letters per 100 words, S = sentences per 100 words; ARI =
+    // 4.71·(chars/word) + 0.58·(words/sentence) − 21.43. A corpus
+    // quality signal (too-hard and too-easy tails both correlate with
+    // boilerplate/garbage). Counts are exact ints from codegen'd
+    // regexp_replace lengths; sentence count floors at 1 (this corpus
+    // has no terminal punctuation — the floor keeps the index defined
+    // on fragments, the behavior a cleaning pipeline wants). Each
+    // index is ONE shared IEEE tree over exact ints in both engines.
+    // Scale: pure scan-stage projection — no shuffle at all.
+    "text_readability" -> ((s, dir) => {
+      val w = size(split(col("text"), " ")).cast("long")
+      val l = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        .cast("long")
+      val sn = greatest(lit(1L),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.!?]", ""))).cast("long"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), w.as("n_words"), l.as("n_letters"),
+          sn.as("n_sentences"))
+        .select(col("doc_id"), col("n_words"), col("n_letters"),
+          col("n_sentences"),
+          round(lit(0.0588) * (col("n_letters") * lit(100.0) / col("n_words"))
+            - lit(0.296) * (col("n_sentences") * lit(100.0) / col("n_words"))
+            - lit(15.8), 6).as("coleman_liau"),
+          round(lit(4.71) * (col("n_letters").cast("double") / col("n_words"))
+            + lit(0.58) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(21.43), 6).as("ari"))
+        .orderBy("doc_id")
+    }),
+
+    // LEXICAL DIVERSITY (round 11) — per-doc type/token ratio and
+    // hapax-legomena ratio, the vocabulary-richness signals beside
+    // text_repetition's dup-run view: TTR low → template/spam text;
+    // hapax high → OCR noise or genuinely rich prose. Exact integer
+    // counts from one explode + two-phase agg (map-side combinable on
+    // (doc, token)); the two ratios are single IEEE divisions.
+    "text_lexical_diversity" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          round(col("n_types").cast("double")
+            / col("n_tokens").cast("double"), 6).as("ttr"),
+          round(col("n_hapax").cast("double")
+            / col("n_tokens").cast("double"), 6).as("hapax_ratio"))
+        .orderBy("doc_id")),
+
+    // PAIRWISE JENSEN–SHANNON DIVERGENCE (round 11) — the symmetric,
+    // bounded domain-similarity matrix between sources' word
+    // distributions (text_entropy_kl gives each source vs the corpus;
+    // this gives source vs source — the input a pretraining-mix planner
+    // clusters on). Decomposition that never needs the absent-word
+    // rows: common-vocabulary terms ½(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+    // join on the word key (per-word fan-out ≤ |sources|² — sources
+    // bounded, vocab-sized frames shuffle linearly), and each side's
+    // missing mass enters as ½·ln2·(1−Σp_common). Determinism: the
+    // entropy_kl rule — per-row log terms snap to DECIMAL(18,6) before
+    // the order-free sum; ln2 is a JVM constant interpolated into both
+    // engines.
+    "text_js_divergence" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val sc = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val st = sc.groupBy("source").agg(sum("c").as("tot"))
+      val d = sc.join(st, "source")
+        .select(col("source"), col("w"), (col("c") / col("tot")).as("p"))
+        .localCheckpoint() // both pair sides read this frame
+      val a = d.select(col("source").as("src_a"), col("w"),
+        col("p").as("pa"))
+      val b = d.select(col("source").as("src_b"), col("w"),
+        col("p").as("pb"))
+      val term = (lit(0.5) *
+        (col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+          col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb")))))
+        .cast(dec)
+      val ln2 = math.log(2.0)
+      a.join(b, Seq("w")).filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), term.as("term"),
+          col("pa").cast(dec).as("pa6"), col("pb").cast(dec).as("pb6"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_common_words"),
+          sum(col("term")).as("cs"),
+          sum(col("pa6")).as("ma"), sum(col("pb6")).as("mb"))
+        .select(col("src_a"), col("src_b"), col("n_common_words"),
+          round(col("cs").cast("double") + lit(0.5) * lit(ln2) *
+            ((lit(1.0) - col("ma").cast("double")) +
+              (lit(1.0) - col("mb").cast("double"))), 6).as("js_div"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // TOKENIZER FERTILITY per language — the first table a tokenizer
     // review shows: pieces/word (fertility) and chars/piece by lang,
     // the numbers that reveal a vocabulary under-serving a script
@@ -1765,5 +1864,57 @@ object TextOps {
         | CAST(sum(CAST(ceil(length(w) / 4.0) AS BIGINT)) AS BIGINT) AS n_bpe_pieces
         |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |     AS BIGINT) AS n_letters,
+        |   greatest(CAST(1 AS BIGINT),
+        |     CAST(length(text) - length(regexp_replace(text, '[.!?]',
+        |       '', 'g')) AS BIGINT)) AS n_sentences
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_letters, n_sentences,
+        | round(0.0588 * (n_letters * 100.0 / n_words)
+        |   - 0.296 * (n_sentences * 100.0 / n_words) - 15.8, 6)
+        |   AS coleman_liau,
+        | round(4.71 * (CAST(n_letters AS DOUBLE) / n_words)
+        |   + 0.58 * (CAST(n_words AS DOUBLE) / n_sentences) - 21.43, 6)
+        |   AS ari
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_lexical_diversity" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        | c AS (SELECT doc_id, w, count(*) AS cnt FROM tk GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        | count(*) AS n_types,
+        | CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_hapax,
+        | round(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+        |   AS ttr,
+        | round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(cnt) AS DOUBLE), 6) AS hapax_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_js_divergence" -> {
+      val ln2 = math.log(2.0)
+      s"""WITH sc AS (SELECT source, w, count(*) AS c
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) GROUP BY 1, 2),
+         | st AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM sc
+         |  GROUP BY 1),
+         | d AS (SELECT sc.source, w, CAST(c AS DOUBLE) / tot AS p
+         |  FROM sc JOIN st USING (source)),
+         | pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |   CAST(0.5 * (a.p * ln(2.0 * a.p / (a.p + b.p))
+         |     + b.p * ln(2.0 * b.p / (a.p + b.p))) AS DECIMAL(18,6))
+         |     AS term,
+         |   CAST(a.p AS DECIMAL(18,6)) AS pa6,
+         |   CAST(b.p AS DECIMAL(18,6)) AS pb6
+         |  FROM d a JOIN d b ON a.w = b.w AND a.source < b.source)
+         |SELECT src_a, src_b, count(*) AS n_common_words,
+         | round(CAST(sum(term) AS DOUBLE) + 0.5 * $ln2
+         |   * ((1.0 - CAST(sum(pa6) AS DOUBLE))
+         |     + (1.0 - CAST(sum(pb6) AS DOUBLE))), 6) AS js_div
+         |FROM pr GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+    },
   )
 }

@@ -171,8 +171,27 @@ class PlanSpec extends SparkSpec {
             "agg_gini_concentration", // 1-row bucket-bounds + 1-row user-
                                       // count crosses (two-level rank)
             "sim_hard_negatives", // bounded broadcast anchor set (as sim_knn)
-            "ts_dau_mau_stickiness" // bounded |days|-grid broadcast theta
+            "ts_dau_mau_stickiness", // bounded |days|-grid broadcast theta
                                     // join (trailing-30d window)
+            "agg_tukey_hsd",  // |types|-row self theta-join of finished
+                              // aggregates + 1-row MSW frame cross
+            "pipeline_token_budget_mix", // 1-row total/seat frames crossed
+                                         // onto the |sources| grid
+            "agg_market_basket", // 1-row basket-count frame crossed onto
+                                 // the |types|^2 pair grid
+            "agg_benford_digits", // 1-row total frame crossed onto the
+                                  // 9-digit grid
+            "agg_two_proportion_z", // two 1-row arm frames crossed
+            "agg_runs_test", // 1-row daily-median frame crossed onto the
+                             // bounded day grid
+            "ts_interarrival_hist", // 1-row gap-count frame crossed onto
+                                    // the 8-bucket grid
+            "seg_rfm",        // 1-row max-date/count/total frames + the
+                              // rank machine's bucket-bounds crosses
+            "seg_power_users", // 1-row threshold + totals crosses
+            "seg_churn_features", // 1-row corpus-max-date cross
+            "seg_migration_matrix" // 1-row user-count cross
+
           ).contains(key), p)
       }
     }
@@ -212,7 +231,17 @@ class PlanSpec extends SparkSpec {
       "agg_gini_concentration" ->
         ("global rank is the contract; the corpus-sized sort runs " +
           "bucket-partitioned, only the 64-row bucket-grid cumsum is " +
-          "unpartitioned (ScalableWindows.bucketedRowNumber)")
+          "unpartitioned (ScalableWindows.bucketedRowNumber)"),
+      "seg_rfm" ->
+        ("three bucketedRowNumber rank machines (R/F/M quintiles): the " +
+          "customer-sized sorts run bucket-partitioned, only the 64-row " +
+          "bucket-grid cumsums are unpartitioned"),
+      "pipeline_token_budget_mix" ->
+        "largest-remainder seat rank over the |sources|-row quota frame",
+      "ts_peak_detect" ->
+        "lag/lead window over the bounded dense hour grid (~720 rows/month)",
+      "agg_runs_test" ->
+        "sign-change lag over the bounded day grid (~30 rows/month)"
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { key =>
       val sp = SparkEntry.queries(key)(spark, sfDir).queryExecution.sparkPlan

@@ -1194,6 +1194,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming new-vs-returning ≡ batch ts_new_vs_returning (exact, ordered feed)") {
+    import graft.streaming.StreamingNewVsReturning
+    import graft.streaming.StreamingNewVsReturning.EventIn
+    withRocksDb {
+      val keyed = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          unix_micros(col("ts")).as("ts_micros"), col("event_id"))
+        .as[EventIn].collect().toSeq.sortBy(e => (e.ts_micros, e.event_id))
+      val waves = keyed.grouped((keyed.size / 3).max(1)).toSeq
+      val ms = MemoryStream[EventIn]
+      val q = StreamingNewVsReturning.newVsReturning(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("stream_nvr")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      // Append sink holds one row per (user, active day); the daily
+      // rollup of those cells IS the batch readout.
+      val streamed = spark.table("stream_nvr")
+        .groupBy("day")
+        .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_returning"),
+          count(lit(1)).as("n_active"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val batch = SparkEntry.queries("ts_new_vs_returning")(spark, sfDir)
+        .collect()
+        .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(streamed == batch)
+    }
+  }
+
   test("streaming bitmap DAU ≡ batch agg_bitmap_distinct (exact, any order, re-delivery)") {
     import graft.streaming.StreamingBitmapDau
     import graft.streaming.StreamingBitmapDau.EventIn
