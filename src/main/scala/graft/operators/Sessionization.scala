@@ -179,6 +179,51 @@ object Sessionization {
           round(max(col("dur_us")) / lit(1000000.0), 6).as("max_session_s"))
         .orderBy("user_id")
     }),
+
+    // DAILY BOUNCE RATE (round 11) — the engagement-quality readout on
+    // top of the sessionizer: per session-start day, how many sessions
+    // are single-event bounces, and how deep do the rest go? Rides the
+    // same lag+cumsum session machine as sessionize_batch (one user
+    // exchange), then a calendar-bounded daily rollup of session rows.
+    "sessionize_bounce" -> ((s, dir) => {
+      val sess = withSessionSeq(events(s, dir))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_ev"), min(col("ts")).as("st"))
+      sess.groupBy(to_date(col("st")).as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_ev") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+          sum("n_ev").as("n_events"))
+        .select(col("day"), col("n_sessions"), col("n_bounce"),
+          round(col("n_bounce").cast("double") / col("n_sessions"), 6)
+            .as("bounce_rate"),
+          round(col("n_events").cast("double") / col("n_sessions"), 6)
+            .as("avg_depth"))
+        .orderBy("day")
+    }),
+
+    // SESSION ENTRY/EXIT MATRIX (round 11) — what do sessions START and
+    // END with? The navigation-flow table behind every landing/exit
+    // analysis: first/last event type per session via tie-deterministic
+    // min_by/max_by on the (ts, event_id) total order (the oracle
+    // replays them as rn=1 windows), then the |types|² matrix with
+    // shares. Same one-exchange session machine; everything after is
+    // session-row-sized.
+    "sessionize_entry_exit" -> ((s, dir) => {
+      val sess = withSessionSeq(events(s, dir))
+        .groupBy("user_id", "session_seq")
+        .agg(min_by(col("event_type"), struct(col("ts"), col("event_id")))
+          .as("entry_type"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("exit_type"))
+      val tot = sess.agg(count(lit(1)).as("ns"))
+      sess.groupBy("entry_type", "exit_type")
+        .agg(count(lit(1)).as("n_sessions"))
+        .crossJoin(broadcast(tot))
+        .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+          round(col("n_sessions").cast("double") / col("ns").cast("double"),
+            6).as("share"))
+        .orderBy("entry_type", "exit_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -251,5 +296,45 @@ object Sessionization {
          | round(CAST(sum(dur_us) AS BIGINT) / count(*) / 1000000.0, 6) AS avg_session_s,
          | round(max(dur_us) / 1000000.0, 6) AS max_session_s
          |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sessionize_bounce" ->
+      s"""$oracleSessionCte,
+         | sess AS (SELECT user_id, session_seq, count(*) AS n_ev,
+         |    CAST(min(ts) AS DATE) AS day
+         |  FROM s GROUP BY 1, 2),
+         | d AS (SELECT day, count(*) AS n_sessions,
+         |   CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_bounce,
+         |   CAST(sum(n_ev) AS BIGINT) AS n_events
+         |  FROM sess GROUP BY 1)
+         |SELECT day, n_sessions, n_bounce,
+         | round(CAST(n_bounce AS DOUBLE) / n_sessions, 6) AS bounce_rate,
+         | round(CAST(n_events AS DOUBLE) / n_sessions, 6) AS avg_depth
+         |FROM d ORDER BY day""".stripMargin,
+    "sessionize_entry_exit" ->
+      s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |   event_type FROM events),
+         | g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |     THEN 1 ELSE 0 END AS new_s
+         |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         | s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+         |     ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |     AND CURRENT ROW) AS BIGINT) AS session_seq
+         |   FROM g),
+         | r AS (SELECT user_id, session_seq, event_type,
+         |   row_number() OVER (PARTITION BY user_id, session_seq
+         |     ORDER BY ts, event_id) AS rn_a,
+         |   row_number() OVER (PARTITION BY user_id, session_seq
+         |     ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM s),
+         | sess AS (SELECT user_id, session_seq,
+         |   min(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+         |   min(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+         |  FROM r GROUP BY 1, 2),
+         | tot AS (SELECT count(*) AS ns FROM sess)
+         |SELECT entry_type, exit_type, count(*) AS n_sessions,
+         | round(CAST(count(*) AS DOUBLE)
+         |   / (SELECT CAST(ns AS DOUBLE) FROM tot), 6) AS share
+         |FROM sess GROUP BY 1, 2 ORDER BY entry_type, exit_type""".stripMargin,
   )
 }

@@ -829,6 +829,119 @@ object StatsExt {
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
     }),
 
+    // LORENZ DECILE TABLE (round 11) — the plot data behind
+    // agg_gini_concentration's scalar: users ranked ascending by total
+    // value, cut into integer-exact deciles, each with its value share
+    // and the cumulative share (the Lorenz curve's y at each decile
+    // edge). Ranking runs through the two-level bucketedRowNumber (no
+    // corpus-sized single-task sort); value sums ride DECIMAL(38,0) and
+    // release via the 2^32 hi/lo split; the cumulative window runs on
+    // the 10-row decile grid only.
+    "agg_lorenz_deciles" -> ((s, dir) => {
+      val u = userTotals(s, dir, byType = false)
+        .select(col("user_id"), col("y"))
+        .localCheckpoint() // feeds bucket bounds, the rank frame, and nn
+      val n1 = u.agg(count(lit(1)).as("nn"))
+      val rn = ScalableWindows.bucketedRowNumber(
+        u.crossJoin(broadcast(n1)), Seq.empty, "y",
+        Seq(col("y"), col("user_id")))
+      val dec = rn
+        .withColumn("decile", expr("((rn - 1) * 10) div nn + 1").cast("int"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"))
+      val tot = u.agg(sum(col("y").cast("decimal(38,0)")).as("ty"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.crossJoin(broadcast(tot))
+        .withColumn("cy", sum(col("sy")).over(w).cast("decimal(38,0)"))
+        .select(col("decile"), col("n_users"),
+          round(exactDbl("sy") / exactDbl("ty"), 6).as("value_share"),
+          round(exactDbl("cy") / exactDbl("ty"), 6).as("cum_value_share"))
+        .orderBy("decile")
+    }),
+
+    // A/A CALIBRATION (round 11) — the experimentation platform's
+    // self-audit: run the two-proportion z machine over 200 SALTED
+    // pseudo-experiments where both arms draw from the same population
+    // (salt "aa42:<r>:<user>"), and report the realized false-positive
+    // rate at |z| > 1.96 — a platform whose A/A rejects ≫5% has a
+    // broken variance estimate or a clustered metric, and this key
+    // catches it before any real experiment ships. The 200× explode is
+    // the permCells pattern: a projection that map-side combines to
+    // ≤200·2 cells — the shuffle carries CELLS, never the expansion;
+    // each replicate's z is one IEEE tree over exact longs (pooled p̂
+    // is the constant panel rate, so no degenerate denominator).
+    "agg_aa_calibration" -> ((s, dir) => {
+      val reps = 200
+      val per = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d")).agg(
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val armed = per.select(col("user_id"), col("conv"),
+          explode(sequence(lit(0), lit(reps - 1))).as("r"))
+        .withColumn("arm",
+          when(substring(md5(concat(lit("aa42:"), col("r").cast("string"),
+            lit(":"), col("user_id").cast("string"))), 1, 1) < "8",
+            "a").otherwise("b"))
+      val g = armed.groupBy("r", "arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+        .groupBy("r")
+        .agg(sum(when(col("arm") === "a", col("n")).otherwise(0L)).as("na"),
+          sum(when(col("arm") === "a", col("k")).otherwise(0L)).as("ka"),
+          sum(when(col("arm") === "b", col("n")).otherwise(0L)).as("nb"),
+          sum(when(col("arm") === "b", col("k")).otherwise(0L)).as("kb"))
+      val pa = col("ka").cast("double") / col("na")
+      val pb = col("kb").cast("double") / col("nb")
+      val pp = (col("ka") + col("kb")).cast("double") /
+        (col("na") + col("nb"))
+      val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      g.select(col("r"), z.as("z"))
+        .agg(count(lit(1)).as("n_reps"),
+          sum(when(abs(col("z")) > 1.96, 1L).otherwise(0L))
+            .as("n_false_positive"))
+        .select(col("n_reps"), col("n_false_positive"),
+          round(col("n_false_positive").cast("double") / col("n_reps"), 6)
+            .as("fp_rate"))
+    }),
+
+    // FRIEDMAN TEST (round 11) — the REPEATED-MEASURES omnibus that
+    // completes the nonparametric ladder (pairwise Mann–Whitney →
+    // independent-groups Kruskal–Wallis → this, blocks as their own
+    // controls): within each DAY block, rank the event types by their
+    // daily count, then χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) over the
+    // per-type rank sums. Day-block ranking is mid-rank on ties
+    // (rank + (ties−1)/2 — deterministic in both engines), kept exact
+    // by DOUBLING: R2 = 2·mid is an integer, so the rank sums are
+    // exact longs and the statistic is one IEEE tree. Every window is
+    // partitioned by the day block (≤|types| rows per partition) — the
+    // machine is calendar×vocabulary-bounded after one corpus agg.
+    "agg_friedman_test" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val wR = Window.partitionBy("day").orderBy("cnt")
+      val wT = Window.partitionBy("day", "cnt")
+      val ranked = daily
+        .withColumn("r", rank().over(wR).cast("long"))
+        .withColumn("t", count(lit(1)).over(wT))
+        .withColumn("r2", col("r") * 2 + (col("t") - 1)) // 2·mid-rank
+      val sums = ranked.groupBy("event_type")
+        .agg(sum("r2").as("rs2"), count(lit(1)).as("nb"))
+      val tot = sums.agg(count(lit(1)).as("k"), max("nb").as("n"))
+      val kD = col("k").cast("double")
+      val nD = col("n").cast("double")
+      val chi2 = (lit(12.0) / (nD * kD * (kD + lit(1.0))) *
+        sum((col("rs2") / lit(2.0)) * (col("rs2") / lit(2.0)))) -
+        lit(3.0) * nD * (kD + lit(1.0))
+      sums.crossJoin(broadcast(tot)).groupBy("k", "n")
+        .agg(round(chi2, 6).as("chi2_f"))
+        .select(col("k").cast("long").as("n_treatments"),
+          col("n").cast("long").as("n_blocks"), col("chi2_f"),
+          (col("k") - 1).cast("long").as("df"))
+    }),
+
     // WALD–WOLFOWITZ RUNS TEST (round 11) — is the daily traffic
     // sequence RANDOM around its median, or does it trend/oscillate?
     // (Too few runs = regime persistence; too many = alternation —
@@ -1335,6 +1448,86 @@ object StatsExt {
          | round(po, 6) AS po, round(pe, 6) AS pe,
          | round((po - pe) / (1.0 - pe), 6) AS kappa
          |FROM y""".stripMargin,
+
+    "agg_lorenz_deciles" ->
+      s"""WITH u AS (SELECT user_id,
+         |   sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+         |     AS y
+         |  FROM events GROUP BY 1),
+         | n AS (SELECT count(*) AS nn FROM u),
+         | rn AS (SELECT y, user_id,
+         |   row_number() OVER (ORDER BY y, user_id) AS rn FROM u),
+         | dec AS (SELECT
+         |   CAST((rn - 1) * 10 // (SELECT nn FROM n) + 1 AS INT)
+         |     AS decile,
+         |   count(*) AS n_users, sum(CAST(y AS HUGEINT)) AS sy
+         |  FROM rn GROUP BY 1),
+         | tot AS (SELECT sum(CAST(y AS HUGEINT)) AS ty FROM u),
+         | c AS (SELECT decile, n_users, sy,
+         |   sum(sy) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+         |     PRECEDING AND CURRENT ROW) AS cy FROM dec)
+         |SELECT decile, n_users,
+         | round(${exactDblSql("sy")}
+         |   / ${exactDblSql("(SELECT ty FROM tot)")}, 6) AS value_share,
+         | round(${exactDblSql("cy")}
+         |   / ${exactDblSql("(SELECT ty FROM tot)")}, 6)
+         |   AS cum_value_share
+         |FROM c ORDER BY decile""".stripMargin,
+
+    "agg_aa_calibration" ->
+      """WITH per AS (SELECT user_id,
+        |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS conv
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        | armed AS (SELECT user_id, conv, r,
+        |   CASE WHEN substring(md5('aa42:' || CAST(r AS VARCHAR) || ':'
+        |     || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |    THEN 'a' ELSE 'b' END AS arm
+        |  FROM per CROSS JOIN
+        |   (SELECT unnest(generate_series(0, 199)) AS r)),
+        | cells AS (SELECT r, arm, count(*) AS n,
+        |   CAST(sum(conv) AS BIGINT) AS k FROM armed GROUP BY 1, 2),
+        | g AS (SELECT r,
+        |   CAST(sum(CASE WHEN arm = 'a' THEN n ELSE 0 END) AS BIGINT)
+        |     AS na,
+        |   CAST(sum(CASE WHEN arm = 'a' THEN k ELSE 0 END) AS BIGINT)
+        |     AS ka,
+        |   CAST(sum(CASE WHEN arm = 'b' THEN n ELSE 0 END) AS BIGINT)
+        |     AS nb,
+        |   CAST(sum(CASE WHEN arm = 'b' THEN k ELSE 0 END) AS BIGINT)
+        |     AS kb
+        |  FROM cells GROUP BY 1),
+        | zz AS (SELECT r,
+        |   (CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+        |    / sqrt((CAST(ka + kb AS DOUBLE) / (na + nb))
+        |      * (1.0 - CAST(ka + kb AS DOUBLE) / (na + nb))
+        |      * (1.0 / na + 1.0 / nb)) AS z
+        |  FROM g),
+        | f AS (SELECT count(*) AS n_reps,
+        |   CAST(sum(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_false_positive FROM zz)
+        |SELECT n_reps, n_false_positive,
+        | round(CAST(n_false_positive AS DOUBLE) / n_reps, 6) AS fp_rate
+        |FROM f""".stripMargin,
+
+    "agg_friedman_test" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |   count(*) AS cnt FROM events GROUP BY 1, 2),
+        | ranked AS (SELECT day, event_type,
+        |   CAST(rank() OVER (PARTITION BY day ORDER BY cnt) AS BIGINT)
+        |     * 2 + (count(*) OVER (PARTITION BY day, cnt) - 1) AS r2
+        |  FROM daily),
+        | sums AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS rs2,
+        |   count(*) AS nb FROM ranked GROUP BY 1),
+        | tot AS (SELECT count(*) AS k, max(nb) AS n FROM sums),
+        | x AS (SELECT (SELECT k FROM tot) AS k, (SELECT n FROM tot) AS n,
+        |   sum((rs2 / 2.0) * (rs2 / 2.0)) AS s2 FROM sums)
+        |SELECT CAST(k AS BIGINT) AS n_treatments,
+        | CAST(n AS BIGINT) AS n_blocks,
+        | round(12.0 / (CAST(n AS DOUBLE) * k * (k + 1.0)) * s2
+        |   - 3.0 * CAST(n AS DOUBLE) * (k + 1.0), 6) AS chi2_f,
+        | CAST(k - 1 AS BIGINT) AS df
+        |FROM x""".stripMargin,
 
     "agg_runs_test" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt

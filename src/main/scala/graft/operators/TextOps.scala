@@ -1199,6 +1199,39 @@ object TextOps {
             / col("n_tokens").cast("double"), 6).as("hapax_ratio"))
         .orderBy("doc_id")),
 
+    // TERM-FREQUENCY DRIFT (round 11) — which vocabulary is RISING or
+    // FALLING across the corpus's ingestion order? (doc_id is the
+    // corpus position axis — the drift readout a crawl pipeline watches
+    // between snapshots.) For the top-100 df terms: per-position-decile
+    // counts, then the OLS slope over the 10-bucket series — with
+    // x = 0..9 fixed, Σx=45 and Σx²=285 are constants, so
+    // slope = (10·Σxy − 45·Σy)/825 is ONE exact-integer division per
+    // term. Top-10 risers by rounded slope (term tiebreak). Scale: one
+    // explode + two bounded aggs; the term list is a TakeOrdered slice
+    // and the grid is 100×10.
+    "text_term_drift" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val top = tk.groupBy("w").agg(count(lit(1)).as("cw"))
+        .orderBy(col("cw").desc, col("w")).limit(100)
+        .localCheckpoint() // feeds the bucket join and the final join
+      val nmax = t(s, dir, "documents").agg(max("doc_id").as("mx"))
+      val bt = tk.join(broadcast(top.select("w")), Seq("w"))
+        .crossJoin(broadcast(nmax))
+        .select(col("w"), expr("(doc_id * 10) div (mx + 1)").as("b"))
+        .groupBy("w", "b").agg(count(lit(1)).as("y"))
+      val grid = top.select(col("w"))
+        .crossJoin(broadcast(s.range(0, 10).select(col("id").as("b"))))
+      val dense = grid.join(bt, Seq("w", "b"), "left").na.fill(0L, Seq("y"))
+      val mom = dense.groupBy("w")
+        .agg(sum("y").as("sy"), sum(col("b") * col("y")).as("sxy"))
+      mom.join(broadcast(top), Seq("w"))
+        .select(col("w").as("term"), col("cw").as("n_occurrences"),
+          round((lit(10L) * col("sxy") - lit(45L) * col("sy"))
+            .cast("double") / lit(825.0), 6).as("slope"))
+        .orderBy(col("slope").desc, col("term")).limit(10)
+    }),
+
     // PAIRWISE JENSEN–SHANNON DIVERGENCE (round 11) — the symmetric,
     // bounded domain-similarity matrix between sources' word
     // distributions (text_entropy_kl gives each source vs the corpus;
@@ -1894,6 +1927,26 @@ object TextOps {
         | round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |   / CAST(sum(cnt) AS DOUBLE), 6) AS hapax_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_term_drift" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        | top AS (SELECT w, count(*) AS cw FROM tk GROUP BY 1
+        |  ORDER BY cw DESC, w LIMIT 100),
+        | mx AS (SELECT max(doc_id) AS mx FROM documents),
+        | bt AS (SELECT w, (doc_id * 10) // ((SELECT mx FROM mx) + 1)
+        |     AS b, count(*) AS y
+        |  FROM tk WHERE w IN (SELECT w FROM top) GROUP BY 1, 2),
+        | grid AS (SELECT w, b FROM top CROSS JOIN
+        |  (SELECT unnest(generate_series(0, 9)) AS b)),
+        | dense AS (SELECT grid.w, grid.b, COALESCE(y, 0) AS y
+        |  FROM grid LEFT JOIN bt ON grid.w = bt.w AND grid.b = bt.b),
+        | mom AS (SELECT w, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(b * y) AS BIGINT) AS sxy FROM dense GROUP BY 1)
+        |SELECT mom.w AS term, cw AS n_occurrences,
+        | round(CAST(10 * sxy - 45 * sy AS DOUBLE) / 825.0, 6) AS slope
+        |FROM mom JOIN top ON mom.w = top.w
+        |ORDER BY slope DESC, term LIMIT 10""".stripMargin,
+
     "text_js_divergence" -> {
       val ln2 = math.log(2.0)
       s"""WITH sc AS (SELECT source, w, count(*) AS c

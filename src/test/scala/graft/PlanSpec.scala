@@ -184,6 +184,14 @@ class PlanSpec extends SparkSpec {
             "agg_two_proportion_z", // two 1-row arm frames crossed
             "agg_runs_test", // 1-row daily-median frame crossed onto the
                              // bounded day grid
+            "sessionize_entry_exit", // 1-row session-count frame crossed
+                                     // onto the |types|^2 matrix
+            "agg_friedman_test", // 1-row (k, n) frame crossed onto the
+                                 // |types|-row rank-sum frame
+            "text_term_drift", // 1-row max-doc-id frame + the 100x10
+                               // term-decile grid cross (both bounded)
+            "agg_lorenz_deciles", // 1-row count/total frames + the rank
+                                  // machine's bucket-bounds crosses
             "ts_interarrival_hist", // 1-row gap-count frame crossed onto
                                     // the 8-bucket grid
             "seg_rfm",        // 1-row max-date/count/total frames + the
@@ -241,7 +249,11 @@ class PlanSpec extends SparkSpec {
       "ts_peak_detect" ->
         "lag/lead window over the bounded dense hour grid (~720 rows/month)",
       "agg_runs_test" ->
-        "sign-change lag over the bounded day grid (~30 rows/month)"
+        "sign-change lag over the bounded day grid (~30 rows/month)",
+      "agg_lorenz_deciles" ->
+        ("user-sized rank runs bucket-partitioned " +
+          "(ScalableWindows.bucketedRowNumber); only the 64-row grid " +
+          "cumsum and the 10-row decile cumsum are unpartitioned")
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { key =>
       val sp = SparkEntry.queries(key)(spark, sfDir).queryExecution.sparkPlan
