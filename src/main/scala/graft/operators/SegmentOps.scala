@@ -204,9 +204,147 @@ object SegmentOps {
           round(col("n_users").cast("double") / col("nu").cast("double"),
             6).as("share"))
         .orderBy("tier_pre", "tier_post")
-    }))
+    }),
+
+    // BEHAVIORAL K-MEANS (round 11) — the segmenter TRAINING its own
+    // segments: cluster users in the (event volume, purchase volume)
+    // plane with k=4 and three Lloyd rounds, in FIXED-POINT INTEGER
+    // arithmetic end to end (the ts_markov_steady contract — the
+    // oracle replays the identical integer recurrence as unrolled
+    // CTEs): features are exact longs (f2 = 10·purchases to balance
+    // scales), init centroids sit at range fractions
+    // min + (span·(2k−1)) div 8 (exact integer div — no percentile
+    // interpolation off the lattice), assignment is exact-long argmin
+    // of squared distance with ties to the LOWEST cluster id, and the
+    // update is sum div count with empty clusters keeping their old
+    // centroid. Scale: each round is one broadcast-centroid projection
+    // + one 4-row agg (the sim_kmeans_train shape); only the ≤k-row
+    // centroid frame is ever collected (tripwired).
+    "seg_kmeans_behavior" -> ((s, dir) => {
+      val k = 4
+      val feats = events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("f1"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            * 10L).as("f2"))
+        .localCheckpoint() // scanned once per Lloyd round + the range agg
+      val rangeRow = feats.agg(min("f1").as("lo1"), max("f1").as("hi1"),
+        min("f2").as("lo2"), max("f2").as("hi2")).collect()(0)
+      val (lo1, hi1, lo2, hi2) = (rangeRow.getLong(0), rangeRow.getLong(1),
+        rangeRow.getLong(2), rangeRow.getLong(3))
+      var cents: Seq[(Int, Long, Long)] = (1 to k).map { i =>
+        (i, lo1 + (hi1 - lo1) * (2 * i - 1) / 8,
+          lo2 + (hi2 - lo2) * (2 * i - 1) / 8)
+      }
+      def assigned: DataFrame = {
+        val d = cents.map { case (i, c1, c2) =>
+          ((col("f1") - lit(c1)) * (col("f1") - lit(c1)) +
+            (col("f2") - lit(c2)) * (col("f2") - lit(c2))).as(s"d$i")
+        }
+        val cl = when(col("d1") <= col("d2") && col("d1") <= col("d3") &&
+            col("d1") <= col("d4"), 1)
+          .when(col("d2") <= col("d3") && col("d2") <= col("d4"), 2)
+          .when(col("d3") <= col("d4"), 3).otherwise(4)
+        feats.select(col("f1") +: col("f2") +: d: _*)
+          .withColumn("cluster", cl)
+      }
+      for (_ <- 1 to 3) {
+        val upd = assigned.groupBy("cluster")
+          .agg(count(lit(1)).as("n"), sum("f1").as("s1"), sum("f2").as("s2"))
+          .collect().map(r => r.getInt(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        require(upd.size <= k, "kmeans centroid-frame tripwire")
+        cents = cents.map { case (i, c1, c2) =>
+          upd.get(i) match {
+            case Some((n, s1, s2)) if n > 0 => (i, s1 / n, s2 / n)
+            case _ => (i, c1, c2) // empty cluster keeps its centroid
+          }
+        }
+      }
+      val out = assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum("f1").cast("double") / count(lit(1)), 6)
+            .as("mean_events"),
+          round(sum("f2").cast("double") / lit(10.0) / count(lit(1)), 6)
+            .as("mean_purchases"))
+      val cdf = {
+        import s.implicits._
+        cents.toDF("cluster", "c1", "c2")
+      }
+      out.join(broadcast(cdf), Seq("cluster"))
+        .select(col("cluster"), col("n_users"), col("mean_events"),
+          col("mean_purchases"), col("c1").as("centroid_f1"),
+          col("c2").as("centroid_f2"))
+        .orderBy("cluster")
+    }),
+  )
+
+  private def kmeansAssignSql(cSrc: String): String = {
+    val ds = (1 to 4).map(i =>
+      s"(f1 - c1_$i) * (f1 - c1_$i) + (f2 - c2_$i) * (f2 - c2_$i) AS d$i")
+      .mkString(",\n|   ")
+    s"""SELECT user_id, f1, f2,
+       |  CASE WHEN d1 <= d2 AND d1 <= d3 AND d1 <= d4 THEN 1
+       |   WHEN d2 <= d3 AND d2 <= d4 THEN 2
+       |   WHEN d3 <= d4 THEN 3 ELSE 4 END AS cluster
+       |FROM (SELECT user_id, f1, f2,
+       |   $ds
+       |  FROM feats CROSS JOIN $cSrc)""".stripMargin
+  }
+
+  /** The unrolled-CTE oracle twin of the seg_kmeans_behavior Lloyd
+    * rounds: wide 1-row centroid frames c0..c3, assignment CTEs a1..a4.
+    * Every CTE is `AS MATERIALIZED` and each update is ONE conditional
+    * aggregation over the previous assignment (an inlined
+    * scalar-subquery form re-evaluates the whole upstream chain per
+    * subquery — 8³ corpus scans — and never finishes); empty clusters
+    * inherit the previous centroid via COALESCE over the NULLIF'd
+    * count. */
+  private def kmeansUpdateSql(aPrev: String, cPrev: String): String = {
+    val cols = (1 to 4).map(i =>
+      s"""COALESCE(CAST(sum(CASE WHEN cluster = $i THEN f1 END)
+         |     AS BIGINT)
+         |    // NULLIF(count(CASE WHEN cluster = $i THEN 1 END), 0),
+         |   (SELECT c1_$i FROM $cPrev)) AS c1_$i,
+         |  COALESCE(CAST(sum(CASE WHEN cluster = $i THEN f2 END)
+         |     AS BIGINT)
+         |    // NULLIF(count(CASE WHEN cluster = $i THEN 1 END), 0),
+         |   (SELECT c2_$i FROM $cPrev)) AS c2_$i""".stripMargin)
+      .mkString(",\n|  ")
+    s"SELECT\n|  $cols\n| FROM $aPrev".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
+
+    "seg_kmeans_behavior" -> {
+      val c0cols = (1 to 4).map(i =>
+        s"lo1 + (hi1 - lo1) * ${2 * i - 1} // 8 AS c1_$i, " +
+          s"lo2 + (hi2 - lo2) * ${2 * i - 1} // 8 AS c2_$i").mkString(", ")
+      s"""WITH feats AS MATERIALIZED (SELECT user_id, count(*) AS f1,
+         |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |     END) * 10 AS BIGINT) AS f2
+         |  FROM events GROUP BY 1),
+         | rng AS MATERIALIZED (SELECT CAST(min(f1) AS BIGINT) AS lo1,
+         |   CAST(max(f1) AS BIGINT) AS hi1,
+         |   CAST(min(f2) AS BIGINT) AS lo2,
+         |   CAST(max(f2) AS BIGINT) AS hi2 FROM feats),
+         | c0 AS MATERIALIZED (SELECT $c0cols FROM rng),
+         | a1 AS MATERIALIZED (${kmeansAssignSql("c0")}),
+         | c1 AS MATERIALIZED (${kmeansUpdateSql("a1", "c0")}),
+         | a2 AS MATERIALIZED (${kmeansAssignSql("c1")}),
+         | c2 AS MATERIALIZED (${kmeansUpdateSql("a2", "c1")}),
+         | a3 AS MATERIALIZED (${kmeansAssignSql("c2")}),
+         | c3 AS MATERIALIZED (${kmeansUpdateSql("a3", "c2")}),
+         | a4 AS MATERIALIZED (${kmeansAssignSql("c3")})
+         |SELECT cluster, count(*) AS n_users,
+         | round(CAST(sum(f1) AS DOUBLE) / count(*), 6) AS mean_events,
+         | round(CAST(sum(f2) AS DOUBLE) / 10.0 / count(*), 6)
+         |   AS mean_purchases,
+         | (SELECT CASE cluster WHEN 1 THEN c1_1 WHEN 2 THEN c1_2
+         |   WHEN 3 THEN c1_3 ELSE c1_4 END FROM c3) AS centroid_f1,
+         | (SELECT CASE cluster WHEN 1 THEN c2_1 WHEN 2 THEN c2_2
+         |   WHEN 3 THEN c2_3 ELSE c2_4 END FROM c3) AS centroid_f2
+         |FROM a4 GROUP BY cluster ORDER BY cluster""".stripMargin
+    },
 
     "seg_rfm" ->
       s"""WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
