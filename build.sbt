@@ -84,5 +84,5 @@ addCommandAlias("testLight",
     "graft.ClassifierSpec graft.ExtensionsSpec graft.GraphSpec " +
     "graft.IvfSpec graft.LayoutSpec graft.PartitionInvarianceSpec " +
     "graft.PartitionPruningSpec graft.PqSpec graft.QuantizeSpec " +
-    "graft.SessionizePropertySpec graft.SkewSpec graft.SourcesSpec " +
-    "graft.StatsExtSpec graft.VecDotSpec")
+    "graft.SegmentSpec graft.SessionizePropertySpec graft.SkewSpec " +
+    "graft.SourcesSpec graft.StatsExtSpec graft.VecDotSpec")
