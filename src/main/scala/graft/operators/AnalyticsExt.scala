@@ -2216,7 +2216,12 @@ object AnalyticsExt {
     // falling entropy rate means behavior is funnelling, ln|types| is
     // the ceiling. Per-cell ln terms ride Spark expressions and snap to
     // DECIMAL(28,12) before the order-free grid sum (the entropy_kl
-    // rule); zero-probability cells are excluded in both engines.
+    // rule); zero-probability cells are excluded in both engines, and
+    // source-only states (i never seen as a destination, so π_i = 0
+    // after one iteration) are KEPT in the cell counts on both sides —
+    // Spark via v.getOrElse(i, 0), the oracle via LEFT JOIN +
+    // COALESCE(v, 0) — so n_states/n_cells agree even on a corpus with
+    // a first-event-only type.
     "ts_markov_entropy_rate" -> ((s, dir) => {
       val (pm, v) = markovFixedPoint(s, dir)
       import s.implicits._
@@ -3498,10 +3503,11 @@ object AnalyticsExt {
       s"""$markovCtesSql
          |SELECT CAST(count(DISTINCT pm.i) AS BIGINT) AS n_states,
          | count(*) AS n_cells,
-         | round(-CAST(sum(CAST((v / 1000000.0) * (pm / 1000000.0)
+         | round(-CAST(sum(CAST((COALESCE(v, 0) / 1000000.0)
+         |   * (pm / 1000000.0)
          |   * ln(pm / 1000000.0) AS DECIMAL(28,12))) AS DOUBLE), 6)
          |   AS entropy_rate_nats
-         |FROM pm JOIN v12 ON pm.i = v12.state WHERE pm > 0""".stripMargin,
+         |FROM pm LEFT JOIN v12 ON pm.i = v12.state WHERE pm > 0""".stripMargin,
 
     "ts_new_vs_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d

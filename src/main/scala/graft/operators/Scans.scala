@@ -312,15 +312,16 @@ object Scans {
       """SELECT lang, CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // The one oracle that names a PATH instead of a view: footer
-    // introspection has no table-level SQL form. The driver's
-    // correctness pass runs at sf0.01 by contract (TESTDATA.md), which
-    // is the path pinned here; the Spark side stays $dir-relative.
+    // introspection has no table-level SQL form. The path carries the
+    // __SF_DIR__ placeholder that Verify substitutes with the run's
+    // actual sfDir at dump time, so the oracle always inspects the SAME
+    // file the Spark side read — at any scale, not just sf0.01.
     "scan_parquet_footer" ->
       """SELECT CAST(row_group_id AS INT) AS rg_id,
         | CAST(max(row_group_num_rows) AS BIGINT) AS num_rows,
         | count(*) AS n_columns,
         | CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes
-        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        |FROM parquet_metadata('__SF_DIR__/lineitem.parquet')
         |GROUP BY row_group_id ORDER BY rg_id""".stripMargin,
   )
 }

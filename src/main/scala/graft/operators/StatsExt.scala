@@ -917,10 +917,19 @@ object StatsExt {
     // exact longs and the statistic is one IEEE tree. Every window is
     // partitioned by the day block (≤|types| rows per partition) — the
     // machine is calendar×vocabulary-bounded after one corpus agg.
+    // Friedman assumes a COMPLETE block design: the day×type grid is
+    // densified with zero counts (the ts_peak_detect gap-fill idiom)
+    // before ranking, so a type missing from one day still ranks in
+    // that block instead of silently shrinking its block count.
     "agg_friedman_test" -> ((s, dir) => {
-      val daily = events(s, dir)
+      val daily0 = events(s, dir)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
+      val days = daily0.select("day").distinct()
+      val types = daily0.select("event_type").distinct()
+      val daily = days.crossJoin(broadcast(types))
+        .join(daily0, Seq("day", "event_type"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       val wR = Window.partitionBy("day").orderBy("cnt")
       val wT = Window.partitionBy("day", "cnt")
       val ranked = daily
@@ -1511,8 +1520,13 @@ object StatsExt {
         |FROM f""".stripMargin,
 
     "agg_friedman_test" ->
-      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+      """WITH daily0 AS (SELECT CAST(ts AS DATE) AS day, event_type,
         |   count(*) AS cnt FROM events GROUP BY 1, 2),
+        | days AS (SELECT DISTINCT day FROM daily0),
+        | types AS (SELECT DISTINCT event_type FROM daily0),
+        | daily AS (SELECT d.day, t.event_type, COALESCE(cnt, 0) AS cnt
+        |  FROM days d CROSS JOIN types t LEFT JOIN daily0
+        |    ON daily0.day = d.day AND daily0.event_type = t.event_type),
         | ranked AS (SELECT day, event_type,
         |   CAST(rank() OVER (PARTITION BY day ORDER BY cnt) AS BIGINT)
         |     * 2 + (count(*) OVER (PARTITION BY day, cnt) - 1) AS r2

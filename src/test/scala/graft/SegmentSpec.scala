@@ -53,9 +53,16 @@ class SegmentSpec extends SparkSpec {
     val evs = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        // full-microsecond instant — the query's window orders by the
+        // µs-precision ts, so a millisecond-truncated sort key could
+        // order a same-millisecond pair differently
+        val micros = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        (r.getLong(0), micros, r.getLong(2), r.getString(3))
+      }
     val pairs = evs.groupBy(_._1).values.flatMap { rows =>
-      val sorted = rows.sortBy(t => (t._2.getTime, t._3)).map(_._4)
+      val sorted = rows.sortBy(t => (t._2, t._3)).map(_._4)
       sorted.zip(sorted.tail)
     }.toSeq
     val counts = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
