@@ -184,6 +184,44 @@ object DedupOps {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("jac_decile")),
 
+    // The 100 TB form of the threshold sweep: the exact key's pair
+    // expansion rides Σ_sh df·(df−1)/2, which densifies super-linearly
+    // on a fixed shingle vocabulary (measured ×162.8 at the 10× point —
+    // SCALE.md §9a), so the tuning curve gets a DF-CAPPED twin: postings
+    // of a shingle hotter than [[ThresholdSweepDfCap]] are thinned to
+    // ~cap survivors by a DETERMINISTIC salted-md5 residue (keep iff
+    // hex₁₋₈(md5(salt:shingle:doc)) mod df < cap — a fixed pseudo-random
+    // subset, NOT a per-run sample, so the histogram is bit-identical
+    // cross-engine and oracle-checkable), bounding per-shingle pair
+    // fan-out at ~cap²/2 and making the sweep linear at any scale.
+    // Doc sizes (n1, n2) stay EXACT — only intersections thin — so the
+    // decile of a surviving pair can only drift down, and only on pairs
+    // whose overlap is mostly boilerplate-hot shingles; measured decile
+    // mass drift vs the exact key ≤1% at sf0.1 (pinned in DedupSpec).
+    "dedup_threshold_sweep_capped" -> ((s, dir) => {
+      val sh = docShingles(t(s, dir, "documents"))
+      val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val res = conv(substring(md5(concat(lit("tswp42:"), col("shingle"),
+        lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % col("df")
+      val capped = sh.join(dfc, "shingle")
+        .filter(col("df") <= ThresholdSweepDfCap ||
+          res < ThresholdSweepDfCap)
+        .select("doc_id", "shingle")
+      capped.select(col("doc_id").as("d1"), col("shingle"))
+        .join(capped.select(col("doc_id").as("d2"), col("shingle")),
+          Seq("shingle"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .groupBy(expr("(10 * inter) div (n1 + n2 - inter)").cast("int")
+          .as("jac_decile"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("jac_decile")
+    }),
+
     // Asymmetric CONTAINMENT dedup: inter / min(n1, n2) — the metric
     // that catches subset duplicates symmetric Jaccard misses (a short
     // doc pasted whole into a long one scores containment 1.0 but
@@ -437,6 +475,14 @@ object DedupOps {
     * window is bounded at ceiling² instead of |docs|². Mirrored
     * literally in the DuckDB oracle (semantics, not implementation). */
   val SubstringPairDfCeiling: Int = 100
+
+  /** Per-shingle posting cap for `dedup_threshold_sweep_capped`: a
+    * shingle seen in more docs keeps only ~cap deterministic survivors
+    * (salted-md5 residue), bounding its pair fan-out at ~cap²/2.
+    * Deliberately BELOW the sf0.1 max shingle df (25) so the sf0.1
+    * parity pin exercises real thinning, not a vacuous pass. Mirrored
+    * literally in the DuckDB oracle. */
+  val ThresholdSweepDfCap: Int = 16
 
   /** All (doc_id, win) character windows of length `len` — one row per
     * POSITION (repeats within a doc preserved), docs shorter than the
@@ -1099,6 +1145,34 @@ object DedupOps {
         | count(*) AS n_pairs
         |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // hex₁₋₈ of the salted md5 decoded positionally (the sample_weighted
+    // idiom — DuckDB has no base-conv builtin); cap mirrored literally.
+    "dedup_threshold_sweep_capped" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+         |   FROM (SELECT doc_id, toks,
+         |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+         | n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+         | d AS (SELECT sh, count(*) AS df FROM s GROUP BY 1),
+         | hh AS (SELECT doc_id, sh, df,
+         |   md5('tswp42:' || sh || ':' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM s JOIN d USING (sh)),
+         | sc AS (SELECT doc_id, sh FROM hh WHERE df <= $ThresholdSweepDfCap OR
+         |   ( (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) * 268435456
+         |   + (CAST(strpos('0123456789abcdef', substr(h, 2, 1)) AS BIGINT) - 1) * 16777216
+         |   + (CAST(strpos('0123456789abcdef', substr(h, 3, 1)) AS BIGINT) - 1) * 1048576
+         |   + (CAST(strpos('0123456789abcdef', substr(h, 4, 1)) AS BIGINT) - 1) * 65536
+         |   + (CAST(strpos('0123456789abcdef', substr(h, 5, 1)) AS BIGINT) - 1) * 4096
+         |   + (CAST(strpos('0123456789abcdef', substr(h, 6, 1)) AS BIGINT) - 1) * 256
+         |   + (CAST(strpos('0123456789abcdef', substr(h, 7, 1)) AS BIGINT) - 1) * 16
+         |   + (CAST(strpos('0123456789abcdef', substr(h, 8, 1)) AS BIGINT) - 1)
+         |   ) % df < $ThresholdSweepDfCap),
+         | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |   FROM sc a JOIN sc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT CAST((10 * inter) // (x.n + y.n - inter) AS INT) AS jac_decile,
+         | count(*) AS n_pairs
+         |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_jaccard_knn" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh

@@ -57,16 +57,42 @@ object ScalableWindows {
       .drop("__lo", "__hi")
   }
 
+  /** [[withBuckets]] with bucket bounds computed PER `partCols` value
+    * instead of globally — for frames whose partitions carry disjoint
+    * value ranges (an unpivoted multi-metric frame: one metric's range
+    * would swallow the others' into a single global bucket, collapsing
+    * their parallelism). The bounds frame is |distinct partCols| rows
+    * and broadcast; callers must keep the partition key low-cardinality
+    * (the machine's contract anyway — it exists to REMOVE the |enum|
+    * floor, not to rank by a high-cardinality key). */
+  private[operators] def withBucketsPer(df: DataFrame,
+      partCols: Seq[String], bucketCol: String, buckets: Int): DataFrame = {
+    val mm = df.groupBy(partCols.map(col): _*)
+      .agg(min(col(bucketCol).cast("double")).as("__lo"),
+        max(col(bucketCol).cast("double")).as("__hi"))
+    df.join(broadcast(mm), partCols)
+      .withColumn("__bkt",
+        when(col("__lo") === col("__hi"), lit(1L))
+          .otherwise(width_bucket(col(bucketCol).cast("double"),
+            col("__lo"), col("__hi"), lit(buckets))))
+      .drop("__lo", "__hi")
+  }
+
   /** Adds a per-`partCols` global `rn` (1-based row_number in
     * `orderCols` order) without a per-partition corpus-sized window.
     * `bucketCol` MUST be (a monotone function of) the leading order
     * column, and `orderCols` must be a deterministic total order.
     * Two-level: within-(partition, bucket) row_number + the exclusive
-    * cross-bucket prefix count cumsum'd over the tiny bucket grid. */
+    * cross-bucket prefix count cumsum'd over the tiny bucket grid.
+    * `perPartBounds` switches bucket bounds to per-partition min/max
+    * ([[withBucketsPer]]) — correctness never depends on bounds, only
+    * load balance does, so either setting yields identical ranks. */
   def bucketedRowNumber(df: DataFrame, partCols: Seq[String],
       bucketCol: String, orderCols: Seq[Column],
-      buckets: Int = 64): DataFrame = {
-    val b = withBuckets(df, bucketCol, buckets)
+      buckets: Int = 64, perPartBounds: Boolean = false): DataFrame = {
+    val b = if (perPartBounds && partCols.nonEmpty)
+      withBucketsPer(df, partCols, bucketCol, buckets)
+    else withBuckets(df, bucketCol, buckets)
     val pc = partCols.map(col)
     val wB = Window.partitionBy(pc: _*).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

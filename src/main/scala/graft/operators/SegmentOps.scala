@@ -47,9 +47,14 @@ object SegmentOps {
     // (R, F, M) cell to a named segment (champions / at_risk / ...).
     // Quintiles are INTEGER-EXACT: q = ((rank−1)·5) div n + 1 over the
     // deterministic total order (metric, custkey) — no ntile tie
-    // ambiguity, no float thresholds — and each rank runs through the
-    // two-level bucketed row_number (the gini machine), so the
-    // customer-sized sorts stay bucket-parallel at 100 TB. Money rides
+    // ambiguity, no float thresholds. The three ranks run FUSED through
+    // ONE two-level bucketed row_number: the customer frame unpivots to
+    // a 3n-row (metric, value) frame (recency negated so every metric
+    // ranks ascending) and the machine partitions by metric with
+    // per-metric bucket bounds — one window exchange for all three
+    // ranks instead of three chained machines, each with its own
+    // bounds/offset stages and checkpoint (round-12 fusion: same ranks,
+    // same oracle hash, ~half the fixed stage overhead). Money rides
     // the DECIMAL(18,4) micro-lattice; shares release via the 2^32
     // hi/lo split.
     "seg_rfm" -> ((s, dir) => {
@@ -64,22 +69,25 @@ object SegmentOps {
         .select(col("ck"),
           datediff(col("mxd"), col("last_d")).cast("long").as("rec"),
           col("freq"), col("mon"))
-        .localCheckpoint() // shared leaf: three rank machines + the
-                           // count/total scalars each re-read this frame
+        .localCheckpoint() // shared leaf: the rank machine evaluates its
+                           // input ~3x (bounds, offsets, final join) and
+                           // the count/total scalars re-read it too
       val n1 = per.agg(count(lit(1)).as("nn"))
-      def quint(df: DataFrame, bcol: String, out: String): DataFrame =
-        ScalableWindows.bucketedRowNumber(df, Seq.empty, bcol,
-            Seq(col(bcol), col("ck")))
-          .withColumn(out, expr("((rn - 1) * 5) div nn + 1").cast("int"))
-          .drop("rn", "__boff") // the machine's stitch column — dropped so
-                                // the next quint's join can't collide
-          .localCheckpoint() // cut the 3^k recompute compounding: each
-                             // machine evaluates its input ~3x (bounds,
-                             // offsets, final join)
-      val scored = quint(quint(quint(
-          per.crossJoin(broadcast(n1)).withColumn("negrec", -col("rec")),
-          "negrec", "r_score").drop("negrec"),
-        "freq", "f_score"), "mon", "m_score")
+      val longF = per.selectExpr("ck",
+        "stack(3, 'r', -rec, 'f', freq, 'm', mon) AS (metric, v)")
+      val ranked = ScalableWindows.bucketedRowNumber(longF, Seq("metric"),
+          "v", Seq(col("v"), col("ck")), perPartBounds = true)
+        .crossJoin(broadcast(n1))
+        .withColumn("q", expr("((rn - 1) * 5) div nn + 1").cast("int"))
+      // pivot scores AND metrics back in one ck-keyed agg — rec/freq/mon
+      // reconstruct from v, so no join back onto the customer frame
+      val scored = ranked.groupBy("ck")
+        .agg(max(when(col("metric") === "r", col("q"))).as("r_score"),
+          max(when(col("metric") === "f", col("q"))).as("f_score"),
+          max(when(col("metric") === "m", col("q"))).as("m_score"),
+          max(when(col("metric") === "r", -col("v"))).as("rec"),
+          max(when(col("metric") === "f", col("v"))).as("freq"),
+          max(when(col("metric") === "m", col("v"))).as("mon"))
       val seg = scored.withColumn("segment",
         when(col("r_score") >= 4 && col("f_score") >= 4 &&
           col("m_score") >= 4, "champions")

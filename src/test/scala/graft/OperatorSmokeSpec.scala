@@ -240,6 +240,34 @@ class OperatorSmokeSpec extends SparkSpec {
     }
   }
 
+  test("pinned: df-capped threshold sweep tracks the exact curve at sf0.1") {
+    // the 100 TB twin thins hot-shingle postings (df > cap=16) to ~cap
+    // deterministic survivors, so SOME pairs lose intersection mass —
+    // but the decile SHAPE of the tuning curve (which is what the key
+    // exists to read) must hold: per-decile mass share within 1% abs of
+    // the exact key's, total pairs within 5% (measured at sf0.1:
+    // share drift < 1e-4, total thinning 1.75%). Run at sf0.1 — the
+    // only corpus where the cap binds (max df 25 > cap; sf0.01 max df
+    // is below the cap, which would make this pin vacuous).
+    val dir = "/root/testdata/sf0.1"
+    val exact = SparkEntry.queries("dedup_threshold_sweep")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val capped = SparkEntry.queries("dedup_threshold_sweep_capped")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val totE = exact.values.sum.toDouble
+    val totC = capped.values.sum.toDouble
+    assert(math.abs(totE - totC) <= 0.05 * totE,
+      s"total pair thinning: exact=$totE capped=$totC")
+    (exact.keySet ++ capped.keySet).foreach { d =>
+      val drift = math.abs(
+        exact.getOrElse(d, 0L) / totE - capped.getOrElse(d, 0L) / totC)
+      assert(drift <= 0.01, s"decile $d mass share drift $drift")
+    }
+    // non-vacuous: the cap must actually thin at this SF, otherwise the
+    // pin silently degrades to capped ≡ exact
+    assert(totC < totE, "cap did not bind — pin is vacuous at this SF")
+  }
+
   test("pinned: approx curriculum stages track the exact ntile cut at sf0.1") {
     // the scale twin's GK sketch (accuracy=10000) displaces each quartile
     // threshold by ≤ n/10000 ranks, so each stage's population drifts

@@ -241,9 +241,9 @@ class PlanSpec extends SparkSpec {
           "bucket-partitioned, only the 64-row bucket-grid cumsum is " +
           "unpartitioned (ScalableWindows.bucketedRowNumber)"),
       "seg_rfm" ->
-        ("three bucketedRowNumber rank machines (R/F/M quintiles): the " +
-          "customer-sized sorts run bucket-partitioned, only the 64-row " +
-          "bucket-grid cumsums are unpartitioned"),
+        ("round 12: the fused metric-partitioned rank machine has NO " +
+          "unpartitioned window left (the grid cumsum partitions by " +
+          "metric) — entry kept as documentation of the fusion"),
       "pipeline_token_budget_mix" ->
         "largest-remainder seat rank over the |sources|-row quota frame",
       "ts_peak_detect" ->

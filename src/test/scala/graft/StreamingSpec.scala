@@ -1573,6 +1573,95 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty)
     }
   }
+
+  test("suppress(untilTimeLimit): rate-limited latest-value release + final parity") {
+    import graft.streaming.StreamingSuppress
+    import graft.streaming.StreamingSuppress.EventIn
+    withRocksDb {
+      val limitUs = 60L * 60000000L // 60 min hold window
+      def sev(id: Long, user: Long, offMin: Long, vMicro: Long) =
+        EventIn(user, ts(offMin), id, vMicro)
+      def relUs(offMin: Long): Long = (T0 + offMin * 60000L) * 1000L
+      val waves = Seq(
+        // u1 buffers @0, update @10 replaces it (no release yet); u2
+        // buffers @5
+        Seq(sev(1, 1, 0, 100L), sev(2, 1, 10, 200L), sev(3, 2, 5, 50L)),
+        // u1 @70: stream time passed 0+60 -> buffered (2, 300) releases
+        // stamped @60, then (3, 600) buffers @70
+        Seq(sev(4, 1, 70, 300L)),
+        // u1 @130 = exactly 70+60 -> (3, 600) releases @130, (4, 1000)
+        // buffers @130; watermark now 120 -> u2's @65 timer fires
+        Seq(sev(5, 1, 130, 400L)),
+        // terminal watermark advance: u1's @190 timer flushes the tail
+        Seq(sev(99, 9, 10000, 1L), sev(100, 9, 20000, 1L)),
+        Seq.empty)
+      val ms = MemoryStream[EventIn]
+      val q = StreamingSuppress.suppress(ms.toDS(), limitUs).toDF()
+        .writeStream.format("memory").queryName("stream_suppress")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => if (w.nonEmpty) ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table("stream_suppress")
+        .filter(col("user_id") < 9).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // hand-replay of the KS rule: buffered value releases at
+      // bufferedAt + limit carrying the latest aggregate
+      assert(got == Set(
+        (1L, 2L, 300L, relUs(60)), (1L, 3L, 600L, relUs(130)),
+        (1L, 4L, 1000L, relUs(190)), (2L, 1L, 50L, relUs(65))),
+        got.mkString(", "))
+      // rate limit: consecutive releases per key >= limit apart
+      got.groupBy(_._1).values.foreach { rs =>
+        val rel = rs.map(_._4).toSeq.sorted
+        rel.zip(rel.tail).foreach { case (a, b) =>
+          assert(b - a >= limitUs, s"releases $a, $b closer than limit") }
+      }
+      // final-state parity: last release per key == the unsuppressed
+      // final aggregate (no update is ever lost to suppression)
+      val finals = got.groupBy(_._1).map { case (u, rs) =>
+        val last = rs.maxBy(_._4); u -> ((last._2, last._3)) }
+      val batchAgg = waves.flatten.filter(_.user_id < 9)
+        .groupBy(_.user_id).map { case (u, es) =>
+          u -> ((es.size.toLong, es.map(_.value_micro).sum)) }
+      assert(finals == batchAgg)
+    }
+  }
+
+  test("checkpoint restart recovers the suppress buffer and releases it") {
+    import graft.streaming.StreamingSuppress
+    import graft.streaming.StreamingSuppress.EventIn
+    withRocksDb {
+      val limitUs = 60L * 60000000L
+      val base = java.nio.file.Files.createTempDirectory("graft_ckpt_sup").toString
+      val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val batch1 = Seq(EventIn(1, ts(0), 1, 100L), EventIn(1, ts(10), 2, 200L))
+      // only a watermark-advancing foreign key: u1's buffered (2, 300)
+      // lives solely in the checkpointed state at this point
+      val batch2 = Seq(EventIn(9, ts(10000), 99, 1L))
+      val schema = batch1.toDF().schema
+      def write(cs: Seq[EventIn]): Unit =
+        cs.toDF().coalesce(1).write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(src).as[EventIn]
+        val q = StreamingSuppress.suppress(stream, limitUs).toDF()
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt).outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      write(batch1); runOnce()
+      write(batch2); runOnce()
+      val u1 = spark.read.parquet(out).filter(col("user_id") === 1L)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(u1 == Set((2L, 300L, (T0 + 60L * 60000L) * 1000L)),
+        u1.mkString(", "))
+    }
+  }
 }
 
 object StreamingSpec {
