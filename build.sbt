@@ -54,9 +54,19 @@ Test / testGrouping := {
     case "graft.PlanSpec"            => 2
     case "graft.OperatorSmokeSpec"   => 3
     case "graft.DedupSimilaritySpec" => 4
-    case _                           => 5
+    case "graft.StatsExtSpec"        => 5
+    case "graft.GraphSpec"           => 5
+    case _                           => 6
   }
-  val opts = (Test / javaOptions).value.toVector
+  // Round 12: each forked group JVM is CAPPED to 8 logical CPUs and 4
+  // GC threads. Measured on the stock 32-core run WITHOUT the caps:
+  // 6 concurrent JVMs each sized their GC/JIT/common pools for all 32
+  // CPUs (sys time 65 min ≈ user time 67 min — the kernel was doing as
+  // much work as the tests), 14m46s wall. The caps bound every
+  // auto-sized pool (GC, JIT, ForkJoin) to the share a group actually
+  // gets; Spark parallelism inside a group is local[4] regardless.
+  val opts = (Test / javaOptions).value.toVector ++ Seq(
+    "-XX:ActiveProcessorCount=8", "-XX:ParallelGCThreads=4")
   (Test / definedTests).value.groupBy(t => groupOf(t.name)).toSeq
     .sortBy(_._1).map { case (i, ts) =>
       Tests.Group(s"graft-tests-$i", ts,
@@ -68,7 +78,7 @@ Test / testGrouping := {
 // would leave the groups sequential.
 Global / concurrentRestrictions := Seq(
   Tags.limitAll(12),
-  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limit(Tags.ForkedTestGroup, 7),
   Tags.exclusive(Tags.Clean))
 
 // CI-halving aliases kept for low-memory environments ("sbt testHeavy"

@@ -200,18 +200,25 @@ object DedupOps {
     // mass drift vs the exact key ≤1% at sf0.1 (pinned in DedupSpec).
     "dedup_threshold_sweep_capped" -> ((s, dir) => {
       val sh = docShingles(t(s, dir, "documents"))
-      val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val res = conv(substring(md5(concat(lit("tswp42:"), col("shingle"),
         lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("long") % col("df")
-      val capped = sh.join(dfc, "shingle")
+      // df rides a count window over the shingle partition (the
+      // dedup_substring_pairs shape) so the cap filter AND the
+      // collect_set reuse ONE shingle exchange — a separate df agg +
+      // join-back costs a second index-sized shuffle (measured +1.5 s
+      // at the 10× point); pairs then explode from the ≤ ~cap-bounded
+      // posting sets, never a two-sided self-join of the whole index
+      val capped = sh
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
         .filter(col("df") <= ThresholdSweepDfCap ||
           res < ThresholdSweepDfCap)
-        .select("doc_id", "shingle")
-      capped.select(col("doc_id").as("d1"), col("shingle"))
-        .join(capped.select(col("doc_id").as("d2"), col("shingle")),
-          Seq("shingle"))
+      capped.groupBy("shingle").agg(collect_set(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(col("ds")).as("d1"), col("ds"))
+        .select(col("d1"), explode(col("ds")).as("d2"))
         .filter(col("d1") < col("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
         .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")

@@ -20,19 +20,20 @@ class BenchHarnessSpec extends SparkSpec {
     assert("\"ok_query\":[0-9.]+".r.findFirstIn(json).isDefined, json)
   }
 
-  test("BENCH_LOCAL.json covers exactly the SparkEntry.queries key set") {
-    // The driver's BENCH tail truncates; BENCH_LOCAL.json (written by
-    // Bench.main) is the authoritative per-key record — so a key
-    // silently dropped from (or added to) the engine surface must fail
-    // CI here instead of hiding behind the truncated tail. Regenerate
-    // with: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Bench"
-    val path = java.nio.file.Paths.get("BENCH_LOCAL.json")
+  /** Tamper-evidence for a committed bench ledger (round-12 verdict #1:
+    * a hand-merged BENCH_SF1.json shipped with `errors:119` beside 384
+    * clean timings — a state Bench.run cannot emit): the key set must
+    * equal `SparkEntry.queries` exactly, and the `errors` counter must
+    * equal the number of embedded `{"err":...}` entries. Any spliced or
+    * stale artifact fails here instead of shipping. */
+  private def assertBenchLedger(file: String): Unit = {
+    val path = java.nio.file.Paths.get(file)
     assert(java.nio.file.Files.exists(path),
-      "BENCH_LOCAL.json missing — run graft.Bench and commit the ledger")
+      s"$file missing — run graft.Bench and commit the ledger")
     val json = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     val qobj = {
       val start = json.indexOf("\"queries\":{")
-      assert(start >= 0, "no queries object in BENCH_LOCAL.json")
+      assert(start >= 0, s"no queries object in $file")
       val from = start + "\"queries\":".length
       var depth = 0; var i = from
       while (i == from || depth > 0) {
@@ -50,8 +51,32 @@ class BenchHarnessSpec extends SparkSpec {
     val missing = declared -- benched
     val stale = benched -- declared
     assert(missing.isEmpty && stale.isEmpty,
-      s"bench ledger drift — missing: ${missing.toSeq.sorted.mkString(",")}; " +
+      s"$file ledger drift — missing: ${missing.toSeq.sorted.mkString(",")}; " +
         s"stale: ${stale.toSeq.sorted.mkString(",")}")
+    val embeddedErrs = "\\{\"err\":".r.findAllMatchIn(qobj).length
+    val declaredErrs = "\"errors\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+    assert(declaredErrs.contains(embeddedErrs),
+      s"$file errors counter ${declaredErrs.getOrElse(-1)} != " +
+        s"$embeddedErrs embedded err entries — artifact is not verbatim " +
+        "Bench.run output")
+  }
+
+  test("BENCH_LOCAL.json covers exactly the SparkEntry.queries key set") {
+    // The driver's BENCH tail truncates; BENCH_LOCAL.json (written by
+    // Bench.main) is the authoritative per-key record — so a key
+    // silently dropped from (or added to) the engine surface must fail
+    // CI here instead of hiding behind the truncated tail. Regenerate
+    // with: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Bench"
+    assertBenchLedger("BENCH_LOCAL.json")
+  }
+
+  test("BENCH_SF1.json is verbatim Bench output over the full key set") {
+    // Regenerate with: Test/runMain graft.ScaleGen /root/testdata/sf0.1
+    // /tmp/graft_sf1 10, then SPARK_GRAFT_SF_DIR=/tmp/graft_sf1
+    // SPARK_GRAFT_REPS=1 SPARK_GRAFT_BENCH_OUT=/root/repo/BENCH_SF1.json
+    // sbt "runMain graft.Bench"
+    assertBenchLedger("BENCH_SF1.json")
   }
 
   test("sim_ann_lsh shuffles carry ids only; vectors travel by broadcast") {

@@ -313,6 +313,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall over ${truth.size} true pairs")
   }
 
+  test("pinned: adaptive LSH recall >= 0.85 on the 10x planted corpus") {
+    // VERDICT round-11 #4: the recall floor was verified only at sf0.1,
+    // where lshParams picks its smallest shape — this pin exercises the
+    // shape the adaptive rule actually selects at the 10x point
+    // (bits ~ log2(N/64) grows with N). Truth = ScaleGen's planted
+    // cross-rep replica pairs at cosine >= 0.8 (known-true by
+    // construction). Canceled (not failed) when the 10x corpus is
+    // absent; regenerate with:
+    //   sbt "Test/runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10"
+    assume(new java.io.File("/tmp/graft_sf1/embeddings.parquet").exists,
+      "10x corpus not generated on this box")
+    val (n, bits, bands, nTruth, recalled) =
+      AnnScaleProbe.lshPlantedRecall(spark, "/tmp/graft_sf1", factor = 10)
+    assert(nTruth > 1000, s"planted truth unexpectedly small: $nTruth")
+    val recall = recalled.toDouble / nTruth
+    assert(recall >= 0.85,
+      s"lsh recall $recall at n=$n shape=($bits,$bands) over $nTruth pairs")
+  }
+
   test("sim_ann_rerank: surviving scores are exact; recall holds where LSH candidates exist") {
     import graft.functions.VecFunctions.vecDot
     import graft.operators.SimilarityOps

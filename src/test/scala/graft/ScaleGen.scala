@@ -39,11 +39,33 @@ object ScaleGen {
     // metric regime that stresses the rank-test value-domain machine
     // (plain replication freezes the domain and understates that cost).
     val continuousEventsOnly = args.length > 3 && args(3) == "continuous-events"
+    // Optional 4th arg "embeddings": write ONLY the embeddings table —
+    // the cheap path to the 30x ANN recall point (AnnScaleProbe), where
+    // generating 30x documents/events just to read one table is waste.
+    val embeddingsOnly = args.length > 3 && args(3) == "embeddings"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (embeddingsOnly) {
+      val emb = spark.read.parquet(s"$in/embeddings.parquet")
+      val vecOffset = emb.agg(max("vec_id")).head.getLong(0) + 1
+      emb.crossJoin(spark.range(0, factor).select(col("id").as("rep")))
+        .select((col("rep") * vecOffset + col("vec_id")).as("vec_id"),
+          when(col("rep") === 0, col("embedding")).otherwise(
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(1000))
+                - 500).cast("float") / 100000.0f))
+              .cast("array<float>")).as("embedding"),
+          col("label"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$out/embeddings.parquet")
+      println(s"[scalegen] wrote ${factor}x embeddings of $in to $out")
+      spark.stop()
+      return
+    }
 
     if (continuousEventsOnly) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

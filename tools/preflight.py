@@ -27,9 +27,16 @@ def main():
     out, sf = sys.argv[1], sys.argv[2]
     key_filter = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # driver testdata ships single files; ScaleGen corpora are Spark
+        # output DIRECTORIES named <table>.parquet — glob inside those
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        if not glob.glob(p):
+            continue  # partial corpora (e.g. embeddings-only 30x point)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
