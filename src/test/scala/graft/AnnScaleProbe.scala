@@ -51,7 +51,7 @@ object AnnScaleProbe {
   /** IVF recall@10 vs exact brute force over ~`nq` hash-sampled queries:
     * returns (nQueries, exactPairs, recalled). */
   def ivfRecallAt10(spark: SparkSession, dir: String,
-      nq: Int): (Long, Long, Long) = {
+      nq: Int, nprobe: Int = 2): (Long, Long, Long) = {
     import graft.operators.SimilarityOps
     import graft.functions.VecFunctions.vecDot
     val v = Tables.t(spark, dir, "embeddings")
@@ -68,7 +68,7 @@ object AnnScaleProbe {
       .filter(col("rk") <= 10)
       .select("q_id", "c_id").localCheckpoint()
     val (index, cent) = SimilarityOps.ivfIndex(v, k = 16)
-    val got = SimilarityOps.ivfSearch(q, index, cent, nprobe = 2, topK = 10)
+    val got = SimilarityOps.ivfSearch(q, index, cent, nprobe, topK = 10)
       .select("q_id", "c_id")
     val nQ = q.count()
     val nExact = exact.count()
@@ -90,11 +90,13 @@ object AnnScaleProbe {
     println(f"[annprobe] $dir n=$n lshParams=($bits,$bands) " +
       f"plantedPairs=$nTruth lshRecall=${lshHit.toDouble / nTruth}%.4f " +
       f"(${lshS}%.1f s)")
-    val t1 = System.nanoTime()
-    val (nQ, nExact, ivfHit) = ivfRecallAt10(spark, dir, nq = 50)
-    val ivfS = (System.nanoTime() - t1) / 1e9
-    println(f"[annprobe] $dir ivf(k=16,nprobe=2) queries=$nQ " +
-      f"recall@10=${ivfHit.toDouble / nExact}%.4f (${ivfS}%.1f s)")
+    Seq(2, 4).foreach { np =>
+      val t1 = System.nanoTime()
+      val (nQ, nExact, ivfHit) = ivfRecallAt10(spark, dir, nq = 50, nprobe = np)
+      val ivfS = (System.nanoTime() - t1) / 1e9
+      println(f"[annprobe] $dir ivf(k=16,nprobe=$np) queries=$nQ " +
+        f"recall@10=${ivfHit.toDouble / nExact}%.4f (${ivfS}%.1f s)")
+    }
     spark.stop()
   }
 }

@@ -540,8 +540,18 @@ class PlanSpec extends SparkSpec {
                                    // one withSessionSeq user exchange
       "sim_ann_multiprobe" -> 2,   // band equi-join (probes exploded
                                    // query-side only) + top-k window
-      "pipeline_label_balance" -> 2) // class counts + the per-class rank
+      "pipeline_label_balance" -> 2, // class counts + the per-class rank
                                    // window; n_min broadcasts back
+      // round-12 additions (measured at their initial plan shapes):
+      "seg_rfm" -> 7,              // fused machine: customer agg is a
+                                   // checkpointed leaf; per-metric bounds
+                                   // + bucket-grid + window + ck pivot +
+                                   // segment agg (STATIC; AQE broadcasts
+                                   // the tiny grid/bounds sides at runtime)
+      "dedup_threshold_sweep_capped" -> 5) // doc-size agg + ONE shingle
+                                   // window exchange (df + collect_set
+                                   // share it) + pair agg + size joins +
+                                   // decile re-agg
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")
