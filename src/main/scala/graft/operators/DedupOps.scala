@@ -197,7 +197,7 @@ object DedupOps {
     // Doc sizes (n1, n2) stay EXACT — only intersections thin — so the
     // decile of a surviving pair can only drift down, and only on pairs
     // whose overlap is mostly boilerplate-hot shingles; measured decile
-    // mass drift vs the exact key ≤1% at sf0.1 (pinned in DedupSpec).
+    // mass drift vs the exact key ≤1% at sf0.1 (OperatorSmokeSpec pin).
     "dedup_threshold_sweep_capped" -> ((s, dir) => {
       val sh = docShingles(t(s, dir, "documents"))
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -34,9 +34,16 @@ class OperatorSmokeSpec extends SparkSpec {
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
         (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vi"))
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3), r.getLong(4)))
+      .map { r =>
+        val ts = r.getTimestamp(2)
+        // full-microsecond instant (the SegmentSpec markov-replay rule):
+        // the query's window orders by the µs-precision ts, so an
+        // ms-truncated sort key could flip a same-millisecond pair
+        val micros = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        (r.getLong(0), r.getString(1), micros, r.getLong(3), r.getLong(4))
+      }
     val ref = evs.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
-      val vis = rows.sortBy(t => (t._3.getTime, t._4)).map(_._5)
+      val vis = rows.sortBy(t => (t._3, t._4)).map(_._5)
       var l = vis.head; var b = 0L
       vis.tail.foreach { v =>
         val l2 = (v + l + b) / 2 // truncating, matches `div` on these magnitudes
