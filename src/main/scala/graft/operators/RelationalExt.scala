@@ -1249,6 +1249,37 @@ object RelationalExt {
     // needs a global order; a giant source would be pre-split into
     // (source, shard) files upstream. Output: one row per packed
     // sequence with its doc span and token fill.
+    // CONTEXT-WINDOW AUDIT (round 12) — the report read before PICKING a
+    // max sequence length: for each candidate window (512/1k/2k/4k
+    // tokens), how many documents would truncate and what share of the
+    // corpus token mass falls off the end? (Truncation loss is the
+    // quiet data-quality tax of a too-small context; over-long windows
+    // waste attention compute — this is the curve both decisions read.)
+    // Shape: one scan-stage token-count projection, a 4-literal explode
+    // (rows ×4, map-side combinable), one 4-group hash agg — linear,
+    // one exchange of 4 partials. Token rule = size(split(text, ' ')),
+    // the pack_sequences/sweep-oracle convention. All exact longs; the
+    // one share division is a single IEEE op per output row.
+    "pipeline_context_window_audit" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"),
+          explode(array(lit(512L), lit(1024L), lit(2048L), lit(4096L)))
+            .as("window_tokens"))
+        .groupBy("window_tokens")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tok") > col("window_tokens"), 1L).otherwise(0L))
+            .as("n_docs_truncated"),
+          sum(when(col("n_tok") > col("window_tokens"),
+            col("n_tok") - col("window_tokens")).otherwise(0L))
+            .as("tokens_lost"),
+          sum("n_tok").as("tokens_total"))
+        .select(col("window_tokens"), col("n_docs"), col("n_docs_truncated"),
+          col("tokens_lost"),
+          round(col("tokens_lost").cast("double") /
+            col("tokens_total").cast("double"), 6).as("share_lost"))
+        .orderBy("window_tokens")
+    }),
+
     "pipeline_pack_sequences" -> ((s, dir) => {
       val w = Window.partitionBy("source").orderBy("doc_id")
       t(s, dir, "documents")
@@ -1728,6 +1759,20 @@ object RelationalExt {
          | CAST(len(toks[start:start + ${ChunkTokens - 1}]) AS BIGINT) AS n_tokens,
          | array_to_string(toks[start:start + ${ChunkTokens - 1}], ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "pipeline_context_window_audit" ->
+      """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   AS n_tok FROM documents),
+        | e AS (SELECT n_tok, CAST(w AS BIGINT) AS window_tokens
+        |  FROM d CROSS JOIN (SELECT unnest([512, 1024, 2048, 4096]) AS w))
+        |SELECT window_tokens, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN n_tok > window_tokens THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_docs_truncated,
+        | CAST(sum(CASE WHEN n_tok > window_tokens
+        |   THEN n_tok - window_tokens ELSE 0 END) AS BIGINT) AS tokens_lost,
+        | round(CAST(sum(CASE WHEN n_tok > window_tokens
+        |     THEN n_tok - window_tokens ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(n_tok) AS DOUBLE), 6) AS share_lost
+        |FROM e GROUP BY 1 ORDER BY window_tokens""".stripMargin,
     "pipeline_pack_sequences" ->
       s"""WITH d AS (SELECT source, doc_id,
          |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -214,6 +214,47 @@ object SegmentOps {
         .orderBy("tier_pre", "tier_post")
     }),
 
+    // INTER-PURCHASE CADENCE (round 12) — the time-between-orders
+    // segmentation every replenishment/lifecycle program reads: gaps
+    // from a lag over each customer's order history, customers banded
+    // by MEAN gap (≈monthly / quarterly / ≤yearly / rare; single-order
+    // customers are their own band — they have no gap), then per-band
+    // size, order depth, and the pooled mean/max gap. Shape: ONE
+    // orders exchange — the lag window partitions by o_custkey
+    // (high-cardinality entity key, not an enum floor) and the per-
+    // customer agg reuses that hash; the band rollup is a ≤5-row agg.
+    // All gap arithmetic is exact-long datediffs; each mean is one
+    // IEEE division (identical cross-engine), banding compares that
+    // one division against integer literals.
+    "seg_interpurchase_time" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ck").orderBy(col("d"), col("ok"))
+      val per = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          to_date(col("o_orderdate")).as("d"), col("o_orderkey").as("ok"))
+        .withColumn("gap",
+          datediff(col("d"), lag("d", 1).over(w)).cast("long"))
+        .groupBy("ck")
+        .agg(count(lit(1)).as("n_orders"), count(col("gap")).as("n_gaps"),
+          sum("gap").as("gap_sum"), max("gap").as("max_gap"))
+      val mean = col("gap_sum").cast("double") / col("n_gaps")
+      per.withColumn("cadence",
+          when(col("n_gaps") === 0L, "e_single")
+            .when(mean < 60.0, "a_monthly")
+            .when(mean < 180.0, "b_quarterly")
+            .when(mean < 365.0, "c_yearly")
+            .otherwise("d_rare"))
+        .groupBy("cadence")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("n_orders").cast("double") / count(lit(1)), 6)
+            .as("avg_orders"),
+          when(sum("n_gaps") === 0L, lit(null).cast("double"))
+            .otherwise(round(sum("gap_sum").cast("double") / sum("n_gaps"),
+              6)).as("mean_gap_days"),
+          max("max_gap").as("max_gap_days"))
+        .orderBy("cadence")
+    }),
+
     // BEHAVIORAL K-MEANS (round 11) — the segmenter TRAINING its own
     // segments: cluster users in the (event volume, purchase volume)
     // plane with k=4 and three Lloyd rounds, in FIXED-POINT INTEGER
@@ -353,6 +394,27 @@ object SegmentOps {
          |   WHEN 3 THEN c2_3 ELSE c2_4 END FROM c3) AS centroid_f2
          |FROM a4 GROUP BY cluster ORDER BY cluster""".stripMargin
     },
+
+    "seg_interpurchase_time" ->
+      """WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+        |   o_orderkey AS ok FROM orders),
+        | g AS (SELECT ck, CAST(d - lag(d) OVER (PARTITION BY ck
+        |     ORDER BY d, ok) AS BIGINT) AS gap FROM o),
+        | per AS (SELECT ck, count(*) AS n_orders,
+        |   count(gap) AS n_gaps, CAST(sum(gap) AS BIGINT) AS gap_sum,
+        |   max(gap) AS max_gap FROM g GROUP BY ck),
+        | b AS (SELECT *, CASE WHEN n_gaps = 0 THEN 'e_single'
+        |    WHEN CAST(gap_sum AS DOUBLE) / n_gaps < 60.0 THEN 'a_monthly'
+        |    WHEN CAST(gap_sum AS DOUBLE) / n_gaps < 180.0 THEN 'b_quarterly'
+        |    WHEN CAST(gap_sum AS DOUBLE) / n_gaps < 365.0 THEN 'c_yearly'
+        |    ELSE 'd_rare' END AS cadence FROM per)
+        |SELECT cadence, count(*) AS n_customers,
+        | round(CAST(sum(n_orders) AS DOUBLE) / count(*), 6) AS avg_orders,
+        | CASE WHEN sum(n_gaps) = 0 THEN NULL
+        |   ELSE round(CAST(sum(gap_sum) AS DOUBLE) / sum(n_gaps), 6)
+        |   END AS mean_gap_days,
+        | max(max_gap) AS max_gap_days
+        |FROM b GROUP BY cadence ORDER BY cadence""".stripMargin,
 
     "seg_rfm" ->
       s"""WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
