@@ -41,10 +41,17 @@ object Verify {
     } + "\""
     // __SF_DIR__ lets a path-addressed oracle (parquet_metadata) follow
     // the run's actual corpus instead of pinning one scale factor.
+    // __PQ_LINEITEM__ additionally adapts to the table's LAYOUT: the
+    // bare file for single-file corpora, a part-file glob when the
+    // table is a Spark output directory (ScaleGen corpora).
     val sfDirAbs = Paths.get(sfDir).toAbsolutePath.toString
+    val liPath = Paths.get(s"$sfDirAbs/lineitem.parquet")
+    val liGlob =
+      if (Files.isDirectory(liPath)) s"$liPath/*.parquet" else liPath.toString
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace("__SF_DIR__", sfDirAbs))}" }
+        s"${q(k)}: ${q(v.replace("__SF_DIR__", sfDirAbs)
+          .replace("__PQ_LINEITEM__", liGlob))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

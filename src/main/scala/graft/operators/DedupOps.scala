@@ -148,26 +148,8 @@ object DedupOps {
     // ~20M-row sort and a 50k×3 aggregate. The unrounded jaccard
     // doubles are identical integer ratios in both engines, so the pick
     // is deterministic.
-    "text_jaccard_knn" -> ((s, dir) => {
-      val pairs = tau0Pairs(s, dir).filter(col("inter") >= 2)
-      // Symmetric expansion via explode, NOT union: a union's two
-      // branches each re-plan (and re-execute) the whole pair miner,
-      // doubling the dominant cost; explode emits both orientations in
-      // one narrow pass over the mined frame.
-      val sym = pairs.select(explode(array(
-          struct(col("d1").as("doc_id"), col("d2").as("nbr"), col("jaccard")),
-          struct(col("d2").as("doc_id"), col("d1").as("nbr"), col("jaccard"))))
-          .as("e"))
-        .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"),
-          col("e.jaccard").as("jaccard"))
-      val topk = udaf(new graft.functions.TopKAgg(3))
-      sym.groupBy("doc_id")
-        .agg(topk(col("jaccard"), col("nbr")).as("topk"))
-        .select(col("doc_id"), posexplode(col("topk")).as(Seq("pos", "e")))
-        .select(col("doc_id"), (col("pos") + 1).cast("int").as("rk"),
-          col("e._2").as("nbr"), round(col("e._1"), 6).as("jaccard"))
-        .orderBy("doc_id", "rk")
-    }),
+    "text_jaccard_knn" -> ((s, dir) =>
+      jaccardKnn(tau0Pairs(s, dir).filter(col("inter") >= 2))),
 
     // Jaccard threshold tuning curve: pair counts per similarity decile
     // from ONE miner pass — the report that picks τ for the dedup keys
@@ -188,7 +170,7 @@ object DedupOps {
     // expansion rides Σ_sh df·(df−1)/2, which densifies super-linearly
     // on a fixed shingle vocabulary (measured ×162.8 at the 10× point —
     // SCALE.md §9a), so the tuning curve gets a DF-CAPPED twin: postings
-    // of a shingle hotter than [[ThresholdSweepDfCap]] are thinned to
+    // of a shingle hotter than the adaptive [[minerDfCap]] are thinned to
     // ~cap survivors by a DETERMINISTIC salted-md5 residue (keep iff
     // hex₁₋₈(md5(salt:shingle:doc)) mod df < cap — a fixed pseudo-random
     // subset, NOT a per-run sample, so the histogram is bit-identical
@@ -198,36 +180,46 @@ object DedupOps {
     // decile of a surviving pair can only drift down, and only on pairs
     // whose overlap is mostly boilerplate-hot shingles; measured decile
     // mass drift vs the exact key ≤1% at sf0.1 (OperatorSmokeSpec pin).
-    "dedup_threshold_sweep_capped" -> ((s, dir) => {
-      val sh = docShingles(t(s, dir, "documents"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val res = conv(substring(md5(concat(lit("tswp42:"), col("shingle"),
-        lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % col("df")
-      // df rides a count window over the shingle partition (the
-      // dedup_substring_pairs shape) so the cap filter AND the
-      // collect_set reuse ONE shingle exchange — a separate df agg +
-      // join-back costs a second index-sized shuffle (measured +1.5 s
-      // at the 10× point); pairs then explode from the ≤ ~cap-bounded
-      // posting sets, never a two-sided self-join of the whole index
-      val capped = sh
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-        .filter(col("df") <= ThresholdSweepDfCap ||
-          res < ThresholdSweepDfCap)
-      capped.groupBy("shingle").agg(collect_set(col("doc_id")).as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(explode(col("ds")).as("d1"), col("ds"))
-        .select(col("d1"), explode(col("ds")).as("d2"))
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    // Round 13: the thinned miner is the SHARED [[cappedTau0Pairs]] memo
+    // under the ADAPTIVE [[minerDfCap]] (see its scaladoc for why a
+    // fixed cap=16 fails at 10×), consumed by all four `_capped` twins.
+    "dedup_threshold_sweep_capped" -> ((s, dir) =>
+      cappedTau0Pairs(s, dir)
         .groupBy(expr("(10 * inter) div (n1 + n2 - inter)").cast("int")
           .as("jac_decile"))
         .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("jac_decile")
-    }),
+        .orderBy("jac_decile")),
+
+    // The 100 TB form of dedup_ngram_jaccard: identical semantics over
+    // the df-capped miner. Sizes stay exact and intersections only thin,
+    // so capped jaccard ≤ exact jaccard pairwise — the survivor set is a
+    // SUBSET of the exact key's (pinned), losing only pairs whose overlap
+    // is mostly boilerplate-hot shingles; measured recall at sf0.1 is
+    // pinned in OperatorSmokeSpec. Keep the exact key as the oracle
+    // anchor at test scale; ship THIS one against a real corpus.
+    "dedup_ngram_jaccard_capped" -> ((s, dir) =>
+      cappedTau0Pairs(s, dir).filter(col("jaccard") >= 0.6)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("d1", "d2")),
+
+    // The 100 TB form of dedup_containment: inter / min(n1, n2) over the
+    // capped miner — same subset guarantee (least(n1,n2) exact, inter
+    // thinned ⇒ capped containment ≤ exact containment pairwise).
+    "dedup_containment_capped" -> ((s, dir) =>
+      cappedTau0Pairs(s, dir)
+        .withColumn("containment", col("inter") / least(col("n1"), col("n2")))
+        .filter(col("containment") >= 0.8)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("d1", "d2")),
+
+    // The 100 TB form of text_jaccard_knn: same bounded-heap top-3 over
+    // the capped miner. Neighbor RANKINGS can reorder where thinning
+    // bites (scores drift down non-uniformly), so the pin here is top-1
+    // agreement rate + mean score drift, not subset.
+    "text_jaccard_knn_capped" -> ((s, dir) =>
+      jaccardKnn(cappedTau0Pairs(s, dir).filter(col("inter") >= 2))),
 
     // Asymmetric CONTAINMENT dedup: inter / min(n1, n2) — the metric
     // that catches subset duplicates symmetric Jaccard misses (a short
@@ -483,13 +475,54 @@ object DedupOps {
     * literally in the DuckDB oracle (semantics, not implementation). */
   val SubstringPairDfCeiling: Int = 100
 
-  /** Per-shingle posting cap for `dedup_threshold_sweep_capped`: a
-    * shingle seen in more docs keeps only ~cap deterministic survivors
-    * (salted-md5 residue), bounding its pair fan-out at ~cap²/2.
-    * Deliberately BELOW the sf0.1 max shingle df (25) so the sf0.1
-    * parity pin exercises real thinning, not a vacuous pass. Mirrored
-    * literally in the DuckDB oracle. */
-  val ThresholdSweepDfCap: Int = 16
+  /** Adaptive per-shingle posting cap for the `_capped` miner family:
+    *
+    *   cap(corpus) = max(Floor, min(Ceil, Mult · (Σdf div |vocab|)))
+    *
+    * A shingle seen in more than cap docs keeps only ~cap deterministic
+    * survivors (salted-md5 residue), bounding its pair fan-out at
+    * ~cap²/2. Why ADAPTIVE and not a fixed constant — both failure
+    * modes are measured (SCALE.md §9a, round 13):
+    *
+    *   - On a REAL (Zipfian) corpus, typical 3-gram shingle df is O(1)
+    *     at any corpus size (vocabulary grows with the corpus), so the
+    *     rule resolves to the FLOOR — the df-10⁶ boilerplate head that
+    *     serializes a 100 TB job is thinned to ~16 survivors while the
+    *     body is untouched. This is the scenario the cap exists for.
+    *   - On the driver's fixed-vocabulary synthetic corpus, df grows
+    *     LINEARLY with scale for every shingle (measured avg df 9 →
+    *     89 → 263 at 1×/10×/30×; max only ~2.7× avg — no skewed head
+    *     at all). A fixed cap=16 there thins the distribution BODY:
+    *     pair intersections collapse quadratically (both endpoints
+    *     must survive) and thresholded-twin recall measured 0.00–0.03
+    *     at 10×. Tracking 2× the integer mean df keeps the body exact
+    *     and thins only the corpus-relative head (recall ≥0.99 at
+    *     10×/30×, 3-point table in SCALE.md).
+    *
+    * The CEIL (= [[HotBucketCap]], the sketch paths' hot-bucket
+    * constant) restores a HARD worst-case bound on pathological dense
+    * corpora: per-shingle fan-out never exceeds Ceil²/2 ≈ 131k pairs,
+    * which a cluster distributes trivially. Floor is deliberately BELOW
+    * the sf0.1 max shingle df (25) so the sf0.1 parity pins exercise
+    * real thinning, not a vacuous pass. All three constants and the
+    * integer-mean rule are mirrored literally in the DuckDB oracles. */
+  val MinerDfCapFloor: Int = 16
+  val MinerDfCapMult: Int = 2
+  def MinerDfCapCeil: Int = HotBucketCap
+
+  /** The adaptive cap as a 1-row frame (column `df_cap`) over a distinct
+    * (doc_id, shingle) index — broadcast-crossJoined into the miner so
+    * the whole rule stays declarative (no driver-side action). Integer
+    * arithmetic only (`div`), so both engines compute the identical cap. */
+  def minerDfCap(shingleIndex: DataFrame): DataFrame =
+    shingleIndex.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      .agg(greatest(lit(MinerDfCapFloor.toLong), least(lit(MinerDfCapCeil.toLong),
+        lit(MinerDfCapMult.toLong) * expr("sum(sdf) div count(1)"))).as("df_cap"))
+
+  /** DuckDB CTE mirroring [[minerDfCap]] over a df CTE named `d(sh, df)`. */
+  def minerDfCapSql: String =
+    s"cap AS (SELECT greatest($MinerDfCapFloor, least($MinerDfCapCeil, " +
+      s"$MinerDfCapMult * (CAST(sum(df) AS BIGINT) // count(*)))) AS df_cap FROM d)"
 
   /** All (doc_id, win) character windows of length `len` — one row per
     * POSITION (repeats within a doc preserved), docs shorter than the
@@ -592,6 +625,80 @@ object DedupOps {
     tau0Memo.getOrCompute(s, dir)(
       jaccardPairs(t(s, dir, "documents"), tau = 0.0).localCheckpoint())
 
+  /** Deterministic salted-md5 posting residue in [0, df): the df-cap
+    * thinning rule keeps a (doc_id, shingle) posting iff
+    * `df <= cap OR postingResidue < cap` — a FIXED pseudo-random ~cap-sized
+    * subset of every hot shingle's postings (never a per-run sample), so
+    * capped results are bit-identical cross-engine and oracle-checkable.
+    * Expects `shingle`, `doc_id` and a `df` column in scope (df rides a
+    * count window over the shingle partition so the cap filter reuses the
+    * exchange the downstream group-collect needs anyway). Mirrored
+    * literally in DuckDB by [[md5ResidueSql]]. */
+  def postingResidue: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("tswp42:"), col("shingle"),
+      lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % col("df")
+
+  /** DuckDB expression decoding hex₁₋₈ of md5 column `h` positionally to
+    * a BIGINT (DuckDB has no base-conv builtin — the sample_weighted
+    * idiom), i.e. the oracle mirror of [[postingResidue]]'s numerator. */
+  def md5ResidueSql(h: String): String =
+    s"""( (CAST(strpos('0123456789abcdef', substr($h, 1, 1)) AS BIGINT) - 1) * 268435456
+       |   + (CAST(strpos('0123456789abcdef', substr($h, 2, 1)) AS BIGINT) - 1) * 16777216
+       |   + (CAST(strpos('0123456789abcdef', substr($h, 3, 1)) AS BIGINT) - 1) * 1048576
+       |   + (CAST(strpos('0123456789abcdef', substr($h, 4, 1)) AS BIGINT) - 1) * 65536
+       |   + (CAST(strpos('0123456789abcdef', substr($h, 5, 1)) AS BIGINT) - 1) * 4096
+       |   + (CAST(strpos('0123456789abcdef', substr($h, 6, 1)) AS BIGINT) - 1) * 256
+       |   + (CAST(strpos('0123456789abcdef', substr($h, 7, 1)) AS BIGINT) - 1) * 16
+       |   + (CAST(strpos('0123456789abcdef', substr($h, 8, 1)) AS BIGINT) - 1)
+       |   )""".stripMargin
+
+  /** Session-scoped memo of the DF-CAPPED τ=0 pair frame — the 100 TB
+    * twin of [[tau0Pairs]] and the shared miner behind every `_capped`
+    * key (threshold sweep, ngram-jaccard, containment, jaccard-knn).
+    * The exact miner's pair expansion Σ_sh df·(df−1)/2 is super-linear
+    * on a fixed shingle vocabulary and serializes on one skewed shuffle
+    * key when a boilerplate shingle goes hot (df 10⁶ → 5·10¹¹ pairs);
+    * the capped miner thins hot postings through [[postingResidue]] so
+    * per-shingle fan-out is bounded at ~cap²/2 forever. Doc sizes
+    * (n1, n2) stay EXACT — only intersections thin — so capped jaccard /
+    * containment can only drift DOWN, making every thresholded `_capped`
+    * key's result a SUBSET of its exact sibling's (pinned in
+    * OperatorSmokeSpec). Checkpointed leaf, keyed on the session. */
+  private val cappedTau0Memo =
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.freeCheckpoint)
+
+  /** The memoized df-capped τ=0 pair frame for `dir`'s documents table:
+    * (d1, d2, inter, n1, n2, jaccard) with thinned inter, exact sizes. */
+  def cappedTau0Pairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    cappedTau0Memo.getOrCompute(s, dir) {
+      val sh = docShingles(t(s, dir, "documents"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // df rides a count window over the shingle partition so the cap
+      // filter AND the collect_set reuse ONE shingle exchange (a separate
+      // df agg + join-back costs a second index-sized shuffle — measured
+      // +1.5 s at the 10× point); the adaptive cap scalar crossJoins in
+      // as a broadcast 1-row aggregate (the StatsExt idiom); pairs then
+      // explode from the ≤ ~cap-bounded posting sets, never a self-join
+      // of the whole index.
+      val capped = sh
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+        .crossJoin(broadcast(minerDfCap(sh)))
+        .filter(col("df") <= col("df_cap") || postingResidue < col("df_cap"))
+      capped.groupBy("shingle").agg(collect_set(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(col("ds")).as("d1"), col("ds"))
+        .select(col("d1"), explode(col("ds")).as("d2"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jaccard",
+          col("inter") / (col("n1") + col("n2") - col("inter")))
+        .localCheckpoint()
+    }
+
   /** Session-scoped memo of the 80%-corpus cluster labels the incremental
     * key maintains against — the in-engine stand-in for the PERSISTED
     * label state a production ingest pipeline reads (recomputing it per
@@ -634,6 +741,32 @@ object DedupOps {
   def corpusLabelsFull(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     fullLabelsMemo.getOrCompute(s, dir)(
       connectedComponents(corpusSimhashPairs(s, dir)).localCheckpoint())
+
+  /** Top-3 neighbors per doc from a mined pair frame — the body of
+    * `text_jaccard_knn` (exact miner) and `text_jaccard_knn_capped`
+    * (df-capped miner). Symmetric expansion via explode, NOT union: a
+    * union's two branches each re-plan (and re-execute) the whole pair
+    * miner, doubling the dominant cost; explode emits both orientations
+    * in one narrow pass over the mined frame. The pick runs as the
+    * mergeable bounded-heap TopKAgg (same (score desc, id asc) total
+    * order the row_number oracle states), NOT a window: a per-doc window
+    * would re-shuffle and sort ALL 2× pair rows, the heap truncates
+    * map-side so only docs×3 pairs cross the exchange. */
+  private def jaccardKnn(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(explode(array(
+        struct(col("d1").as("doc_id"), col("d2").as("nbr"), col("jaccard")),
+        struct(col("d2").as("doc_id"), col("d1").as("nbr"), col("jaccard"))))
+        .as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"),
+        col("e.jaccard").as("jaccard"))
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    sym.groupBy("doc_id")
+      .agg(topk(col("jaccard"), col("nbr")).as("topk"))
+      .select(col("doc_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("e._2").as("nbr"), round(col("e._1"), 6).as("jaccard"))
+      .orderBy("doc_id", "rk")
+  }
 
   def jaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
     val sh = docShingles(docs)
@@ -1093,6 +1226,26 @@ object DedupOps {
     withSig.select(col("doc_id"), col("sig"), array(bandCols: _*).as("bands"))
   }
 
+  /** Shared DuckDB CTE prefix mining the df-capped pair frame — the
+    * oracle mirror of [[cappedTau0Pairs]]: `s` is the distinct shingle
+    * index, `n` exact doc sizes, `sc` the residue-thinned postings, `p`
+    * the (d1, d2, inter) pair counts over thinned intersections. */
+  private def cappedPairCtes: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+       |   FROM (SELECT doc_id, toks,
+       |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+       | n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+       | d AS (SELECT sh, count(*) AS df FROM s GROUP BY 1),
+       | $minerDfCapSql,
+       | hh AS (SELECT doc_id, sh, df,
+       |   md5('tswp42:' || sh || ':' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM s JOIN d USING (sh)),
+       | sc AS (SELECT doc_id, sh FROM hh, cap WHERE df <= df_cap OR
+       |   ${md5ResidueSql("h")} % df < df_cap),
+       | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |   FROM sc a JOIN sc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_url_canonical" ->
       """WITH c AS (SELECT doc_id,
@@ -1154,32 +1307,39 @@ object DedupOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // hex₁₋₈ of the salted md5 decoded positionally (the sample_weighted
     // idiom — DuckDB has no base-conv builtin); cap mirrored literally.
+    // The CTE prefix (shared df-capped pair miner) serves all four
+    // `_capped` oracles, exactly as [[cappedTau0Pairs]] serves the keys.
     "dedup_threshold_sweep_capped" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-         | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
-         |   FROM (SELECT doc_id, toks,
-         |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
-         | n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
-         | d AS (SELECT sh, count(*) AS df FROM s GROUP BY 1),
-         | hh AS (SELECT doc_id, sh, df,
-         |   md5('tswp42:' || sh || ':' || CAST(doc_id AS VARCHAR)) AS h
-         |  FROM s JOIN d USING (sh)),
-         | sc AS (SELECT doc_id, sh FROM hh WHERE df <= $ThresholdSweepDfCap OR
-         |   ( (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) * 268435456
-         |   + (CAST(strpos('0123456789abcdef', substr(h, 2, 1)) AS BIGINT) - 1) * 16777216
-         |   + (CAST(strpos('0123456789abcdef', substr(h, 3, 1)) AS BIGINT) - 1) * 1048576
-         |   + (CAST(strpos('0123456789abcdef', substr(h, 4, 1)) AS BIGINT) - 1) * 65536
-         |   + (CAST(strpos('0123456789abcdef', substr(h, 5, 1)) AS BIGINT) - 1) * 4096
-         |   + (CAST(strpos('0123456789abcdef', substr(h, 6, 1)) AS BIGINT) - 1) * 256
-         |   + (CAST(strpos('0123456789abcdef', substr(h, 7, 1)) AS BIGINT) - 1) * 16
-         |   + (CAST(strpos('0123456789abcdef', substr(h, 8, 1)) AS BIGINT) - 1)
-         |   ) % df < $ThresholdSweepDfCap),
-         | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |   FROM sc a JOIN sc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      s"""$cappedPairCtes
          |SELECT CAST((10 * inter) // (x.n + y.n - inter) AS INT) AS jac_decile,
          | count(*) AS n_pairs
          |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_ngram_jaccard_capped" ->
+      s"""$cappedPairCtes
+         |SELECT d1, d2, inter, x.n AS n1, y.n AS n2,
+         | round(inter / (x.n + y.n - inter), 6) AS jaccard
+         |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
+         |WHERE inter / (x.n + y.n - inter) >= 0.6
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_containment_capped" ->
+      s"""$cappedPairCtes
+         |SELECT d1, d2, inter, x.n AS n1, y.n AS n2,
+         | round(inter / least(x.n, y.n), 6) AS containment
+         |FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
+         |WHERE inter / least(x.n, y.n) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "text_jaccard_knn_capped" ->
+      s"""$cappedPairCtes,
+         | pj AS (SELECT d1, d2, inter / (x.n + y.n - inter) AS jac
+         |   FROM p JOIN n x ON d1 = x.doc_id JOIN n y ON d2 = y.doc_id
+         |   WHERE inter >= 2),
+         | sym AS (SELECT d1 AS doc_id, d2 AS nbr, jac FROM pj
+         |   UNION ALL SELECT d2, d1, jac FROM pj),
+         | r AS (SELECT doc_id, nbr, jac, row_number() OVER (
+         |     PARTITION BY doc_id ORDER BY jac DESC, nbr) AS rk FROM sym)
+         |SELECT doc_id, rk, nbr, round(jac, 6) AS jaccard FROM r
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "text_jaccard_knn" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         | s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh

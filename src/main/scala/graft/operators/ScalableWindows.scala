@@ -64,13 +64,19 @@ object ScalableWindows {
     * their parallelism). The bounds frame is |distinct partCols| rows
     * and broadcast; callers must keep the partition key low-cardinality
     * (the machine's contract anyway — it exists to REMOVE the |enum|
-    * floor, not to rank by a high-cardinality key). */
+    * floor, not to rank by a high-cardinality key). The bounds join is
+    * NULL-SAFE (`<=>`), so rows with a NULL partition key keep their
+    * own (NULL-group) bounds instead of being silently dropped —
+    * [[withBuckets]] never loses rows and neither may this variant. */
   private[operators] def withBucketsPer(df: DataFrame,
       partCols: Seq[String], bucketCol: String, buckets: Int): DataFrame = {
     val mm = df.groupBy(partCols.map(col): _*)
       .agg(min(col(bucketCol).cast("double")).as("__lo"),
         max(col(bucketCol).cast("double")).as("__hi"))
-    df.join(broadcast(mm), partCols)
+    val mmR = partCols.foldLeft(mm)((d, c) => d.withColumnRenamed(c, s"__mm_$c"))
+    val cond = partCols.map(c => col(c) <=> col(s"__mm_$c")).reduce(_ && _)
+    df.join(broadcast(mmR), cond)
+      .drop(partCols.map(c => s"__mm_$c"): _*)
       .withColumn("__bkt",
         when(col("__lo") === col("__hi"), lit(1L))
           .otherwise(width_bucket(col(bucketCol).cast("double"),

@@ -236,23 +236,35 @@ object Scans {
     // where Spark's own file listing does; at fleet scale the file list
     // fans out via `spark.read.parquet(paths).inputFiles` +
     // mapPartitions over file names — same footer API, executor-side.
+    // Works on BOTH corpus layouts: a single lineitem.parquet file (the
+    // driver's testdata) and a Spark-written DIRECTORY of part files
+    // (ScaleGen output) — per-file footers keyed by (file_name, rg_id),
+    // file list sorted by name for determinism. The oracle mirrors via
+    // parquet_metadata + parse_filename; Verify substitutes the right
+    // glob per layout (__PQ_LINEITEM__).
     "scan_parquet_footer" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
       val conf = s.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val rgs = try {
-        import scala.jdk.CollectionConverters._
-        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+      val root = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        else Seq(root)
+      val rgs = files.flatMap { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
           case (b, i) =>
-            (i, b.getRowCount,
+            (p.getName, i, b.getRowCount,
               b.getColumns.size().toLong,
               b.getColumns.asScala.map(_.getTotalSize).sum)
-        }
-      } finally reader.close()
+        } finally reader.close()
+      }
       import s.implicits._
-      rgs.toDF("rg_id", "num_rows", "n_columns", "compressed_bytes")
-        .orderBy("rg_id")
+      rgs.toDF("file_name", "rg_id", "num_rows", "n_columns", "compressed_bytes")
+        .orderBy("file_name", "rg_id")
     }),
   )
 
@@ -312,16 +324,19 @@ object Scans {
       """SELECT lang, CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // The one oracle that names a PATH instead of a view: footer
-    // introspection has no table-level SQL form. The path carries the
-    // __SF_DIR__ placeholder that Verify substitutes with the run's
-    // actual sfDir at dump time, so the oracle always inspects the SAME
-    // file the Spark side read — at any scale, not just sf0.01.
+    // introspection has no table-level SQL form. The __PQ_LINEITEM__
+    // placeholder is substituted by Verify at dump time with the run's
+    // actual lineitem path — the bare file for single-file corpora, a
+    // part-file glob when the table is a Spark output DIRECTORY
+    // (ScaleGen corpora) — so the oracle always inspects the SAME
+    // file set the Spark side read, at any scale and either layout.
     "scan_parquet_footer" ->
-      """SELECT CAST(row_group_id AS INT) AS rg_id,
+      """SELECT parse_filename(file_name) AS file_name,
+        | CAST(row_group_id AS INT) AS rg_id,
         | CAST(max(row_group_num_rows) AS BIGINT) AS num_rows,
         | count(*) AS n_columns,
         | CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes
-        |FROM parquet_metadata('__SF_DIR__/lineitem.parquet')
-        |GROUP BY row_group_id ORDER BY rg_id""".stripMargin,
+        |FROM parquet_metadata('__PQ_LINEITEM__')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

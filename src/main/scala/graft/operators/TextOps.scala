@@ -508,6 +508,24 @@ object TextOps {
       contamination(docs)
     }),
 
+    // The 100 TB form of text_contamination: the exact key's df CEILING
+    // (drop shingles hotter than 10000) bounds the collect buffers but
+    // still lets a df-9999 shingle emit ~25M te×tr pairs through one
+    // skewed shuffle key; the capped twin THINS every shingle hotter
+    // than the adaptive [[DedupOps.minerDfCap]] to ~cap deterministic
+    // salted-md5 survivors (the same residue rule — and the same
+    // survivor set — as the capped Jaccard miner), bounding per-shingle
+    // pair fan-out at ~cap²/4 at any corpus size. `shared` counts can
+    // only drift DOWN (postings only vanish), so at any scale where the
+    // exact ceiling never binds the flagged pair set is a SUBSET of the
+    // exact key's (pinned with measured recall at sf0.1).
+    "text_contamination_capped" -> ((s, dir) => {
+      val h = md5(concat(lit("split42:"), col("doc_id")))
+      val docs = t(s, dir, "documents")
+        .withColumn("fold", when(substring(h, 1, 2) < "cc", "train").otherwise("test"))
+      contaminationCapped(docs)
+    }),
+
     "text_tfidf" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -1344,6 +1362,33 @@ object TextOps {
       .orderBy("test_id")
   }
 
+  /** Df-capped contamination — [[contamination]] with hot-shingle
+    * postings thinned through [[DedupOps.postingResidue]] under the
+    * adaptive [[DedupOps.minerDfCap]] instead of a ceiling-drop: one
+    * rule for every shingle (keep a posting iff `df <= cap` or its
+    * salted residue lands under the cap), the same one-exchange window
+    * shape, and per-shingle group-collect buffers bounded at ~cap ids
+    * forever (cap ≤ [[DedupOps.MinerDfCapCeil]]). */
+  def contaminationCapped(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("fold"),
+      explode(array_distinct(shingles(col("text")))).as("shingle"))
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .crossJoin(broadcast(DedupOps.minerDfCap(sh)))
+      .filter(col("df") <= col("df_cap") ||
+        DedupOps.postingResidue < col("df_cap"))
+      .groupBy("shingle").agg(
+        collect_set(when(col("fold") === "test", col("doc_id"))).as("te"),
+        collect_set(when(col("fold") === "train", col("doc_id"))).as("tr"))
+      .filter(size(col("te")) > 0 && size(col("tr")) > 0)
+      .select(explode(col("te")).as("test_id"), col("tr"))
+      .select(col("test_id"), explode(col("tr")).as("train_id"))
+      .groupBy("test_id", "train_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .groupBy("test_id")
+      .agg(count(lit(1)).as("n_train_matches"), max("shared").as("max_shared"))
+      .orderBy("test_id")
+  }
+
   /** Unrolled-CTE DuckDB replay of [[bpeMerges]] (`n` rounds). The
     * vocabulary is encoded as ONE string per word with every symbol
     * wrapped in chr(31) delimiters ("<1f>" + sym + "<1f>",
@@ -1558,6 +1603,32 @@ object TextOps {
         |   GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT test_id, count(*) AS n_train_matches, max(shared) AS max_shared
         |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin,
+    // Same fold CTE; postings thinned by the salted-md5 residue rule
+    // (DedupOps.md5ResidueSql), cap mirrored literally.
+    "text_contamination_capped" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |   CASE WHEN substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+         |     THEN 'train' ELSE 'test' END AS fold
+         |  FROM documents),
+         | t AS (SELECT doc_id, fold, string_split(text, ' ') AS toks FROM f),
+         | s AS (SELECT DISTINCT doc_id, fold, array_to_string(toks[i:i+2], ' ') AS sh
+         |   FROM (SELECT doc_id, fold, toks,
+         |     unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+         | d AS (SELECT sh, count(*) AS df FROM s GROUP BY 1),
+         | ${DedupOps.minerDfCapSql},
+         | hh AS (SELECT doc_id, fold, sh, df,
+         |   md5('tswp42:' || sh || ':' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM s JOIN d USING (sh)),
+         | sc AS (SELECT doc_id, fold, sh FROM hh, cap
+         |  WHERE df <= df_cap OR
+         |   ${DedupOps.md5ResidueSql("h")} % df < df_cap),
+         | pairs AS (SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+         |     count(*) AS shared
+         |   FROM sc te JOIN sc tr ON te.sh = tr.sh
+         |   WHERE te.fold = 'test' AND tr.fold = 'train'
+         |   GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT test_id, count(*) AS n_train_matches, max(shared) AS max_shared
+         |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin,
     "text_oov_rate" ->
       """WITH tv AS (SELECT DISTINCT word FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents

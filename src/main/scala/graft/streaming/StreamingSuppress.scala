@@ -39,6 +39,19 @@ import org.apache.spark.sql.streaming._
   * respecting per-key (ts, event_id) order across micro-batches; within
   * a batch the processor sorts.
   *
+  * Late data (cross-batch disorder, round-13 stress in StreamingSpec):
+  * a late event still at-or-above the watermark FOLDS into the open
+  * hold — the anchor (and release stamp) never moves, even when the
+  * event is older than the anchor itself; an event below the watermark
+  * is dropped by the engine before the processor (standard watermark
+  * loss), so no hold can anchor in the past. Consequently the ≥ limit
+  * release spacing holds UNCONDITIONALLY: after a timer release the
+  * watermark has already passed the stamp (any accepted event anchors
+  * at or after it), and an in-stream release immediately re-buffers the
+  * releasing event (anchor ≥ stamp). Timer deadlines register at the
+  * CEILING millisecond of the µs deadline, so a flush never fires
+  * early when ts/limit are not ms-aligned.
+  *
   * Scale: O(1) state per key (one aggregate + one pending buffer + one
   * timer) — the suppression buffer is per-KEY, not per-update, exactly
   * the spill-proof shape KS's `BufferConfig.maxRecords(1)`-per-key
@@ -63,6 +76,13 @@ object StreamingSuppress {
 
   private def micros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Timer deadline in ms for a µs event-time deadline — rounded UP, so
+    * the watermark-driven tail flush never fires before the true
+    * event-time deadline when ts/limit are not ms-aligned (timers are ms
+    * granular; flooring could release up to 999 µs early). Output stamps
+    * stay the exact µs deadline either way. */
+  private def timerMs(deadlineUs: Long): Long = (deadlineUs + 999L) / 1000L
 
   class SuppressProcessor(limitUs: Long)
       extends StatefulProcessor[Long, EventIn, SuppressOut] {
@@ -90,7 +110,7 @@ object StreamingSuppress {
         // advance, which within a batch is the next record's timestamp)
         p.filter(q => tUs >= q.bufferedAtUs + limitUs).foreach { q =>
           out += SuppressOut(key, q.n, q.sumMicro, q.bufferedAtUs + limitUs)
-          getHandle.deleteTimer((q.bufferedAtUs + limitUs) / 1000)
+          getHandle.deleteTimer(timerMs(q.bufferedAtUs + limitUs))
           p = None
         }
         a = Agg(a.n + 1L, a.sumMicro + e.value_micro)
@@ -98,7 +118,7 @@ object StreamingSuppress {
           case Some(q) => p = Some(Pending(a.n, a.sumMicro, q.bufferedAtUs))
           case None =>
             p = Some(Pending(a.n, a.sumMicro, tUs))
-            getHandle.registerTimer((tUs + limitUs) / 1000)
+            getHandle.registerTimer(timerMs(tUs + limitUs))
         }
       }
       agg.update(a)
@@ -113,7 +133,7 @@ object StreamingSuppress {
       // defensive (the TwsSessionizer stale-timer rule)
       if (pending.exists()) {
         val q = pending.get()
-        if ((q.bufferedAtUs + limitUs) / 1000 <= expiredTimerInfo.getExpiryTimeInMs) {
+        if (timerMs(q.bufferedAtUs + limitUs) <= expiredTimerInfo.getExpiryTimeInMs) {
           pending.clear()
           Iterator.single(
             SuppressOut(key, q.n, q.sumMicro, q.bufferedAtUs + limitUs))

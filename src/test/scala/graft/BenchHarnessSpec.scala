@@ -79,6 +79,26 @@ class BenchHarnessSpec extends SparkSpec {
     assertBenchLedger("BENCH_SF1.json")
   }
 
+  test("BENCH_ENVELOPE.json covers exactly the SparkEntry.queries key set") {
+    // Round-13 verdict task 2: the envelope (3 same-code sf0.1 sweeps,
+    // tools/bench_envelope.py) is the noise baseline next round's
+    // regression gate diffs against — a STALE envelope (cut before the
+    // round's last keys landed) silently removes those keys from the
+    // gate. Enforce key-set ≡ SparkEntry.queries on the min/max maps.
+    val path = java.nio.file.Paths.get("BENCH_ENVELOPE.json")
+    assert(java.nio.file.Files.exists(path),
+      "BENCH_ENVELOPE.json missing — run 3x graft.Bench at sf0.1 then tools/bench_envelope.py")
+    val json = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val keys = "\"([A-Za-z0-9_]+)\":\\s*\\{\\s*\"max\"".r
+      .findAllMatchIn(json).map(_.group(1)).toSet
+    val declared = SparkEntry.queries.keySet
+    val missing = declared -- keys
+    val stale = keys -- declared
+    assert(missing.isEmpty && stale.isEmpty,
+      s"BENCH_ENVELOPE drift — missing: ${missing.toSeq.sorted.mkString(",")}; " +
+        s"stale: ${stale.toSeq.sorted.mkString(",")}")
+  }
+
   test("sim_ann_lsh shuffles carry ids only; vectors travel by broadcast") {
     assertNoWidePayload("sim_ann_lsh",
       c => c.contains("embedding") || c == "e1" || c == "e2")

@@ -275,6 +275,53 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(totC < totE, "cap did not bind — pin is vacuous at this SF")
   }
 
+  test("pinned: capped miner twins track their exact siblings at sf0.1") {
+    // The round-13 `_capped` family (shared df-capped miner,
+    // DedupOps.cappedTau0Pairs): sizes stay exact and intersections only
+    // thin, so capped jaccard/containment/shared ≤ exact pairwise —
+    // every thresholded twin's survivor KEY SET must be a SUBSET of its
+    // exact sibling's, with recall ≥ the pinned floor (measured sf0.1:
+    // ngram 1.0, containment 1.0, contamination 0.9922 — floors leave
+    // headroom for corpus regeneration). Run at sf0.1, the only corpus
+    // where the cap binds (sweep pin above asserts non-vacuity of the
+    // shared miner at this SF).
+    val dir = "/root/testdata/sf0.1"
+    def keySet(k: String, cols: Seq[String]): Set[Seq[Any]] =
+      SparkEntry.queries(k)(spark, dir)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSet
+    for ((exact, capped, cols, floor) <- Seq(
+        ("dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", Seq("d1", "d2"), 0.95),
+        ("dedup_containment", "dedup_containment_capped", Seq("d1", "d2"), 0.95),
+        ("text_contamination", "text_contamination_capped", Seq("test_id"), 0.95))) {
+      val e = keySet(exact, cols)
+      val c = keySet(capped, cols)
+      assert(c.subsetOf(e), s"$capped not a subset of $exact: ${(c -- e).take(3)}")
+      val recall = (c & e).size.toDouble / e.size
+      assert(recall >= floor, s"$capped recall $recall < $floor")
+    }
+  }
+
+  test("pinned: capped jaccard-knn agrees with the exact ranking at sf0.1") {
+    // Rankings may reorder where thinning bites (scores drift down
+    // non-uniformly), so the knn pin is agreement, not subset: top-1
+    // neighbor agreement ≥ 0.9 over common docs and mean |top-1 score
+    // drift| ≤ 0.01 (measured sf0.1: 0.9635 agreement, 0.0033 drift);
+    // both engines rank the same doc set.
+    val dir = "/root/testdata/sf0.1"
+    def top1(k: String): Map[Long, (Long, Double)] =
+      SparkEntry.queries(k)(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("rk") === 1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val e = top1("text_jaccard_knn")
+    val c = top1("text_jaccard_knn_capped")
+    assert(e.keySet == c.keySet, "ranked doc sets must match")
+    val agree = e.keysIterator.count(d => e(d)._1 == c(d)._1).toDouble / e.size
+    assert(agree >= 0.9, s"top-1 agreement $agree < 0.9")
+    val drift = e.keysIterator.map(d => math.abs(e(d)._2 - c(d)._2)).sum / e.size
+    assert(drift <= 0.01, s"mean top-1 score drift $drift > 0.01")
+  }
+
   test("pinned: approx curriculum stages track the exact ntile cut at sf0.1") {
     // the scale twin's GK sketch (accuracy=10000) displaces each quartile
     // threshold by ≤ n/10000 ranks, so each stage's population drifts

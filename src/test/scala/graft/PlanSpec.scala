@@ -548,10 +548,21 @@ class PlanSpec extends SparkSpec {
                                    // + bucket-grid + window + ck pivot +
                                    // segment agg (STATIC; AQE broadcasts
                                    // the tiny grid/bounds sides at runtime)
-      "dedup_threshold_sweep_capped" -> 5) // doc-size agg + ONE shingle
+      "dedup_threshold_sweep_capped" -> 5, // doc-size agg + ONE shingle
                                    // window exchange (df + collect_set
                                    // share it) + pair agg + size joins +
                                    // decile re-agg
+      // round-13 capped twins: all ride the SHARED capped miner
+      // (cappedTau0Pairs memo leaf once warm; the ceiling covers the
+      // cold full-miner plan, same budget as the sweep)
+      "dedup_ngram_jaccard_capped" -> 5,  // miner + filter/project only
+      "dedup_containment_capped" -> 5,    // miner + filter/project only
+      "text_jaccard_knn_capped" -> 6,     // miner + bounded-heap TopKAgg
+                                   // exchange (docs×3 pairs, never a
+                                   // window over all 2× pair rows)
+      "text_contamination_capped" -> 3)   // ONE shingle window exchange
+                                   // (df thin + fold collect share it)
+                                   // + pair agg + final test_id agg
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")

@@ -43,6 +43,10 @@ object ScaleGen {
     // the cheap path to the 30x ANN recall point (AnnScaleProbe), where
     // generating 30x documents/events just to read one table is waste.
     val embeddingsOnly = args.length > 3 && args(3) == "embeddings"
+    // Optional 4th arg "documents": write ONLY the documents table —
+    // the cheap path to the 30x capped-miner drift point
+    // (CappedDriftProbe), where only the shingle index is read.
+    val documentsOnly = args.length > 3 && args(3) == "documents"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -86,6 +90,7 @@ object ScaleGen {
     }
 
     // ---- documents: rep 0 = originals; reps 1..f-1 are chunk-assembled.
+    def writeDocuments(): Unit = {
     val docs = spark.read.parquet(s"$in/documents.parquet")
     val idOffset = docs.agg(max("doc_id")).head.getLong(0) + 1
     val chunks = docs
@@ -118,6 +123,15 @@ object ScaleGen {
         length(col("text")).cast("long").as("n_chars"))
     docs.select("doc_id", "text", "lang", "source", "n_chars").union(synth)
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+
+    if (documentsOnly) {
+      writeDocuments()
+      println(s"[scalegen] wrote ${factor}x documents of $in to $out")
+      spark.stop()
+      return
+    }
+    writeDocuments()
 
     // ---- embeddings: per-rep jitter (±0.005) keeps the planted cluster
     // structure so LSH/IVF recall paths stay meaningful at 10x.

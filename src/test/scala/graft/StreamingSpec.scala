@@ -1629,6 +1629,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("suppress: cross-batch late events fold into the hold; spacing survives") {
+    // Round-13 verdict task 8: the parity contract above feeds per-key
+    // ordered waves; this one stresses CROSS-BATCH disorder. Pinned
+    // behavior (watermark delay 10 min, limit 60 min):
+    //   1. a late event still ≥ watermark arriving while a hold is open
+    //      FOLDS into the buffered aggregate — the anchor (and so the
+    //      release stamp) never moves, even when the event's ts is older
+    //      than the anchor itself;
+    //   2. an event older than the watermark is DROPPED by the engine
+    //      before the processor (standard watermark loss) — it can
+    //      neither open a hold anchored in the past nor regress a stamp;
+    //   3. therefore consecutive release stamps per key stay >= limit
+    //      apart UNCONDITIONALLY: after a timer release the watermark
+    //      already passed the stamp (accepted events anchor at or after
+    //      it), and an in-stream release immediately re-buffers the
+    //      releasing event (anchor >= stamp). Asserted over every key.
+    import graft.streaming.StreamingSuppress
+    import graft.streaming.StreamingSuppress.EventIn
+    withRocksDb {
+      val limitUs = 60L * 60000000L
+      def sev(id: Long, user: Long, offMin: Long, vMicro: Long) =
+        EventIn(user, ts(offMin), id, vMicro)
+      def relUs(offMin: Long): Long = (T0 + offMin * 60000L) * 1000L
+      val waves = Seq(
+        // u1 holds @60; u3 holds @0
+        Seq(sev(1, 1, 60, 100L), sev(2, 3, 0, 9L)),
+        // u2 @70 moves the watermark to 60: u3's @60 timer fires ->
+        // (1, 9) releases @60. u1's late @55 (>= prior watermark 50)
+        // folds into the OPEN hold — anchor stays 60
+        Seq(sev(3, 1, 55, 7L), sev(4, 2, 70, 50L)),
+        // watermark is 60 now: u3's @55 event is OLDER than the
+        // watermark -> dropped (no hold anchored in the past). u1 @130
+        // releases the buffer (2, 107) stamped @120 and re-holds @130
+        Seq(sev(5, 3, 55, 1L), sev(6, 1, 130, 40L)),
+        // u1 late @125 (watermark 120) folds into the @130 hold, even
+        // though 125 < the anchor
+        Seq(sev(7, 1, 125, 3L)),
+        // terminal watermark advance flushes every tail timer
+        Seq(sev(99, 9, 10000, 1L)),
+        Seq.empty)
+      val ms = MemoryStream[EventIn]
+      val q = StreamingSuppress.suppress(ms.toDS(), limitUs).toDF()
+        .writeStream.format("memory").queryName("stream_suppress_ooo")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        waves.foreach { w => if (w.nonEmpty) ms.addData(w); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table("stream_suppress_ooo")
+        .filter(col("user_id") < 9).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == Set(
+        (1L, 2L, 107L, relUs(120)),  // late @55 folded, anchor 60 held
+        (1L, 4L, 150L, relUs(190)),  // late @125 folded into the @130 hold
+        (2L, 1L, 50L, relUs(130)),
+        (3L, 1L, 9L, relUs(60))),    // the sub-watermark @55 event DROPPED
+        got.mkString(", "))
+      // the unconditional rate limit, late data and all
+      got.groupBy(_._1).values.foreach { rs =>
+        val rel = rs.map(_._4).toSeq.sorted
+        rel.zip(rel.tail).foreach { case (a, b) =>
+          assert(b - a >= limitUs, s"releases $a, $b closer than limit") }
+      }
+    }
+  }
+
   test("checkpoint restart recovers the suppress buffer and releases it") {
     import graft.streaming.StreamingSuppress
     import graft.streaming.StreamingSuppress.EventIn

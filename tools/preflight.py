@@ -10,7 +10,7 @@ tables, and compares result multisets exactly (columns sorted by name,
 rows sorted, values compared by repr — so float results must already be
 deterministic by construction).
 """
-import sys, json, glob
+import sys, json, glob, os
 
 import duckdb
 
@@ -27,7 +27,6 @@ def main():
     out, sf = sys.argv[1], sys.argv[2]
     key_filter = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
-    import os
     for t in TABLES:
         # driver testdata ships single files; ScaleGen corpora are Spark
         # output DIRECTORIES named <table>.parquet — glob inside those
@@ -35,7 +34,10 @@ def main():
         if os.path.isdir(p):
             p = f"{p}/*.parquet"
         if not glob.glob(p):
-            continue  # partial corpora (e.g. embeddings-only 30x point)
+            # partial corpora (e.g. embeddings-only 30x point): say so, or
+            # an unfiltered run reports confusing 'table does not exist'
+            print(f"skip view {t} (no {p})")
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
