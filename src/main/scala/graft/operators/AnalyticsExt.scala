@@ -1946,9 +1946,21 @@ object AnalyticsExt {
         .select(col("event_type"), col("event_id"), col("value"),
           col("rw.rep").as("rep"), col("rw.w").as("w"))
         .filter(col("w") > 0L)
+      // (c) round 13: cumsum over the DENSIFIED VALUE DOMAIN, not raw
+      //     weighted rows — the weighted median only reads cumulative
+      //     weight at value boundaries, so collapsing (type, rep, value)
+      //     first (a map-side-combinable hash agg) is exactly equivalent
+      //     (min(value) where 2·cw ≥ W is unchanged by intra-value row
+      //     order) and cuts the sorted window input ~9× on replicated
+      //     corpora (measured sf1: 8.9 → 5.9 s same-session; the md5
+      //     digest projection owns most of the remainder); on a
+      //     continuous-value corpus (distinct ≈ n) the agg degrades to
+      //     a no-op combine, never a second full-size shuffle.
+      val vw = wdf.groupBy("event_type", "rep", "value")
+        .agg(sum("w").as("w"))
       val byRep = Window.partitionBy("event_type", "rep")
-      val cum = wdf
-        .withColumn("cw", sum("w").over(byRep.orderBy("value", "event_id")
+      val cum = vw
+        .withColumn("cw", sum("w").over(byRep.orderBy("value")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("wtot", sum("w").over(byRep))
       val med = cum

@@ -275,6 +275,22 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(totC < totE, "cap did not bind — pin is vacuous at this SF")
   }
 
+  test("scan_parquet_footer reads Spark-directory corpora per part file") {
+    // Round-13 ADVICE: ScaleGen corpora store lineitem.parquet as a Spark
+    // output DIRECTORY; the footer key must inspect every part file, not
+    // error on the directory. Write a 3-part copy of sf0.001 lineitem and
+    // pin: one row group set per part file, num_rows reconciling exactly
+    // with the table count.
+    val base = java.nio.file.Files.createTempDirectory("graft_footer").toString
+    val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+    li.repartition(3).write.parquet(s"$base/lineitem.parquet")
+    val out = SparkEntry.queries("scan_parquet_footer")(spark, base).collect()
+    val files = out.map(_.getString(0)).distinct
+    assert(files.length == 3, s"expected 3 part files, got ${files.toSeq}")
+    assert(out.map(_.getLong(2)).sum == li.count(), "row groups must cover the table")
+    assert(out.forall(_.getLong(3) > 0), "column counts must be positive")
+  }
+
   test("pinned: capped miner twins track their exact siblings at sf0.1") {
     // The round-13 `_capped` family (shared df-capped miner,
     // DedupOps.cappedTau0Pairs): sizes stay exact and intersections only
