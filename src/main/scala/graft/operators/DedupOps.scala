@@ -623,7 +623,14 @@ object DedupOps {
     * table: (d1, d2, inter, n1, n2, jaccard), every co-occurring pair. */
   def tau0Pairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     tau0Memo.getOrCompute(s, dir)(
-      jaccardPairs(t(s, dir, "documents"), tau = 0.0).localCheckpoint())
+      // DISK_ONLY (round 13): at the 10× point this frame is ~135M rows;
+      // held MEMORY_AND_DISK it evicts against every later key's
+      // execution memory (measured: a 391-key sf1 sweep OOM'd the heap's
+      // unified region with BOTH pair memos resident). A materialized
+      // pair table lives on disk in production accounting anyway;
+      // re-reads are sequential and page-cached.
+      jaccardPairs(t(s, dir, "documents"), tau = 0.0)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY))
 
   /** Deterministic salted-md5 posting residue in [0, df): the df-cap
     * thinning rule keeps a (doc_id, shingle) posting iff
@@ -696,7 +703,9 @@ object DedupOps {
         .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
         .withColumn("jaccard",
           col("inter") / (col("n1") + col("n2") - col("inter")))
-        .localCheckpoint()
+        // DISK_ONLY for the same reason as [[tau0Pairs]]: two ~6 GB pair
+        // frames in the unified region starve task execution memory.
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
 
   /** Session-scoped memo of the 80%-corpus cluster labels the incremental
