@@ -95,4 +95,5 @@ addCommandAlias("testLight",
     "graft.IvfSpec graft.LayoutSpec graft.PartitionInvarianceSpec " +
     "graft.PartitionPruningSpec graft.PqSpec graft.QuantizeSpec " +
     "graft.SegmentSpec graft.SessionizePropertySpec graft.SkewSpec " +
-    "graft.SourcesSpec graft.StatsExtSpec graft.VecDotSpec")
+    "graft.SourcesSpec graft.StatsExtSpec graft.UserDocSpec " +
+    "graft.VecDotSpec")

@@ -660,6 +660,42 @@ object DedupOps {
        |   + (CAST(strpos('0123456789abcdef', substr($h, 8, 1)) AS BIGINT) - 1)
        |   )""".stripMargin
 
+  /** Session-scoped memo of the DF-THINNED distinct posting leaf — the
+    * artifact every `_capped` consumer shares. Factored out of
+    * [[cappedTau0Pairs]] (round-14): `text_contamination_capped` used to
+    * re-window + re-aggregate the whole shingle index to recompute the
+    * cap and residue a second time per corpus, which doubled the mine,
+    * put a BroadcastNestedLoopJoin (the 1-row cap scalar) and a 4th hash
+    * exchange into ITS plan, and made it slower than its exact anchor at
+    * the 10× point. With the THINNED POSTING SET as the checkpointed
+    * leaf, the md5 residue is computed once per corpus and both the pair
+    * miner and the contamination collect read a plain leaf. */
+  private val thinnedPostingsMemo =
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.freeCheckpoint)
+
+  /** The memoized df-thinned posting leaf for `dir`'s documents table:
+    * distinct (doc_id, shingle) with every shingle hotter than the
+    * adaptive [[minerDfCap]] thinned to ~cap deterministic salted-md5
+    * survivors ([[postingResidue]]). df rides a count window over the
+    * shingle partition so the cap filter reuses the one shingle exchange
+    * (a separate df agg + join-back costs a second index-sized shuffle —
+    * measured +1.5 s at the 10× point); the adaptive cap scalar
+    * crossJoins in as a broadcast 1-row aggregate (the StatsExt idiom).
+    * The checkpoint preserves the hash(shingle) partitioning, so every
+    * consumer's first shingle-keyed aggregation plans WITHOUT a new
+    * exchange. DISK_ONLY for the same reason as the pair memos: resident
+    * leaves must never evict task execution memory. */
+  def thinnedPostings(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    thinnedPostingsMemo.getOrCompute(s, dir) {
+      val sh = docShingles(t(s, dir, "documents"))
+      sh.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+        .crossJoin(broadcast(minerDfCap(sh)))
+        .filter(col("df") <= col("df_cap") || postingResidue < col("df_cap"))
+        .select("doc_id", "shingle")
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+
   /** Session-scoped memo of the DF-CAPPED τ=0 pair frame — the 100 TB
     * twin of [[tau0Pairs]] and the shared miner behind every `_capped`
     * key (threshold sweep, ngram-jaccard, containment, jaccard-knn).
@@ -676,24 +712,17 @@ object DedupOps {
     new graft.SessionMemo[DataFrame](graft.SessionMemo.freeCheckpoint)
 
   /** The memoized df-capped τ=0 pair frame for `dir`'s documents table:
-    * (d1, d2, inter, n1, n2, jaccard) with thinned inter, exact sizes. */
+    * (d1, d2, inter, n1, n2, jaccard) with thinned inter, exact sizes
+    * (the EXACT doc sizes come from the unthinned index — only
+    * intersections thin). Pairs explode from the [[thinnedPostings]]
+    * leaf's ≤ ~cap-bounded posting sets, never a self-join of the whole
+    * index. */
   def cappedTau0Pairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     cappedTau0Memo.getOrCompute(s, dir) {
-      val sh = docShingles(t(s, dir, "documents"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // df rides a count window over the shingle partition so the cap
-      // filter AND the collect_set reuse ONE shingle exchange (a separate
-      // df agg + join-back costs a second index-sized shuffle — measured
-      // +1.5 s at the 10× point); the adaptive cap scalar crossJoins in
-      // as a broadcast 1-row aggregate (the StatsExt idiom); pairs then
-      // explode from the ≤ ~cap-bounded posting sets, never a self-join
-      // of the whole index.
-      val capped = sh
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-        .crossJoin(broadcast(minerDfCap(sh)))
-        .filter(col("df") <= col("df_cap") || postingResidue < col("df_cap"))
-      capped.groupBy("shingle").agg(collect_set(col("doc_id")).as("ds"))
+      val cnt = docShingles(t(s, dir, "documents"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      thinnedPostings(s, dir)
+        .groupBy("shingle").agg(collect_set(col("doc_id")).as("ds"))
         .filter(size(col("ds")) >= 2)
         .select(explode(col("ds")).as("d1"), col("ds"))
         .select(col("d1"), explode(col("ds")).as("d2"))

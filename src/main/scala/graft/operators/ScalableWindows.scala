@@ -108,7 +108,16 @@ object ScalableWindows {
       .select(pc :+ col("__bkt") :+ col("__boff"): _*)
     val wIn = Window.partitionBy(pc :+ col("__bkt"): _*)
       .orderBy(orderCols: _*)
-    b.join(broadcast(off), partCols :+ "__bkt")
+    // The offset join is NULL-SAFE end-to-end (same __off_ rename + <=>
+    // pattern as withBucketsPer's bounds join): a plain using-join here
+    // would re-drop the NULL-partition-key rows the bounds join just
+    // preserved, breaking the "never loses rows" invariant at the last
+    // step (round-13 ADVICE).
+    val offKeys = partCols :+ "__bkt"
+    val offR = offKeys.foldLeft(off)((d, c) => d.withColumnRenamed(c, s"__off_$c"))
+    val offCond = offKeys.map(c => col(c) <=> col(s"__off_$c")).reduce(_ && _)
+    b.join(broadcast(offR), offCond)
+      .drop(offKeys.map(c => s"__off_$c"): _*)
       .withColumn("rn", row_number().over(wIn).cast("long") + col("__boff"))
       .drop("__bkt")
   }

@@ -513,17 +513,17 @@ object TextOps {
     // still lets a df-9999 shingle emit ~25M te×tr pairs through one
     // skewed shuffle key; the capped twin THINS every shingle hotter
     // than the adaptive [[DedupOps.minerDfCap]] to ~cap deterministic
-    // salted-md5 survivors (the same residue rule — and the same
-    // survivor set — as the capped Jaccard miner), bounding per-shingle
-    // pair fan-out at ~cap²/4 at any corpus size. `shared` counts can
-    // only drift DOWN (postings only vanish), so at any scale where the
-    // exact ceiling never binds the flagged pair set is a SUBSET of the
-    // exact key's (pinned with measured recall at sf0.1).
+    // salted-md5 survivors (the same residue rule — and the SAME
+    // survivor set, read from the shared [[DedupOps.thinnedPostings]]
+    // checkpoint leaf — as the capped Jaccard miner), bounding
+    // per-shingle pair fan-out at ~cap²/4 at any corpus size. `shared`
+    // counts can only drift DOWN (postings only vanish), so at any scale
+    // where the exact ceiling never binds the flagged pair set is a
+    // SUBSET of the exact key's (pinned with measured recall at sf0.1).
     "text_contamination_capped" -> ((s, dir) => {
       val h = md5(concat(lit("split42:"), col("doc_id")))
-      val docs = t(s, dir, "documents")
-        .withColumn("fold", when(substring(h, 1, 2) < "cc", "train").otherwise("test"))
-      contaminationCapped(docs)
+      contaminationCapped(DedupOps.thinnedPostings(s, dir),
+        when(substring(h, 1, 2) < "cc", "train").otherwise("test"))
     }),
 
     "text_tfidf" -> ((s, dir) => {
@@ -1366,16 +1366,20 @@ object TextOps {
     * postings thinned through [[DedupOps.postingResidue]] under the
     * adaptive [[DedupOps.minerDfCap]] instead of a ceiling-drop: one
     * rule for every shingle (keep a posting iff `df <= cap` or its
-    * salted residue lands under the cap), the same one-exchange window
-    * shape, and per-shingle group-collect buffers bounded at ~cap ids
-    * forever (cap ≤ [[DedupOps.MinerDfCapCeil]]). */
-  def contaminationCapped(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("fold"),
-      explode(array_distinct(shingles(col("text")))).as("shingle"))
-    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .crossJoin(broadcast(DedupOps.minerDfCap(sh)))
-      .filter(col("df") <= col("df_cap") ||
-        DedupOps.postingResidue < col("df_cap"))
+    * salted residue lands under the cap), and per-shingle group-collect
+    * buffers bounded at ~cap ids forever (cap ≤
+    * [[DedupOps.MinerDfCapCeil]]).
+    *
+    * Round-14: consumes the SHARED [[DedupOps.thinnedPostings]]
+    * checkpoint leaf instead of re-mining + re-thinning the shingle
+    * index itself — the residue md5 runs once per corpus (not once per
+    * key), the cap-scalar BroadcastNestedLoopJoin and the df window
+    * leave this key's plan entirely, and `fold` is re-derived from
+    * `doc_id` on the leaf (it is a pure function of doc_id, so thinning
+    * commutes with fold assignment — the survivor set is bit-identical
+    * to the round-13 inline form's). */
+  def contaminationCapped(posts: DataFrame, fold: Column): DataFrame = {
+    posts.withColumn("fold", fold)
       .groupBy("shingle").agg(
         collect_set(when(col("fold") === "test", col("doc_id"))).as("te"),
         collect_set(when(col("fold") === "train", col("doc_id"))).as("tr"))

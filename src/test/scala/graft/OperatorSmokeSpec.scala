@@ -275,20 +275,49 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(totC < totE, "cap did not bind — pin is vacuous at this SF")
   }
 
+  test("bucketedRowNumber keeps NULL-partition-key rows end-to-end") {
+    // Round-13 ADVICE closed: the bounds join went null-safe but the
+    // offset join stayed a plain using-join, so NULL-key rows were still
+    // dropped at the last step. Pin the whole machine: every row
+    // survives and the NULL group ranks like any other partition.
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), 3L), (Option("a"), 1L), (Option("a"), 2L),
+      (Option.empty[String], 5L), (Option.empty[String], 4L))
+      .toDF("k", "v")
+    val got = operators.ScalableWindows.bucketedRowNumber(
+      df, Seq("k"), "v", Seq(col("v")), buckets = 2, perPartBounds = true)
+    assert(got.count() == 5, "NULL-key rows must survive both joins")
+    val nullRanks = got.filter(col("k").isNull).orderBy("v")
+      .select("rn").collect().map(_.getLong(0)).toSeq
+    assert(nullRanks == Seq(1L, 2L), s"NULL group ranks: $nullRanks")
+    val aRanks = got.filter(col("k") === "a").orderBy("v")
+      .select("rn").collect().map(_.getLong(0)).toSeq
+    assert(aRanks == Seq(1L, 2L, 3L), s"'a' group ranks: $aRanks")
+  }
+
   test("scan_parquet_footer reads Spark-directory corpora per part file") {
     // Round-13 ADVICE: ScaleGen corpora store lineitem.parquet as a Spark
     // output DIRECTORY; the footer key must inspect every part file, not
     // error on the directory. Write a 3-part copy of sf0.001 lineitem and
     // pin: one row group set per part file, num_rows reconciling exactly
     // with the table count.
-    val base = java.nio.file.Files.createTempDirectory("graft_footer").toString
-    val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
-    li.repartition(3).write.parquet(s"$base/lineitem.parquet")
-    val out = SparkEntry.queries("scan_parquet_footer")(spark, base).collect()
-    val files = out.map(_.getString(0)).distinct
-    assert(files.length == 3, s"expected 3 part files, got ${files.toSeq}")
-    assert(out.map(_.getLong(2)).sum == li.count(), "row groups must cover the table")
-    assert(out.forall(_.getLong(3) > 0), "column counts must be positive")
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_footer")
+    try {
+      val base = baseDir.toString
+      val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+      li.repartition(3).write.parquet(s"$base/lineitem.parquet")
+      val out = SparkEntry.queries("scan_parquet_footer")(spark, base).collect()
+      val files = out.map(_.getString(0)).distinct
+      assert(files.length == 3, s"expected 3 part files, got ${files.toSeq}")
+      assert(out.map(_.getLong(2)).sum == li.count(), "row groups must cover the table")
+      assert(out.forall(_.getLong(3) > 0), "column counts must be positive")
+    } finally {
+      // round-13 ADVICE: don't leak a temp parquet corpus per suite run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(baseDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("pinned: capped miner twins track their exact siblings at sf0.1") {
@@ -315,6 +344,59 @@ class OperatorSmokeSpec extends SparkSpec {
       assert(c.subsetOf(e), s"$capped not a subset of $exact: ${(c -- e).take(3)}")
       val recall = (c & e).size.toDouble / e.size
       assert(recall >= floor, s"$capped recall $recall < $floor")
+    }
+  }
+
+  test("pinned: adaptive cap FLOOR regime on a Zipf-head corpus") {
+    // Round-13 verdict task 3: the 100 TB rationale for the capped miner
+    // family is "real vocabularies are Zipfian => the rule resolves to
+    // the floor 16 => per-shingle fan-out stays bounded" — previously
+    // argued from vocabulary growth laws, measured here on the
+    // ScaleGen.zipfDocs corpus (growing Zipf vocabulary + a planted
+    // df=n/50 boilerplate head + planted near-dup twins). Pins: the cap
+    // resolves to the FLOOR (not the mean-tracking regime), the head is
+    // real (df >> cap) yet survivors stay ~cap-bounded, and the capped
+    // miner's recall of the exact tau=0.6 pair set survives the
+    // thinning. The runtime-curve claim (exact superlinear vs capped
+    // flat) is measured at 50k/100k/200k docs by ZipfFloorProbe and
+    // recorded in SCALE.md §8.14.
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_zipf")
+    try {
+      val base = baseDir.toString
+      ScaleGen.zipfDocs(spark, 20000L).repartition(8)
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val sh = Tables.t(spark, base, "documents").select(col("doc_id"),
+        explode(array_distinct(operators.TextOps.shingles(col("text"))))
+          .as("shingle"))
+      val cap = operators.DedupOps.minerDfCap(sh).head.getLong(0)
+      assert(cap == 16L, s"cap $cap — the growing vocabulary must resolve the rule to the floor")
+      val headDf = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .agg(max("df")).head.getLong(0)
+      assert(headDf >= 200L, s"planted head df $headDf too small — the floor pin would be vacuous")
+      val maxSurv = operators.DedupOps.thinnedPostings(spark, base)
+        .groupBy("shingle").agg(count(lit(1)).as("c"))
+        .agg(max("c")).head.getLong(0)
+      assert(maxSurv <= 4 * cap,
+        s"max survivors $maxSurv > 4x cap: per-shingle fan-out not bounded (head df $headDf)")
+      def pairKeys(k: String): Set[(Long, Long)] =
+        SparkEntry.queries(k)(spark, base).select("d1", "d2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairKeys("dedup_ngram_jaccard")
+      val capped = pairKeys("dedup_ngram_jaccard_capped")
+      assert(capped.subsetOf(exact), s"capped not a subset: ${(capped -- exact).take(3)}")
+      // generator sanity: the exact miner finds nearly all planted twins
+      // (~3% legitimately perturb past tau=0.6 — Binomial(60, 1/20) tail)
+      val planted = (7L until 20000L by 10L).map(d => (d - 1, d)).toSet
+      val plantedRecallExact = (exact & planted).size.toDouble / planted.size
+      assert(plantedRecallExact >= 0.8,
+        s"exact miner finds only $plantedRecallExact of planted twins — generator broken")
+      // the load-bearing pin: thinning the Zipf head does not lose pairs
+      val recall = (capped & exact).size.toDouble / exact.size
+      assert(recall >= 0.95, s"capped recall $recall < 0.95 in the floor regime")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(baseDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 

@@ -560,9 +560,10 @@ class PlanSpec extends SparkSpec {
       "text_jaccard_knn_capped" -> 6,     // miner + bounded-heap TopKAgg
                                    // exchange (docs×3 pairs, never a
                                    // window over all 2× pair rows)
-      "text_contamination_capped" -> 3)   // ONE shingle window exchange
-                                   // (df thin + fold collect share it)
-                                   // + pair agg + final test_id agg
+      "text_contamination_capped" -> 3)   // reads the shingle-partitioned
+                                   // thinnedPostings leaf (group-collect
+                                   // plans NO new exchange) + pair agg
+                                   // + final test_id agg
     for ((key, ceiling) <- ceilings) {
       val n = hashExchanges(key)
       assert(n <= ceiling, s"$key plans $n hash exchanges (ceiling $ceiling)")

@@ -30,6 +30,58 @@ object ScaleGen {
     toks.grouped(ChunkLen).map(_.mkString(" ")).toArray
   })
 
+  /** Zipf-head synthetic documents (round-13 verdict task 3): the
+    * driver's generator has a FIXED vocabulary — df grows linearly in
+    * the distribution BODY and there is no skewed head — which exercises
+    * the adaptive cap's mean-tracking regime but never its FLOOR regime,
+    * the regime the whole 100 TB skew-protection claim rests on. This
+    * corpus is the opposite by construction:
+    *
+    *  - 60 tokens per doc, drawn Zipf(s=1) by inverse CDF (rank = V^u)
+    *    from a vocabulary that GROWS with the corpus (V = nDocs), so
+    *    typical 3-gram shingle df stays O(1) at any size and the
+    *    integer-mean rule resolves to the hard floor 16;
+    *  - a planted BOILERPLATE line appended to every 50th doc — its
+    *    interior shingles have df = nDocs/50 ≫ cap, the hot head the
+    *    cap exists to thin (the df-10⁶ hazard in miniature);
+    *  - every (10k+6, 10k+7) doc pair is a planted NEAR-DUP twin: the
+    *    twin re-reads its source's token stream and perturbs ~1/20 of
+    *    slots (~3 of 60 ⇒ shared-shingle Jaccard ≈ 0.73 > τ=0.6), and
+    *    twins never intersect the boilerplate marks (7 mod 10 vs 0 mod
+    *    50), so planted recall isolates BODY thinning exactly.
+    *
+    * Everything is keyed on xxhash64 — deterministic, partition-count
+    * independent. Schema matches the driver's documents table. */
+  def zipfDocs(spark: SparkSession, nDocs: Long): org.apache.spark.sql.DataFrame = {
+    val vocab = math.max(1000L, nDocs)
+    val lnV = math.log(vocab.toDouble)
+    val twin = col("doc_id") % 10 === 7
+    val slots = spark.range(0, nDocs).select(col("id").as("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(59))).as("slot"))
+    val perturbed = twin &&
+      pmod(xxhash64(lit("zperturb"), col("doc_id"), col("slot")), lit(20)) === 0
+    // perturbed slots seed from a disjoint id space so the replacement
+    // token is independent of every real doc's stream
+    val seedDoc = when(perturbed, col("doc_id") + nDocs)
+      .otherwise(when(twin, col("doc_id") - 1).otherwise(col("doc_id")))
+    val u = (pmod(xxhash64(lit("ztok"), seedDoc, col("slot")), lit(1000000L))
+      .cast("double") + 0.5) / 1000000.0
+    val rank = least(lit(vocab), greatest(lit(1L),
+      floor(exp(u * lit(lnV))).cast("long")))
+    val body = slots
+      .select(col("doc_id"), col("slot"), concat(lit("t"), rank).as("tok"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("slot"), col("tok")))),
+        e => e.getField("tok")), " ").as("body"))
+    body.select(col("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          concat(col("body"), lit(" zzhead boiler plate head line")))
+          .otherwise(col("body")).as("text"),
+        lit("en").as("lang"), lit("zipf").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(in, out, factorS) = args.take(3)
     val factor = factorS.toInt

@@ -70,6 +70,15 @@ def run(out_json, dumps):
                     row["hash_match"] = hs == hd
             except Exception as e:
                 row["err"] = str(e)[:300]
+            # round-13 ADVICE: a key present in two dumps must not let the
+            # second dump's verdict silently mask the first's — error out
+            # (dump key sets are disjoint by protocol) and record which
+            # corpus each verdict came from.
+            if name in result:
+                raise SystemExit(
+                    f"duplicate key {name!r}: already verified against "
+                    f"{result[name]['corpus']}, seen again in {out} ({sf})")
+            row["corpus"] = sf
             result[name] = row
             print(("PASS" if row["hash_match"] else "FAIL"), name,
                   row["spark_rows"], flush=True)
