@@ -724,6 +724,14 @@ object DedupOps {
       thinnedPostings(s, dir)
         .groupBy("shingle").agg(collect_set(col("doc_id")).as("ds"))
         .filter(size(col("ds")) >= 2)
+        // Rebalance the ~|vocab|-row collected frame BEFORE the pair
+        // explode: AQE coalesces the shingle exchange by its shuffle-read
+        // size (tens of MB ⇒ 1-2 reducers) but the next stage's cost is
+        // the GENERATED fan-out (~Σ|ds|²/2 rows), which AQE cannot see —
+        // measured 2.3× wall on this stage at the 10× point without the
+        // rebalance. Round-robin, so it counts as parallelism restoration,
+        // not a keyed shuffle (the frame is one row per shingle already).
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(explode(col("ds")).as("d1"), col("ds"))
         .select(col("d1"), explode(col("ds")).as("d2"))
         .filter(col("d1") < col("d2"))

@@ -1353,6 +1353,10 @@ object TextOps {
         collect_set(when(col("fold") === "train", col("doc_id"))).as("tr"))
       .filter(size(col("te")) > 0 && size(col("tr")) > 0)
     bySh
+      // same explode-stage rebalance as [[contaminationCapped]] — AQE
+      // sizes the post-collect stage by its (tiny) shuffle read, not the
+      // te×tr fan-out it generates
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(explode(col("te")).as("test_id"), col("tr"))
       .select(col("test_id"), explode(col("tr")).as("train_id"))
       .groupBy("test_id", "train_id").agg(count(lit(1)).as("shared"))
@@ -1384,6 +1388,11 @@ object TextOps {
         collect_set(when(col("fold") === "test", col("doc_id"))).as("te"),
         collect_set(when(col("fold") === "train", col("doc_id"))).as("tr"))
       .filter(size(col("te")) > 0 && size(col("tr")) > 0)
+      // Rebalance before the te×tr explode — same reason as the capped
+      // pair miner (DedupOps.cappedTau0Pairs): AQE coalesces the small
+      // shingle exchange to 1-2 reducers and the ~Σ|te|·|tr|-row
+      // generated fan-out serializes on them (measured 2× wall at 10×).
+      .repartition(posts.sparkSession.sessionState.conf.numShufflePartitions)
       .select(explode(col("te")).as("test_id"), col("tr"))
       .select(col("test_id"), explode(col("tr")).as("train_id"))
       .groupBy("test_id", "train_id").agg(count(lit(1)).as("shared"))
