@@ -625,21 +625,45 @@ object SimilarityOps {
     }),
   )
 
-  /** Nearest-cell assignment: one narrow shuffle of N×K (vec, cell) dots,
-    * map-side-combined max_by. Centroids ride in as a broadcast (bounded:
-    * K rows), so the vector table itself never reshuffles. */
+  /** Driver-collect tripwire for the bounded centroid/codebook frames the
+    * row-local argmax expressions embed (≤ k, or m·k, rows by
+    * construction — the k-means-frames collect class). */
+  private val MaxCentroidRows = 4096
+
+  /** Collect a bounded centroid frame `(id, vec)` for [[ArgMaxDot]],
+    * tripwired at [[MaxCentroidRows]]. */
+  private def collectCentroids(cent: DataFrame, idCol: String,
+      vecCol: String): Seq[(Long, Array[Float], Double)] = {
+    val rows = cent.select(col(idCol).cast("long"), col(vecCol)).collect()
+    require(rows.length <= MaxCentroidRows,
+      s"centroid frame has ${rows.length} rows (> $MaxCentroidRows) — " +
+        "row-local argmax assignment is for bounded centroid sets")
+    rows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toArray, 0.0d))
+  }
+
+  /** Nearest-cell assignment, computed ROW-LOCALLY: the ≤K centroid frame
+    * is collected (bounded, tripwired) and embedded in one codegen'd
+    * [[graft.functions.ArgMaxDot]] argmax, so the corpus is never
+    * exchanged at all — the former crossJoin + max_by groupBy re-shuffled
+    * every vector payload once per call (guide §2.4/§8; round-14 plan
+    * diff: 1 corpus Exchange → 0 per Lloyd iteration). Dots, tie-breaks
+    * and hence assignments are bit-identical to the join form. */
   private[graft] def assignCells(v: DataFrame, cent: DataFrame,
+      keepDot: Boolean = false): DataFrame =
+    assignRows(v, collectCentroids(cent, "cell_id", "c_emb"), keepDot)
+
+  /** [[assignCells]] over an ALREADY-collected centroid set — the
+    * trainer loops collect each refined frame exactly once (the collect
+    * doubles as the materialize-before-unpersist action) and thread the
+    * rows through, so no frame pays a second driver job. */
+  private def assignRows(v: DataFrame,
+      cents: Seq[(Long, Array[Float], Double)],
       keepDot: Boolean = false): DataFrame = {
-    val base = v.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        vecDot(col("embedding"), col("c_emb")).as("d"))
-      .groupBy("vec_id")
-    val aggs = Seq(
-      max_by(col("cell_id"), struct(col("d"), (-col("cell_id")).as("tb")))
-        .as("cell_id"),
-      first(col("embedding")).as("embedding")) ++
-      (if (keepDot) Seq(max(col("d")).as("d")) else Nil)
-    base.agg(aggs.head, aggs.tail: _*)
+    val best = graft.functions.ArgMaxDot.nearest(col("embedding"), cents)
+    val cols = Seq(col("vec_id"), best.getField("id").as("cell_id"),
+      col("embedding")) ++
+      (if (keepDot) Seq(best.getField("d").as("d")) else Nil)
+    v.select(cols: _*)
   }
 
   /** Deterministic centroid means: per-dimension DECIMAL accumulation
@@ -687,15 +711,21 @@ object SimilarityOps {
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
     var cent = refineCentroids(assignCells(v, seeds), normalize = true)
       .persist()
+    // each refined frame is collected exactly ONCE (the collect is also
+    // the materialize-before-unpersist action) and the rows feed the next
+    // iteration's row-local assignment — one driver job per frame
+    var centRows = collectCentroids(cent, "cell_id", "c_emb")
     val objs = Seq.newBuilder[Double]
     var last: DataFrame = null
     for (_ <- 1 to iters) {
-      val assigned = assignCells(v, cent, keepDot = true).persist()
+      // assignment is a row-local projection over the cached corpus since
+      // round 14 — recomputing it for the objective and the refine pass
+      // is k·dim flops/row, cheaper than persisting a second corpus copy
+      val assigned = assignRows(v, centRows, keepDot = true)
       objs += assigned.agg(
         sum(col("d").cast("decimal(28,12)")).cast("double")).head().getDouble(0)
       val next = refineCentroids(assigned, normalize = true).persist()
-      next.count() // materialize before freeing what it was built from
-      assigned.unpersist()
+      centRows = collectCentroids(next, "cell_id", "c_emb") // materializes
       if (last != null) last.unpersist()
       last = cent
       cent = next
@@ -842,21 +872,49 @@ object SimilarityOps {
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
   }
 
+  /** Collect the bounded (≤ m·k rows, tripwired) codebook into per-sub
+    * [[ArgMaxDot]] inputs: (code, cw, −‖cw‖²/2). The bias is folded on
+    * the driver with the SAME sequential double accumulation the former
+    * `aggregate(cw, 0.0, a + x²)` HOF used, and score = dot + (−cw2/2)
+    * is IEEE-identical to the former `dot − cw2/2`, so codeword choices
+    * are bit-identical to the broadcast-join form. */
+  private def pqCodebookRows(cb: DataFrame)
+      : Seq[(Int, Seq[(Long, Array[Float], Double)])] = {
+    val rows = cb.select(col("sub").cast("int"), col("code").cast("long"),
+      col("cw")).collect()
+    require(rows.length <= MaxCentroidRows,
+      s"codebook has ${rows.length} rows (> $MaxCentroidRows) — " +
+        "row-local argmax assignment is for bounded codebooks")
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (s, rs) =>
+      s -> rs.toSeq.map { r =>
+        val cw = r.getSeq[Float](2).toArray
+        val cw2 = cw.foldLeft(0.0d)((a, x) => a + x.toDouble * x.toDouble)
+        (r.getLong(1), cw, -(cw2 / 2))
+      }
+    }
+  }
+
   /** Nearest codeword per (vec_id, sub) under L2: argmin ‖sv−cw‖² =
     * argmax ⟨sv,cw⟩ − ‖cw‖²/2 (‖sv‖² is constant per row, so it never
-    * moves the argmin). The codebook broadcasts (≤ m·k rows); ties break
-    * to the smallest code id, so assignment is deterministic. */
-  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
-    val scored = cb.withColumn("cw2",
-      aggregate(col("cw"), lit(0.0d),
-        (a, x) => a + x.cast("double") * x.cast("double")))
-    sv.join(broadcast(scored), "sub")
-      .select(col("vec_id"), col("sub"), col("sv"), col("code"),
-        (vecDot(col("sv"), col("cw")) - col("cw2") / 2).as("sc"))
-      .groupBy("vec_id", "sub")
-      .agg(max_by(col("code"), struct(col("sc"), (-col("code")).as("tb")))
-          .as("code"),
-        first(col("sv")).as("sv")) // all rows of a group share one sv
+    * moves the argmin); ties break to the smallest code id, so
+    * assignment is deterministic. Computed ROW-LOCALLY per sub via
+    * [[graft.functions.ArgMaxDot]] over the collected codebook — the
+    * former broadcast-join + max_by groupBy exchanged all N·m subvector
+    * rows once per call (one per Lloyd round and once per encode); now
+    * the assignment runs in the scan stage with no exchange (guide
+    * §2.4). A sub with no surviving codewords drops its rows, exactly
+    * like the former inner join on `sub`. */
+  private def pqAssignRows(sv: DataFrame,
+      cbRows: Seq[(Int, Seq[(Long, Array[Float], Double)])]): DataFrame = {
+    val codeExpr = cbRows.foldRight(lit(null).cast("int")) {
+      case ((s, rows), elseC) =>
+        when(col("sub") === s,
+          graft.functions.ArgMaxDot.nearest(col("sv"), rows)
+            .getField("id").cast("int"))
+          .otherwise(elseC)
+    }
+    sv.select(col("vec_id"), col("sub"), codeExpr.as("code"), col("sv"))
+      .filter(col("code").isNotNull)
   }
 
   /** Codeword update: per-dimension DECIMAL-accumulated means of the
@@ -883,7 +941,15 @@ object SimilarityOps {
     * codebook at a time. Returns (sub, code, cw), persisted — it is
     * referenced from both the encode and the LUT side of the search. */
   def pqTrain(v: DataFrame, dim: Int = 64, m: Int = 8, k: Int = 16,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame = pqTrainRows(v, dim, m, k, iters)._1
+
+  /** [[pqTrain]] that also returns the final codebook's COLLECTED rows:
+    * each intermediate codebook is collected exactly once (the collect is
+    * the materialize-before-unpersist action) and the rows drive the next
+    * round's row-local assignment — one driver job per codebook, never a
+    * second collect of the same frame. */
+  private def pqTrainRows(v: DataFrame, dim: Int, m: Int, k: Int,
+      iters: Int): (DataFrame, Seq[(Int, Seq[(Long, Array[Float], Double)])]) = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val sv = pqSubvecs(v, m, dim / m)
     val ws = Window.partitionBy("sub")
@@ -893,25 +959,39 @@ object SimilarityOps {
       .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
         col("sv").as("cw"))
       .persist()
-    cb.count()
+    var rows = pqCodebookRows(cb) // materializes the seed codebook
     for (_ <- 1 to iters) {
-      val next = pqRefine(pqAssign(sv, cb)).persist()
-      next.count() // materialize before freeing what it was built from
+      val next = pqRefine(pqAssignRows(sv, rows)).persist()
+      rows = pqCodebookRows(next) // materialize before freeing the parent
       cb.unpersist()
       cb = next
     }
-    cb
+    (cb, rows)
   }
 
   /** Encode the corpus against a trained codebook: (vec_id, codes) with
     * codes(sub) = the vector's codeword id in subspace `sub` — the
-    * m-int representation the ADC scan reads instead of raw floats. */
+    * m-int representation the ADC scan reads instead of raw floats.
+    * A pure projection since round 14: one row-local [[ArgMaxDot]] per
+    * subspace over the collected codebook, codes emitted in sub order —
+    * identical to the former explode + join + collect_list/array_sort
+    * round trip, which exchanged N·m rows twice just to reassemble the
+    * per-vector array (guide §2.4). */
   def pqEncode(v: DataFrame, cb: DataFrame, dim: Int = 64, m: Int = 8)
       : DataFrame =
-    pqAssign(pqSubvecs(v, m, dim / m), cb)
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        e => e.getField("code")).as("codes"))
+    v.select(col("vec_id"),
+      pqCodesExpr(pqCodebookRows(cb), dim / m).as("codes"))
+
+  /** The per-vector codes array as ONE row-local expression over the
+    * collected codebook (shared by [[pqEncode]] and the packed IVF-PQ
+    * projection). */
+  private def pqCodesExpr(cbRows: Seq[(Int, Seq[(Long, Array[Float], Double)])],
+      dsub: Int) =
+    array(cbRows.map { case (s, rows) =>
+      graft.functions.ArgMaxDot.nearest(
+        slice(col("embedding"), s * dsub + 1, dsub), rows)
+        .getField("id").cast("int")
+    }: _*)
 
   /** ADC search (asymmetric distance computation): one m×k partial-dot
     * lookup table per query — built against the FLOAT codebook, so the
@@ -987,10 +1067,19 @@ object SimilarityOps {
   def ivfPqIndex(v: DataFrame, kCells: Int = 16, dim: Int = 64,
       m: Int = 8, k: Int = 16, iters: Int = 2)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (index, cent) = ivfIndex(v, kCells)
-    val cb = pqTrain(v, dim, m, k, iters)
-    val packed = index.select(col("vec_id"), col("cell_id"))
-      .join(pqEncode(v, cb, dim, m), "vec_id").persist()
+    val seeds = v.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val cent = refineCentroids(assignCells(v, seeds)).persist()
+    val centRows = collectCentroids(cent, "cell_id", "c_emb") // materializes
+    val (cb, cbRows) = pqTrainRows(v, dim, m, k, iters)
+    // cell id and codes are both row-local argmaxes since round 14, so
+    // the packed table is ONE projection of the corpus — the former
+    // index⋈codes equi-join exchanged 2·N rows to zip two projections
+    // of the same row (guide §2.4).
+    val cell = graft.functions.ArgMaxDot.nearest(col("embedding"), centRows)
+      .getField("id")
+    val packed = v.select(col("vec_id"), cell.as("cell_id"),
+      pqCodesExpr(cbRows, dim / m).as("codes")).persist()
     (packed, cent, cb)
   }
 
