@@ -91,6 +91,7 @@ addCommandAlias("testHeavy",
     "graft.OperatorSmokeSpec graft.DedupSimilaritySpec")
 addCommandAlias("testLight",
   "testOnly graft.BenchHarnessSpec graft.BucketingSpec " +
+    "graft.CdcChunksSpec " +
     "graft.ClassifierSpec graft.ExtensionsSpec graft.GraphSpec " +
     "graft.IvfSpec graft.LayoutSpec graft.PartitionInvarianceSpec " +
     "graft.PartitionPruningSpec graft.PqSpec graft.QuantizeSpec " +

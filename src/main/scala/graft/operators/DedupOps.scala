@@ -426,24 +426,28 @@ object DedupOps {
     // start > stop — the ts_survival_hazard latent-bug class).
     "dedup_cdc_chunks" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val cuts = docs.filter(length(col("text")) >= 8)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(8), length(col("text")))).as("i"))
-        .filter(substring(md5(col("text").substr(col("i") - 7, lit(8))),
-          1, 1) === "0")
-        .select(col("doc_id"), col("i"))
-      val bnd = cuts
-        .union(docs.select(col("doc_id"), length(col("text")).as("i")))
-        .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("i")
-      val inst = bnd
-        .withColumn("start", lag(col("i"), 1, 0).over(w) + 1)
-        .join(docs, "doc_id")
+      // Round 14: the whole cut-scan → boundary-dedup → lag-window →
+      // text re-join pipeline is ONE codegen'd generator
+      // ([[graft.functions.CdcChunks]]) — the compositional form
+      // materialized a row per character position through a distinct
+      // and a per-doc sort window, then re-joined the corpus text to
+      // digest each chunk (4 exchanges before the df agg; now the df
+      // agg's is the first). Windows, cut rule, boundary dedup and
+      // digests are bit-identical (same substring semantics, same md5
+      // bytes) — guide §1.2 step 1 + §2.4.
+      // Explicit fan-out before the chunker (the agg_bootstrap pattern):
+      // the compact test parquet is ONE scan split, and a single task
+      // would otherwise run every doc's per-position md5 alone — a 100 TB
+      // corpus arrives in thousands of splits and skips this concern,
+      // and the old form paid the same text bytes through its boundary
+      // distinct + window exchanges anyway.
+      val inst = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
-          md5(col("text").substr(col("start"),
-            col("i") - col("start") + 1)).as("digest"),
-          (col("i") - col("start") + 1).as("clen"))
+          explode(graft.functions.CdcChunks.cdcChunks(col("text"), 8))
+            .as("c"))
+        .select(col("doc_id"), col("c.digest").as("digest"),
+          col("c.clen").as("clen"))
       val dup = inst.groupBy("digest")
         .agg(countDistinct(col("doc_id")).as("nd"))
       inst.join(dup, "digest")
