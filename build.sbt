@@ -95,6 +95,7 @@ addCommandAlias("testLight",
     "graft.ClassifierSpec graft.ExtensionsSpec graft.GraphSpec " +
     "graft.IvfSpec graft.LayoutSpec graft.PartitionInvarianceSpec " +
     "graft.PartitionPruningSpec graft.PqSpec graft.QuantizeSpec " +
+    "graft.Md5LanesSpec " +
     "graft.SegmentSpec graft.SessionizePropertySpec graft.SkewSpec " +
     "graft.SourcesSpec graft.StatsExtSpec graft.UserDocSpec " +
     "graft.VecDotSpec")

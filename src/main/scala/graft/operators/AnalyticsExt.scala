@@ -1915,18 +1915,25 @@ object AnalyticsExt {
       // task (profiled round 11: 4.7 of the 6.2 s wall). An explicit
       // partition count keeps AQE from coalescing the tiny-by-bytes but
       // CPU-heavy exchange back to one partition.
-      val ev = events(s, dir).select(col("event_type"), col("event_id"),
+      val evRaw = events(s, dir).select(col("event_type"), col("event_id"),
         col("value"))
+      val ev = evRaw
         .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+      // Round 14: each digest's four 32-bit lanes come straight off the
+      // digest bytes ([[graft.functions.Md5Lanes]]) — the former
+      // hex-string + substring + conv(…,16,10) round trip built and
+      // parsed five 32-char strings per event in the expansion scan's
+      // hottest projection; the lane VALUES are identical by
+      // construction (8 hex chars ≡ 4 big-endian digest bytes).
       val hs = (0 until (bReps + 3) / 4).map(c =>
-        md5(concat(lit(s"boot:$c:"), col("event_id"))).as(s"h$c"))
+        graft.functions.Md5Lanes.md5Lanes(
+          concat(lit(s"boot:$c:"), col("event_id"))).as(s"h$c"))
       val withH = ev.select(
         Seq(col("event_type"), col("event_id"), col("value")) ++ hs: _*)
       def uOf(b: Int) = {
         val c = (b - 1) / 4
-        val off = ((b - 1) % 4) * 8 + 1
-        (conv(substring(col(s"h$c"), off, 8), 16, 10).cast("long")
-          + lit(0.5)) / lit(4294967296.0)
+        val lane = (b - 1) % 4 + 1
+        (element_at(col(s"h$c"), lane) + lit(0.5)) / lit(4294967296.0)
       }
       // Poisson(1) inverse CDF: cumulative e^-1 * (1/0! + 1/1! + ...)
       // as fixed shared literals (identical in the oracle), capped at 6.
@@ -1976,7 +1983,10 @@ object AnalyticsExt {
       val ci = med.groupBy("event_type").agg(
         round(percentile(col("med"), lit(0.025)), 6).as("ci_lo"),
         round(percentile(col("med"), lit(0.975)), 6).as("ci_hi"))
-      ev.groupBy("event_type")
+      // the corpus-median branch reads the RAW scan: hanging it off `ev`
+      // made a groupBy(event_type) agg pay the digest branch's event_id
+      // fan-out exchange for nothing (round 14)
+      evRaw.groupBy("event_type")
         .agg(round(percentile(col("value"), lit(0.5)), 6).as("median_value"))
         .join(ci, "event_type")
         .select(col("event_type"), col("median_value"), col("ci_lo"),
