@@ -392,7 +392,14 @@ object DedupOps {
     // window) instead of a self-join that would evaluate the whole
     // window-extraction chain twice. Ceiling mirrored in the oracle.
     "dedup_substring_pairs" -> ((s, dir) => {
-      perDocWindows(t(s, dir, "documents"), SubstringWindowLen)
+      // Round 14: explicit round-robin fan-out before the window explode
+      // (the 1c250bb pattern) — the compact test parquet is ONE scan
+      // split, so the per-position substring explode ran single-task;
+      // not a keyed shuffle, hash-exchange budget unchanged. A 100 TB
+      // corpus arrives in thousands of splits and skips this concern.
+      perDocWindows(t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism),
+        SubstringWindowLen)
         .select("win", "doc_id").distinct()
         .withColumn("df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("win")))

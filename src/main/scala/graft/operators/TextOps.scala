@@ -324,7 +324,11 @@ object TextOps {
     // builds adjacent pairs (no self-join on position), one distinct,
     // then |vocab|-bounded rank rounds; top-30 via TakeOrdered.
     "text_textrank" -> ((s, dir) => {
+      // Round 14: round-robin fan-out before the per-doc pair HOF (the
+      // 1c250bb pattern) — the compact test parquet is ONE scan split,
+      // so the interpreted filter/transform lambda ran single-task.
       val pairs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(split(col("text"), " ").as("toks"))
         .select(explode(expr(
           "filter(transform(sequence(0, size(toks) - 2), " +
@@ -1017,7 +1021,13 @@ object TextOps {
     // Fuzzy pair-matching with blocking: same brand + same head noun, then
     // levenshtein <= 3. Blocking keeps the candidate set linear-ish at scale.
     "text_edit_distance" -> ((s, dir) => {
-      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+      // Round 14: round-robin fan-out so the banded-DP probe side runs
+      // on every core — the compact part parquet is ONE scan split, so
+      // the levenshtein stage ran single-task (keyless shuffle: the
+      // broadcast-join / 0-hash-exchange plan shape is unchanged).
+      val p = t(s, dir, "part")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("p_partkey"), col("p_brand"),
         col("p_name"), split(col("p_name"), " ").getItem(1).as("noun"))
       val a = p.select(col("p_partkey").as("k1"), col("p_brand").as("brand1"),
         col("noun").as("noun1"), col("p_name").as("n1"))
