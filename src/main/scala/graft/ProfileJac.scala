@@ -11,7 +11,7 @@ object ProfileJac {
   }
 
   def main(args: Array[String]): Unit = {
-    val s = SparkSession.builder().master("local[32]")
+    val s = Sessions.harden(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
