@@ -20,6 +20,23 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Round-robin fan-out for SINGLE-SPLIT scans only (round 15, gating
+    * the round-14 unconditional repartitions — guide §2.6 vs §2.4): the
+    * compact test parquet arrives as ONE scan split, so a key whose
+    * expensive per-row work lives in the scan stage ran it on one core;
+    * a production corpus arrives in thousands of splits and must NOT pay
+    * a corpus-wide shuffle down to #cores partitions for zero benefit.
+    * The gate reads the frame's actual scan parallelism (no job runs —
+    * partition math only) and repartitions only when it is below the
+    * session default. Optional `keys` keep the round-14 keyed variant
+    * (deterministic per-doc placement) where a consumer relied on it. */
+  def fanOutIfCompact(df: DataFrame, keys: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else if (keys.isEmpty) df.repartition(p)
+    else df.repartition(p, keys: _*)
+  }
+
   /** Schema-adaptive `ts` normalization. The driver's testdata has shipped
     * `events.ts` in two encodings across regens:
     *  - parquet timestamp[ns], which Spark 4.x refuses to read natively

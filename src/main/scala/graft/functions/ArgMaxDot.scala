@@ -30,9 +30,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * reproduces `dot - cw2/2` exactly (IEEE a+(-b) ≡ a-b, bias is computed
   * once per codeword on the driver with the same fold order); the
   * comparison reproduces `max_by(id, struct(score, -id))` — strictly
-  * greater score wins, equal score breaks to the smaller id. Finite
-  * inputs assumed (corpus embeddings are finite by fixture); NaN scores
-  * would order differently than SQL struct comparison.
+  * greater score wins, equal score breaks to the smaller id — including
+  * SQL's NaN-greatest total order (round 15, closing the round-14
+  * ADVICE gap): a NaN score beats any finite score, NaN ties like any
+  * other tie, exactly `nanSafeCompareDoubles`. On finite inputs (every
+  * corpus fixture) the extra branches never fire.
   */
 case class ArgMaxDot(child: Expression, cents: Seq[Float], bias: Seq[Double],
     ids: Seq[Long], dim: Int) extends UnaryExpression {
@@ -75,7 +77,12 @@ case class ArgMaxDot(child: Expression, cents: Seq[Float], bias: Seq[Double],
         i += 1
       }
       val s = acc + flatB(j)
-      if (j == 0 || s > bestS || (s == bestS && flatI(j) < bestId)) {
+      // nanSafeCompareDoubles order: NaN > any non-NaN, NaN == NaN
+      val sNaN = java.lang.Double.isNaN(s)
+      val bNaN = java.lang.Double.isNaN(bestS)
+      val gt = s > bestS || (sNaN && !bNaN)
+      val eq = s == bestS || (sNaN && bNaN)
+      if (j == 0 || gt || (eq && flatI(j) < bestId)) {
         bestS = s
         bestId = flatI(j)
       }
@@ -109,7 +116,12 @@ case class ArgMaxDot(child: Expression, cents: Seq[Float], bias: Seq[Double],
          |    $acc += (double) $x.getFloat($i) * (double) $cRef[$off + $i];
          |  }
          |  double $s = $acc + $bRef[$j];
-         |  if ($j == 0 || $s > $bestS || ($s == $bestS && $iRef[$j] < $bestId)) {
+         |  // nanSafeCompareDoubles order: NaN > any non-NaN, NaN == NaN
+         |  boolean ${s}NaN = java.lang.Double.isNaN($s);
+         |  boolean ${bestS}NaN = java.lang.Double.isNaN($bestS);
+         |  boolean ${s}Gt = $s > $bestS || (${s}NaN && !${bestS}NaN);
+         |  boolean ${s}Eq = $s == $bestS || (${s}NaN && ${bestS}NaN);
+         |  if ($j == 0 || ${s}Gt || (${s}Eq && $iRef[$j] < $bestId)) {
          |    $bestS = $s;
          |    $bestId = $iRef[$j];
          |  }

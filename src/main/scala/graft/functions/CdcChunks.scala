@@ -67,9 +67,7 @@ object CdcChunks {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  private def md5Hex(md: MessageDigest, bytes: Array[Byte]): UTF8String = {
-    md.reset()
-    val d = md.digest(bytes)
+  private def hexOf(d: Array[Byte]): UTF8String = {
     val out = new Array[Byte](32)
     var i = 0
     while (i < 16) {
@@ -82,33 +80,65 @@ object CdcChunks {
 
   /** One doc's (digest, clen) chunk array — called from both interpreted
     * and generated code. Character positions are 1-based inclusive, like
-    * Spark's `substring`. */
+    * Spark's `substring`.
+    *
+    * Round 15 (per-task work, guide §1.2 step 2): the first cut scan
+    * called `substringSQL(i-gram+1, gram)` per character position —
+    * UTF8String re-walks char offsets from the string START each call,
+    * so the per-doc loop was O(len²) in bytes plus one byte[] copy per
+    * window. Both window byte offsets advance monotonically, so they are
+    * now maintained INCREMENTALLY (one `numBytesForFirstByte` step each)
+    * and md5 hashes the byte range in place via update(buf, off, len).
+    * Byte ranges are exactly the ranges substringSQL slices (same
+    * numBytesForFirstByte walk), so every digest is bit-identical. */
   def chunksOf(text: UTF8String, gram: Int): GenericArrayData = {
     val md = MessageDigest.getInstance("MD5")
-    val len = text.numChars()
+    val bytes = text.getBytes
+    val nBytes = bytes.length
     // cut after position i (1-based) when md5 of chars [i-gram+1, i]
     // starts with hex nibble 0 — i.e. the digest's top 4 bits are zero
-    val bounds = Array.newBuilder[Int]
-    var i = gram
-    while (i <= len) {
-      md.reset()
-      val win = text.substringSQL(i - gram + 1, gram)
-      val d = md.digest(win.getBytes)
-      if ((d(0) & 0xf0) == 0) bounds += i
-      i += 1
+    val bounds = Array.newBuilder[Int] // cut positions, in CHARS (1-based)
+    val boundOffs = Array.newBuilder[Int] // matching end BYTE offsets
+    var startOff = 0 // byte offset of the window's first char
+    var endOff = 0 // byte offset one past the window's last char
+    var chars = 0 // chars consumed up to endOff
+    var winChars = 0 // chars currently inside [startOff, endOff)
+    while (endOff < nBytes) {
+      endOff += UTF8String.numBytesForFirstByte(bytes(endOff))
+      if (endOff > nBytes) endOff = nBytes // truncated trailing char
+      chars += 1
+      winChars += 1
+      if (winChars > gram) {
+        startOff += UTF8String.numBytesForFirstByte(bytes(startOff))
+        winChars -= 1
+      }
+      if (winChars == gram) {
+        md.reset()
+        md.update(bytes, startOff, endOff - startOff)
+        if ((md.digest()(0) & 0xf0) == 0) {
+          bounds += chars
+          boundOffs += endOff
+        }
+      }
     }
+    val len = chars
     val cuts = bounds.result()
+    val cutOffs = boundOffs.result()
     val nb = if (cuts.nonEmpty && cuts(cuts.length - 1) == len) cuts.length
              else cuts.length + 1
     val out = new Array[Any](nb)
-    var prev = 0
+    var prevOff = 0
+    var prevChar = 0
     var j = 0
     while (j < nb) {
       val b = if (j < cuts.length) cuts(j) else len
-      val chunk = text.substringSQL(prev + 1, b - prev)
+      val bOff = if (j < cuts.length) cutOffs(j) else nBytes
+      md.reset()
+      md.update(bytes, prevOff, bOff - prevOff)
       out(j) = new GenericInternalRow(
-        Array[Any](md5Hex(md, chunk.getBytes), b - prev))
-      prev = b
+        Array[Any](hexOf(md.digest()), b - prevChar))
+      prevChar = b
+      prevOff = bOff
       j += 1
     }
     new GenericArrayData(out)

@@ -302,11 +302,17 @@ object DedupOps {
     // corpus on every ingest.
     "dedup_cluster_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // Existing labels come from the session memo (the persisted-state
-      // stand-in); the per-batch work this key times is the probe + the
-      // root-graph update, which is what a production ingest pays.
+      // Existing labels AND the corpus band index come from session
+      // memos (the persisted-state stand-ins a production ingest reads);
+      // the per-batch work this key times is banding THE BATCH, the
+      // index probe and the root-graph update — which is what an ingest
+      // pays. Round 15: the probe formerly re-banded (re-simhashed) the
+      // ENTIRE corpus per call; per-batch cost must scale with the
+      // batch, not the corpus (guide §2.4 / the key's own contract).
       val oldLabels = corpusLabels80(s, dir)
-      val newPairs = simhashPairsProbe(docs, col("doc_id") % 5 === 0,
+      val newPairs = simhashPairsProbeIndexed(
+        corpusBanded64(s, dir),
+        banded64(docs.filter(col("doc_id") % 5 === 0)),
         maxHamming = 3).select("d1", "d2")
       incrementalClusters(oldLabels, newPairs).orderBy("doc_id")
     }),
@@ -371,7 +377,11 @@ object DedupOps {
     // go quadratic here. 3 bounded shuffles: (win,doc) agg → df window
     // riding the win partitioning → per-doc agg.
     "dedup_substring" -> ((s, dir) => {
+      // Round 15 (guide §2.3): same narrow-key treatment as the pair
+      // key — the window text is only a grouping identity, so xxhash64
+      // it before the (win, doc) agg and the df window.
       val pd = perDocWindows(t(s, dir, "documents"), SubstringWindowLen)
+        .select(xxhash64(col("win")).as("win"), col("doc_id"))
         .groupBy("win", "doc_id").agg(count(lit(1)).as("pos_cnt"))
         .withColumn("df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("win")))
@@ -395,12 +405,16 @@ object DedupOps {
       // Round 14: explicit round-robin fan-out before the window explode
       // (the 1c250bb pattern) — the compact test parquet is ONE scan
       // split, so the per-position substring explode ran single-task;
-      // not a keyed shuffle, hash-exchange budget unchanged. A 100 TB
-      // corpus arrives in thousands of splits and skips this concern.
-      perDocWindows(t(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism),
+      // not a keyed shuffle, hash-exchange budget unchanged. Round 15:
+      // gated on actual scan parallelism (fanOutIfCompact) so a
+      // multi-split production corpus skips the shuffle, and the 30-char
+      // window collapses to xxhash64 before the distinct/df-window/
+      // collect exchanges (guide §2.3) — the window text never reaches
+      // the output, only pair counts do, and at the 10× point the
+      // string-keyed exchanges cost 13.0 s (superlinear in bytes).
+      perDocWindows(fanOutIfCompact(t(s, dir, "documents")),
         SubstringWindowLen)
-        .select("win", "doc_id").distinct()
+        .select(xxhash64(col("win")).as("win"), col("doc_id")).distinct()
         .withColumn("df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("win")))
         .filter(col("df") >= 2 && col("df") <= SubstringPairDfCeiling)
@@ -445,11 +459,9 @@ object DedupOps {
       // Explicit fan-out before the chunker (the agg_bootstrap pattern):
       // the compact test parquet is ONE scan split, and a single task
       // would otherwise run every doc's per-position md5 alone — a 100 TB
-      // corpus arrives in thousands of splits and skips this concern,
-      // and the old form paid the same text bytes through its boundary
-      // distinct + window exchanges anyway.
-      val inst = docs
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // corpus arrives in thousands of splits and, per the round-15
+      // fanOutIfCompact gate, skips the shuffle outright.
+      val inst = fanOutIfCompact(docs, col("doc_id"))
         .select(col("doc_id"),
           explode(graft.functions.CdcChunks.cdcChunks(col("text"), 8))
             .as("c"))
@@ -698,11 +710,28 @@ object DedupOps {
     * leaves must never evict task execution memory. */
   def thinnedPostings(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     thinnedPostingsMemo.getOrCompute(s, dir) {
+      // Round 15 (guide §2.3): every consumer uses the shingle only as a
+      // grouping identity, so the leaf now carries xxhash64(shingle)
+      // under the same column name; the residue's md5 NUMERATOR (a pure
+      // per-posting function of the STRING — the oracle-mirrored rule is
+      // unchanged) is computed map-side BEFORE the df exchange, so the
+      // ~30-byte shingle string never crosses a shuffle at all: the df
+      // window, the cap filter and the checkpointed leaf all ride
+      // (doc_id, hash, resnum) longs. df-per-hash ≡ df-per-shingle and
+      // the survivor set is bit-identical (xxhash64 injective on the
+      // corpus vocabulary — verified against the string form's output).
       val sh = docShingles(t(s, dir, "documents"))
-      sh.withColumn("df", count(lit(1)).over(
+      val hashed = sh.select(col("doc_id"),
+        xxhash64(col("shingle")).as("shingle"),
+        conv(substring(md5(concat(lit("tswp42:"), col("shingle"),
+          lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("resnum"))
+      hashed.withColumn("df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-        .crossJoin(broadcast(minerDfCap(sh)))
-        .filter(col("df") <= col("df_cap") || postingResidue < col("df_cap"))
+        .crossJoin(broadcast(minerDfCap(
+          sh.select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))))
+        .filter(col("df") <= col("df_cap") ||
+          col("resnum") % col("df") < col("df_cap"))
         .select("doc_id", "shingle")
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
@@ -768,8 +797,26 @@ object DedupOps {
   /** Memoized [[clusterLabels]] of the `doc_id % 5 != 0` corpus subset. */
   def corpusLabels80(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     corpusLabelsMemo.getOrCompute(s, dir)(
-      clusterLabels(t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0))
+      connectedComponents(simhashPairsFromBanded(
+        corpusBanded64(s, dir).filter(col("doc_id") % 5 =!= 0),
+        maxHamming = 3))
         .localCheckpoint())
+
+  /** Session-scoped memo of the banded 64-bit SimHash frame over the
+    * FULL standard documents table — the in-engine stand-in for the
+    * PERSISTED band index a production pipeline writes once per corpus
+    * snapshot ([[minhashIndexSave]] is the disk form of the same idea).
+    * Round 15: the symmetric miner, the 80%-subset label build and the
+    * incremental key's probe all banded the corpus independently —
+    * `banded64` is a pure per-row projection, so one checkpointed frame
+    * serves all three (filters on doc_id commute with the banding). */
+  private val bandedMemo =
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.freeCheckpoint)
+
+  /** Memoized [[banded64]] of `dir`'s documents table. */
+  def corpusBanded64(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    bandedMemo.getOrCompute(s, dir)(
+      banded64(t(s, dir, "documents")).localCheckpoint())
 
   /** Session-scoped memo of the hamming ≤ 3 SimHash pair frame over the
     * FULL standard documents table — the [[tau0Memo]] accounting applied
@@ -784,7 +831,8 @@ object DedupOps {
   /** The memoized hamming ≤ 3 SimHash pair frame for `dir`'s documents. */
   def corpusSimhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     simhashPairsMemo.getOrCompute(s, dir)(
-      simhashPairs(t(s, dir, "documents"), maxHamming = 3).localCheckpoint())
+      simhashPairsFromBanded(corpusBanded64(s, dir), maxHamming = 3)
+        .localCheckpoint())
 
   /** Session-scoped memo of the full-corpus CC labels over
     * [[corpusSimhashPairs]] — the persisted label table both cluster
@@ -826,7 +874,15 @@ object DedupOps {
   }
 
   def jaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
+    // Round 15 (guide §2.3): the inverted-index self-join only ever uses
+    // the shingle as an equality key — its characters never reach the
+    // output — so it collapses to xxhash64 right after the explode and
+    // both join-side exchanges carry (long, long) instead of
+    // (long, ~30-byte string). Same join shape, same pair expansion; at
+    // the 10× point the string-keyed exchanges put the exact miner at
+    // 12.8 s (paid by its first consumer, dedup_containment).
     val sh = docShingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.select(col("doc_id").as("d1"), col("shingle"))
       .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
@@ -909,47 +965,53 @@ object DedupOps {
     * The vocab side broadcasts; per-doc sums then reduce c×(±1) ints in
     * codegen. At corpus scale vocab ≪ instances still holds; if the vocab
     * outgrows the broadcast threshold AQE falls back to a shuffle join. */
-  private def tokenCounts(docs: DataFrame): DataFrame = docs
+  private def tokenInstances(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
 
-  private def vocabBits(tokCnt: DataFrame, lanes: Seq[(String, Seq[String])]): DataFrame = {
+  private def vocabBits(docs: DataFrame, lanes: Seq[(String, Seq[String])]): DataFrame = {
     val h = md5(col("w"))
     val cols = col("w") +: lanes.flatMap { case (name, hex) =>
       (0 until 32).map(j =>
         when(substring(h, j + 1, 1).isin(hex: _*), 1).otherwise(-1)
           .as(s"${name}_v$j"))
     }
-    tokCnt.select("w").distinct().select(cols: _*)
+    tokenInstances(docs).select("w").distinct().select(cols: _*)
   }
 
   private def packBits(name: String) = (0 until 32)
     .map(j => when(col(s"${name}_b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
     .reduce(_ + _)
 
-  private def signSums(tokCnt: DataFrame, bits: DataFrame,
+  /** Per-doc signed bit sums. Round 15 (guide §2.4): the former shape
+    * pre-aggregated token counts per (doc_id, w) — a full corpus-wide
+    * exchange KEYED ON TOKEN STRINGS — before joining the broadcast
+    * md5-sign table, purely so each distinct (doc, w) pair probed the
+    * table once. But Σ_(doc,w) c·v_j ≡ Σ_instances v_j (integer sums),
+    * so the instance stream now probes the broadcast directly and the
+    * only exchange left is the per-doc partial-sum one (64 longs per
+    * doc, combined map-side). One corpus-wide string shuffle removed
+    * from every simhash consumer; sums, and hence every simhash bit,
+    * are identical. */
+  private def signSums(docs: DataFrame, bits: DataFrame,
       lanes: Seq[String]): DataFrame = {
     val sums = lanes.flatMap(name => (0 until 32).map(j =>
-      sum(col("c") * col(s"${name}_v$j")).as(s"${name}_b$j")))
-    tokCnt.join(broadcast(bits), "w")
+      sum(col(s"${name}_v$j")).as(s"${name}_b$j")))
+    tokenInstances(docs).join(broadcast(bits), "w")
       .groupBy("doc_id").agg(sums.head, sums.tail: _*)
   }
 
   /** Per-doc 32-bit SimHash (doc_id, simhash) — shared by the hash dump
     * and the pair-finding queries. */
-  def simhashes(docs: DataFrame): DataFrame = {
-    val tokCnt = tokenCounts(docs)
-    signSums(tokCnt, vocabBits(tokCnt, Seq("lo" -> HexHigh)), Seq("lo"))
+  def simhashes(docs: DataFrame): DataFrame =
+    signSums(docs, vocabBits(docs, Seq("lo" -> HexHigh)), Seq("lo"))
       .select(col("doc_id"), packBits("lo").as("simhash"))
-  }
 
   /** 64-bit SimHash as two 32-bit halves (doc_id, sh_lo, sh_hi) — two
     * sign bits per MD5 nibble (the 8-bit and the 4-bit lanes). Two bigint
     * halves sidestep 1L<<63 sign/ANSI-overflow traps in both engines. */
   def simhashes64(docs: DataFrame): DataFrame = {
-    val tokCnt = tokenCounts(docs)
-    val bits = vocabBits(tokCnt, Seq("lo" -> HexHigh, "hi" -> HexBit2))
-    signSums(tokCnt, bits, Seq("lo", "hi"))
+    val bits = vocabBits(docs, Seq("lo" -> HexHigh, "hi" -> HexBit2))
+    signSums(docs, bits, Seq("lo", "hi"))
       .select(col("doc_id"), packBits("lo").as("sh_lo"), packBits("hi").as("sh_hi"))
   }
 
@@ -975,9 +1037,15 @@ object DedupOps {
         col("bb.band"), col("bb.blk"))
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsFromBanded(banded64(docs), maxHamming)
+
+  /** [[simhashPairs]] over an ALREADY-BANDED frame — the round-15 seam
+    * that lets the session's one [[corpusBanded64]] index feed the
+    * symmetric miner, the 80%-subset label build and the ingest probe
+    * instead of each of them re-banding the corpus. */
+  def simhashPairsFromBanded(banded: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-block banding is exact only for hamming <= 3")
-    val banded = banded64(docs)
     val a = banded.select(col("doc_id").as("d1"), col("sh_lo").as("lo1"),
       col("sh_hi").as("hi1"), col("band"), col("blk"))
     val b = banded.select(col("doc_id").as("d2"), col("sh_lo").as("lo2"),
@@ -1009,14 +1077,29 @@ object DedupOps {
     * miner's (d1 < d2) convention. */
   def simhashPairsProbe(docs: DataFrame, batchPred: org.apache.spark.sql.Column,
       maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "4-block banding is exact only for hamming <= 3")
     // One banding pass feeds both sides (probe = filtered subset).
     val banded = banded64(docs).persist()
-    val a = banded.filter(batchPred).select(col("doc_id").as("d1"),
+    val out = simhashPairsProbeIndexed(banded, banded.filter(batchPred),
+      maxHamming)
+    banded.unpersist()
+    out
+  }
+
+  /** [[simhashPairsProbe]] against a PRE-BUILT band index — the exact
+    * production ingest shape (round 15): the corpus index is banded once
+    * per snapshot and persisted ([[corpusBanded64]] in-engine,
+    * [[minhashIndexSave]] on disk); each ingest batch bands only ITSELF
+    * and probes. The former per-call `banded64(docs)` re-simhashed the
+    * whole corpus on every probe — per-batch cost must scale with the
+    * batch, not the corpus. */
+  def simhashPairsProbeIndexed(index: DataFrame, batch: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-block banding is exact only for hamming <= 3")
+    val a = batch.select(col("doc_id").as("d1"),
       col("sh_lo").as("lo1"), col("sh_hi").as("hi1"), col("band"), col("blk"))
-    val b = banded.select(col("doc_id").as("d2"), col("sh_lo").as("lo2"),
+    val b = index.select(col("doc_id").as("d2"), col("sh_lo").as("lo2"),
       col("sh_hi").as("hi2"), col("band"), col("blk"))
-    val out = a.join(b, Seq("band", "blk")).filter(col("d1") =!= col("d2"))
+    a.join(b, Seq("band", "blk")).filter(col("d1") =!= col("d2"))
       .withColumn("hamming",
         (bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
           bit_count(col("hi1").bitwiseXOR(col("hi2")))).cast("long"))
@@ -1025,8 +1108,6 @@ object DedupOps {
         greatest(col("d1"), col("d2")).as("d2"), col("hamming"))
       .distinct()
       .localCheckpoint()
-    banded.unpersist()
-    out
   }
 
   /** INCREMENTAL cluster maintenance — the ingest-time form of

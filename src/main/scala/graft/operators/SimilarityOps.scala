@@ -604,9 +604,14 @@ object SimilarityOps {
     // and the codebook/code shape.
     "sim_pq_knn" -> ((s, dir) => {
       val v = t(s, dir, "embeddings").persist()
-      val cb = pqTrain(v, dim = 64, m = 8, k = 16, iters = 2)
+      // Round 15 (ADVICE): reuse the training-time collected codebook
+      // rows for the encode projection — one driver job per codebook,
+      // never a second collect of the same frame (pqTrainRows' stated
+      // invariant, which the pqEncode(cb) form silently broke).
+      val (cb, cbRows) = pqTrainRows(v, dim = 64, m = 8, k = 16, iters = 2)
       v.unpersist() // training materialized; encode/search rescan the source
-      val codes = pqEncode(v, cb, dim = 64, m = 8)
+      val codes = v.select(col("vec_id"),
+        pqCodesExpr(cbRows, dsub = 8).as("codes"))
       pqSearch(v.filter(col("vec_id") < 10), codes, cb,
         dim = 64, m = 8, k = 16, topK = 5)
     }),

@@ -327,8 +327,9 @@ object TextOps {
       // Round 14: round-robin fan-out before the per-doc pair HOF (the
       // 1c250bb pattern) — the compact test parquet is ONE scan split,
       // so the interpreted filter/transform lambda ran single-task.
-      val pairs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      // Round 15: gated on actual scan parallelism (fanOutIfCompact) so
+      // a multi-split production corpus skips the shuffle entirely.
+      val pairs = fanOutIfCompact(t(s, dir, "documents"))
         .select(split(col("text"), " ").as("toks"))
         .select(explode(expr(
           "filter(transform(sequence(0, size(toks) - 2), " +
@@ -427,18 +428,33 @@ object TextOps {
     // doc's distinct 3-gram shingles whose FIRST corpus occurrence is an
     // earlier doc. This is the dedup-adjacent curation signal ("how much
     // of this doc is already in the training set") that drives
-    // keep/down-weight decisions. Shape: distinct (doc, shingle) →
-    // min(doc_id) per shingle (two-phase agg) → shingle-keyed join back →
-    // doc-level agg. Everything is word/shingle-keyed — no broadcast of
-    // corpus-sized state, same inverted-index shape as the Jaccard miner
-    // but with a count instead of a pair fan-out, so it stays linear in
-    // the posting lists at any corpus size.
+    // keep/down-weight decisions. Shape: per-doc-distinct hashed
+    // (doc, shingle) rows → min-over-shingle window → doc-level agg.
+    // Everything is shingle-hash-keyed — no broadcast of corpus-sized
+    // state, same inverted-index shape as the Jaccard miner but with a
+    // count instead of a pair fan-out, so it stays linear in the
+    // posting lists at any corpus size.
     "text_ngram_novelty" -> ((s, dir) => {
+      // Round 15 (guide §2.3/§2.4): shuffle NARROW KEYS, never shingle
+      // strings. At the 10× point the duplicated-text fixture blew the
+      // old distinct + min-agg + join-back exchanges up to 57 s — every
+      // one of them carried the 3-word shingle STRING, which the query
+      // only ever uses as an opaque identity. Three changes, same rows:
+      //   1. the shingle collapses to xxhash64 right after the explode
+      //      (first-occurrence/doc counts are hash-stable);
+      //   2. doc_id is unique, so array_distinct per doc already makes
+      //      (doc_id, sh) globally distinct — the corpus-wide distinct
+      //      exchange is GONE;
+      //   3. first_doc rides ONE min-window over the sh partitioning
+      //      instead of groupBy(sh) + join-back (agg + probe exchanges).
+      // Plan: 4 wide string exchanges → 1 narrow window exchange + the
+      // final per-doc agg.
       val sh = t(s, dir, "documents")
-        .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-        .distinct()
-      val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
-      sh.join(first, "sh")
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(col("text")))).as("shw"))
+        .select(col("doc_id"), xxhash64(col("shw")).as("sh"))
+      sh.withColumn("first_doc",
+          min("doc_id").over(Window.partitionBy("sh")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
@@ -701,11 +717,28 @@ object TextOps {
     // (text_lm_score's pin); ties break to the smallest language code.
     "text_lang_id_ngram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // Round 15: ONE corpus bigram explode instead of two. dbc (per-doc
+      // counts) and prof (per-language profile counts) were independent
+      // aggregations over the same explode — different grouping keys, so
+      // ReuseExchange can never merge them and the charPair UDF pass ran
+      // twice (the round-14 profile-from-dbc rewrite re-planned MORE
+      // exchanges and was reverted). GROUPING SETS computes both
+      // granularities in one aggregate: Expand duplicates each exploded
+      // row 2× in-stage before the partial agg — far cheaper than a
+      // second scan + explode — and every downstream branch (dbc, and
+      // prof's five consumers) forks off the SAME exchange, which
+      // ReuseExchange deduplicates.
       val db = docs.select(col("doc_id"), col("lang"),
         explode(charPairUdf(col("text"))).as("bg"))
-      val dbc = db.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("cnt"))
-      val prof = db.groupBy(col("lang").as("p_lang"), col("bg"))
-        .agg(count(lit(1)).as("c"))
+      val g = db.groupingSets(
+          Seq(Seq(col("doc_id"), col("lang"), col("bg")),
+            Seq(col("lang"), col("bg"))),
+          col("doc_id"), col("lang"), col("bg"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      val dbc = g.filter(col("gid") === 0)
+        .select(col("doc_id"), col("lang"), col("bg"), col("cnt"))
+      val prof = g.filter(col("gid") =!= 0)
+        .select(col("lang").as("p_lang"), col("bg"), col("cnt").as("c"))
       val tot = prof.groupBy("p_lang").agg(sum("c").as("n_l"))
       val vv = prof.agg(countDistinct(col("bg")).as("v"))
       val grid = prof.select("bg").distinct()
@@ -1025,8 +1058,8 @@ object TextOps {
       // on every core — the compact part parquet is ONE scan split, so
       // the levenshtein stage ran single-task (keyless shuffle: the
       // broadcast-join / 0-hash-exchange plan shape is unchanged).
-      val p = t(s, dir, "part")
-        .repartition(s.sparkContext.defaultParallelism)
+      // Round 15: gated on actual scan parallelism (fanOutIfCompact).
+      val p = fanOutIfCompact(t(s, dir, "part"))
         .select(col("p_partkey"), col("p_brand"),
         col("p_name"), split(col("p_name"), " ").getItem(1).as("noun"))
       val a = p.select(col("p_partkey").as("k1"), col("p_brand").as("brand1"),
@@ -1353,14 +1386,22 @@ object TextOps {
     * shingle that survives the filter collects ≤ `dfCeiling` ids. */
   def contamination(docs: DataFrame,
       dfCeiling: Int = ContaminationDfCeiling): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("fold"),
-      explode(array_distinct(shingles(col("text")))).as("shingle"))
+    // Round 15 (guide §2.3): the shingle is only ever a grouping
+    // identity here (df count, te/tr collect — its characters never
+    // reach the output), so it collapses to xxhash64 right after the
+    // explode and the df-window + group-collect exchanges carry a long
+    // instead of a ~30-byte string. Same plan shape, same rows; the sf1
+    // sweep line was 15.0 s with string keys.
+    val sh = docs.select(col("doc_id"),
+        (col("fold") === "test").as("is_test"),
+        explode(array_distinct(shingles(col("text")))).as("shw"))
+      .select(col("doc_id"), col("is_test"), xxhash64(col("shw")).as("shingle"))
     val bySh = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df") <= dfCeiling)
       .groupBy("shingle").agg(
-        collect_set(when(col("fold") === "test", col("doc_id"))).as("te"),
-        collect_set(when(col("fold") === "train", col("doc_id"))).as("tr"))
+        collect_set(when(col("is_test"), col("doc_id"))).as("te"),
+        collect_set(when(!col("is_test"), col("doc_id"))).as("tr"))
       .filter(size(col("te")) > 0 && size(col("tr")) > 0)
     bySh
       // same explode-stage rebalance as [[contaminationCapped]] — AQE
@@ -1393,10 +1434,12 @@ object TextOps {
     * commutes with fold assignment — the survivor set is bit-identical
     * to the round-13 inline form's). */
   def contaminationCapped(posts: DataFrame, fold: Column): DataFrame = {
-    posts.withColumn("fold", fold)
+    // fold's domain is binary (train/test), so the per-posting string is
+    // collapsed to one boolean before the group-collect (guide §2.3).
+    posts.withColumn("is_test", fold === "test")
       .groupBy("shingle").agg(
-        collect_set(when(col("fold") === "test", col("doc_id"))).as("te"),
-        collect_set(when(col("fold") === "train", col("doc_id"))).as("tr"))
+        collect_set(when(col("is_test"), col("doc_id"))).as("te"),
+        collect_set(when(!col("is_test"), col("doc_id"))).as("tr"))
       .filter(size(col("te")) > 0 && size(col("tr")) > 0)
       // Rebalance before the te×tr explode — same reason as the capped
       // pair miner (DedupOps.cappedTau0Pairs): AQE coalesces the small

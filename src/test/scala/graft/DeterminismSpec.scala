@@ -134,7 +134,10 @@ class DeterminismSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val buildSbt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("build.sbt")), "UTF-8")
-    val listed = "graft\\.[A-Za-z]+Spec".r.findAllIn(buildSbt)
+    // [A-Za-z0-9]: suite names may carry digits (Md5LanesSpec, round 14
+    // — the letters-only pattern silently unlisted it and this pin
+    // fired at the first completed post-r14 suite run).
+    val listed = "graft\\.[A-Za-z0-9]+Spec".r.findAllIn(buildSbt)
       .map(_.stripPrefix("graft.")).toSet
     val testDir = java.nio.file.Paths.get("src/test/scala/graft")
     val concrete = java.nio.file.Files.list(testDir).iterator().asScala

